@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.events
+
+/** Event-time queries over the simulated stream table (SURVEY.md §2.3
+  * join_asof, §2.8 func_json, §2.10 batch formulations of the streaming
+  * windows). The true Structured Streaming wiring of the same logic lives in
+  * [[graft.streaming.StreamingJobs]]; the driver's oracle gate verifies the
+  * batch twins declared here.
+  *
+  * All event-time math runs on `ts_us` (µs BIGINT — see Tables.events) so
+  * both engines agree bit-for-bit.
+  */
+object Events {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SessionGapUs = 30L * 60L * 1000000L // 30 min in µs
+
+  val queries: Map[String, Q] = Map(
+    "func_json" -> ((s, d) => {
+      events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+        .limit(500)
+    }),
+
+    // As-of join: for each purchase, the most recent strictly-earlier view by
+    // the same user. Spark has no native ASOF: equi-join on user_id with a
+    // range residual, then keep rank-1 per purchase. At scale the user_id
+    // equi-key makes this a hash-partitioned join (no cross product); the
+    // per-purchase top-1 is a window over the same partitioning, so the
+    // exchange is reused.
+    "join_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts_us").as("v_ts"))
+      val w = Window.partitionBy("p_id").orderBy(col("v_ts").desc, col("v_id").desc)
+      p.join(v, col("user_id") === col("v_user") && col("v_ts") < col("p_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id").as("event_id"), col("v_id").as("prev_view"))
+        .orderBy("event_id")
+    }),
+
+    // Tumbling 1h windows — batch twin of the streaming groupBy(window(...)).
+    "stream_tumbling" -> ((s, d) => {
+      events(s, d)
+        .withColumn("tsx", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("tsx"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // Sliding 1h/30min windows, declared via explicit epoch arithmetic on
+    // BOTH sides (SURVEY.md §5.4): each event maps to exactly 2 window
+    // starts; Spark's builtin window() is epoch-aligned and produces the
+    // same buckets — the streaming wiring uses it.
+    "stream_sliding" -> ((s, d) => {
+      events(s, d)
+        .withColumn("w0", expr("(ts_us div 1000000 div 1800) * 1800"))
+        .select(
+          explode(array(col("w0"), col("w0") - 1800)).as("ws_epoch"),
+          col("event_type"), col("value"))
+        .groupBy("ws_epoch", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        .orderBy("ws_epoch", "event_type")
+    }),
+
+    // 30-min-gap sessionization, batch gaps-and-islands formulation. The
+    // streaming twin is session_window / flatMapGroupsWithState
+    // (graft.streaming.StreamingJobs). Two windows over the same
+    // (user_id → ts) partitioning: one exchange, two sorts, no extra shuffle.
+    "stream_session" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+        .withColumn(
+          "new_s",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start"),
+          max(col("ts_us")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "func_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    // DuckDB native ASOF JOIN: match on max v.ts strictly below p.ts.
+    "join_asof" ->
+      """SELECT p.event_id AS event_id, v.event_id AS prev_view
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts > v.ts
+        |ORDER BY event_id""".stripMargin,
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_v
+        |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "stream_sliding" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 1000000 // 1800) * 1800 AS w0, event_type, value
+        |           FROM events),
+        |x AS (SELECT w0 - 1800 * k AS ws_epoch, event_type, value
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT ws_epoch, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 4) AS sum_v
+        |FROM x GROUP BY ws_epoch, event_type ORDER BY ws_epoch, event_type""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts_us) AS session_start, max(ts_us) AS session_end
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+  )
+}

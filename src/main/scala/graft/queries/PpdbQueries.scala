@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ppdb.Ppdb
+
+/** The reference's own surface (SURVEY.md §2 rows marked REF): parse the
+  * gzipped PPDB release format, key lookups, ranked lookups, plus the
+  * structural queries that exercise the parsed frame (self-join chains,
+  * entailment stats, feature-map access, alignment explode).
+  */
+object PpdbQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // sfDir is ignored: the PPDB fixture lives at a stable absolute path so
+  // both engines read the identical bytes (FIXTURES.md §2).
+  val queries: Map[String, Q] = Map(
+    "ppdb_parse_gz" -> ((s, _) => {
+      Ppdb.parse(s).orderBy("phrase", "paraphrase")
+    }),
+
+    // The reference's signature query: paraphrases of one phrase, ranked by
+    // PPDB2.0Score. In engine terms: an equi-filter over the parsed frame —
+    // at scale, a parquet-persisted frame partitioned by phrase makes this a
+    // pruned point lookup instead of a full scan.
+    "ppdb_lookup" -> ((s, _) => {
+      Ppdb.parse(s)
+        .filter(col("phrase") === "happy")
+        .select(col("paraphrase"), col("ppdb2score"), col("entailment"))
+        .orderBy(col("ppdb2score").desc, col("paraphrase"))
+    }),
+
+    // 2-hop paraphrase chains: a.paraphrase = b.phrase self-join.
+    "ppdb_selfjoin_chain" -> ((s, _) => {
+      val a = Ppdb.parse(s).select(col("phrase"), col("paraphrase").as("mid"))
+      val b = Ppdb.parse(s).select(col("phrase").as("mid2"), col("paraphrase"))
+      a.join(b, col("mid") === col("mid2"))
+        .select(col("phrase"), col("paraphrase"))
+        .distinct()
+        .orderBy("phrase", "paraphrase")
+    }),
+
+    "ppdb_agg_entailment" -> ((s, _) => {
+      Ppdb.parse(s)
+        .groupBy(col("entailment"))
+        .agg(count(lit(1)).as("n"), round(avg(col("ppdb2score")), 4).as("avg_score"))
+        .orderBy("entailment")
+    }),
+
+    // Ranked lookup, windowed: top-2 paraphrases per phrase.
+    "ppdb_topk_per_phrase" -> ((s, _) => {
+      val w = Window.partitionBy("phrase").orderBy(col("ppdb2score").desc, col("paraphrase"))
+      Ppdb.parse(s)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select(col("phrase"), col("rn"), col("paraphrase"), col("ppdb2score"))
+        .orderBy("phrase", "rn")
+    }),
+
+    // The dynamic key-value feature sub-schema as a first-class MapType.
+    "ppdb_features_map" -> ((s, _) => {
+      Ppdb.parse(s)
+        .select(
+          col("phrase"),
+          col("paraphrase"),
+          element_at(str_to_map(col("features_raw"), lit(" "), lit("=")), "PPDB2.0Score")
+            .cast("double").as("score"))
+        .orderBy("phrase", "paraphrase")
+    }),
+
+    // Generator surface: explode the `i-j` word-alignment pairs.
+    "ppdb_explode_alignment" -> ((s, _) => {
+      Ppdb.parse(s)
+        .select(col("phrase"), col("paraphrase"), explode(split(col("alignment"), " ")).as("pair"))
+        .select(
+          col("phrase"),
+          col("paraphrase"),
+          split(col("pair"), "-").getItem(0).cast("long").as("src"),
+          split(col("pair"), "-").getItem(1).cast("long").as("tgt"))
+        .orderBy("phrase", "paraphrase", "src", "tgt")
+    })
+  )
+
+  private val cte = Ppdb.OracleCte
+
+  val oracle: Map[String, String] = Map(
+    "ppdb_parse_gz" ->
+      s"""$cte
+         |SELECT lhs, phrase, paraphrase, features_raw, alignment, entailment, ppdb2score
+         |FROM ppdb ORDER BY phrase, paraphrase""".stripMargin,
+    "ppdb_lookup" ->
+      s"""$cte
+         |SELECT paraphrase, ppdb2score, entailment FROM ppdb
+         |WHERE phrase = 'happy'
+         |ORDER BY ppdb2score DESC, paraphrase""".stripMargin,
+    "ppdb_selfjoin_chain" ->
+      s"""$cte
+         |SELECT DISTINCT a.phrase AS phrase, b.paraphrase AS paraphrase
+         |FROM ppdb a JOIN ppdb b ON a.paraphrase = b.phrase
+         |ORDER BY phrase, paraphrase""".stripMargin,
+    "ppdb_agg_entailment" ->
+      s"""$cte
+         |SELECT entailment, CAST(count(*) AS BIGINT) AS n,
+         |       round(avg(ppdb2score), 4) AS avg_score
+         |FROM ppdb GROUP BY entailment ORDER BY entailment""".stripMargin,
+    "ppdb_topk_per_phrase" ->
+      s"""$cte
+         |SELECT phrase, CAST(row_number() OVER w AS BIGINT) AS rn, paraphrase, ppdb2score
+         |FROM ppdb
+         |WINDOW w AS (PARTITION BY phrase ORDER BY ppdb2score DESC, paraphrase)
+         |QUALIFY row_number() OVER w <= 2
+         |ORDER BY phrase, rn""".stripMargin,
+    "ppdb_features_map" ->
+      s"""$cte
+         |SELECT phrase, paraphrase,
+         |       CAST(regexp_extract(features_raw, 'PPDB2\\.0Score=([0-9.]+)', 1) AS DOUBLE) AS score
+         |FROM ppdb ORDER BY phrase, paraphrase""".stripMargin,
+    "ppdb_explode_alignment" ->
+      s"""$cte
+         |SELECT phrase, paraphrase,
+         |       CAST(string_split(pair, '-')[1] AS BIGINT) AS src,
+         |       CAST(string_split(pair, '-')[2] AS BIGINT) AS tgt
+         |FROM (SELECT phrase, paraphrase, unnest(string_split(alignment, ' ')) AS pair FROM ppdb)
+         |ORDER BY phrase, paraphrase, src, tgt""".stripMargin
+  )
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.{normText, normTextSql, rd, t}
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.11, north star
+  * BASELINE.json:6): deduplication, similarity search, multimodal join
+  * stats, text analysis. Correctness twins are exact and oracle-checked;
+  * the approximate scale paths (MinHashLSH) are declared oracle-less with
+  * their exact twin as the checked query.
+  */
+object TextPipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** dot(a,b) over two array<double> columns via codegen'd higher-order
+    * functions — no UDF in the hot path.
+    */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def l2(a: String) =
+    expr(s"sqrt(aggregate(transform($a, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on the md5 of normalized text. One shuffle of
+    // (16-byte hash, id) pairs — at 100 TB, shuffle bytes are the fingerprints,
+    // never the documents.
+    "dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dupes"))
+        .orderBy("keeper")
+    }),
+
+    // Exact n-gram (token-set) Jaccard near-dup, blocked by language and the
+    // doc_id<500 band (SURVEY.md §2.11 — the block is part of the declared
+    // semantics and bounds the self-join at every sf). Jaccard computed as
+    // int set sizes → identical doubles on both engines. At scale the block
+    // becomes LSH banding: see dedup_minhash.
+    "dedup_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id") < 500)
+        .select(
+          col("doc_id"), col("lang"),
+          array_distinct(split(normText(col("text")), " ")).as("toks"))
+      val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("toks").as("a_toks"))
+      val b = docs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("toks").as("b_toks"))
+      a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+        .withColumn("isize", size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
+        .withColumn("usize",
+          (size(col("a_toks")) + size(col("b_toks"))).cast("double") - col("isize"))
+        .withColumn("jac", col("isize") / col("usize"))
+        .filter(col("jac") >= 0.5)
+        .select(col("a_id"), col("b_id"), rd(col("jac"), 4).as("jac"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash+LSH near-dup candidates — the 100 TB path: shingle → minhash
+    // signature → band → bucket equi-join; cost is O(candidate pairs), not
+    // O(n²). Approximate ⇒ oracle-less; its exact twin dedup_jaccard is the
+    // hash-checked query (SURVEY.md §2.11). Seeded for determinism.
+    "dedup_minhash" -> ((s, d) => {
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("tokens"))
+      val tf = new HashingTF()
+        .setInputCol("tokens").setOutputCol("tf")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val vecs = tf.transform(docs).select(col("doc_id"), col("tf"))
+      val lsh = new MinHashLSH()
+        .setInputCol("tf").setOutputCol("hashes")
+        .setNumHashTables(5).setSeed(42L)
+      val model = lsh.fit(vecs)
+      model.approxSimilarityJoin(vecs, vecs, 0.5, "jaccard_dist")
+        .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+        .select(
+          col("datasetA.doc_id").as("a_id"),
+          col("datasetB.doc_id").as("b_id"),
+          round(col("jaccard_dist"), 4).as("jaccard_dist"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Brute-force cosine top-k — the exactness baseline for ANN. The 10-row
+    // query side is broadcast; the scan side streams through a nested-loop
+    // probe (10·n dot products, embarrassingly parallel). The bucketed scale
+    // path is sim_ann_lsh.
+    "sim_knn_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot("vec", "qvec") / (l2("vec") * l2("qvec")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id").as("nid"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // Multimodal row = text ⋈ vector on the shared key; per-label corpus
+    // stats including the embedding L2 norm via higher-order functions.
+    "multimodal_join_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"), col("label"))
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .withColumn("l2n", l2("vec"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(avg(col("l2n")), 4).as("avg_l2"))
+        .orderBy("label")
+    }),
+
+    // Corpus term frequencies: explode + hash-agg + global top-k (partial
+    // aggregation map-side; TakeOrderedAndProject for the top 20).
+    "text_top_terms" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(split(normText(col("text")), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
+    // Adjacent-token bigrams via zip_with over two shifted slices — pure
+    // codegen'd array expressions, no UDF, no extra shuffle before the agg.
+    "text_bigrams" -> ((s, d) => {
+      val toks = split(normText(col("text")), " ")
+      val bigrams = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (x, y) => concat(x, lit(" "), y))
+      t(s, d, "documents")
+        .filter(size(toks) >= 2)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    })
+  )
+
+  private val norm = normTextSql("text")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT md5($norm) AS h, CAST(min(doc_id) AS BIGINT) AS keeper,
+         |       CAST(count(*) AS BIGINT) AS dupes
+         |FROM documents GROUP BY h ORDER BY keeper""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, list_distinct(string_split($norm, ' ')) AS toks
+         |  FROM documents WHERE doc_id < 500),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS isize,
+         |         CAST(len(a.toks) + len(b.toks) AS DOUBLE)
+         |           - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS usize
+         |  FROM docs a JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, floor(isize / usize * 10000.0 + 0.5) / 10000.0 AS jac
+         |FROM pairs WHERE isize / usize >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    "sim_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |q AS (SELECT vec_id AS qid, vec AS qvec FROM e WHERE vec_id < 10),
+        |p AS (SELECT q.qid, e.vec_id AS nid,
+        |             list_inner_product(e.vec, q.qvec)
+        |               / (sqrt(list_inner_product(e.vec, e.vec))
+        |                  * sqrt(list_inner_product(q.qvec, q.qvec))) AS cos
+        |      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid)
+        |SELECT qid, CAST(row_number() OVER w AS BIGINT) AS rnk, nid, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |FROM p WINDOW w AS (PARTITION BY qid ORDER BY cos DESC, nid)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    "multimodal_join_stats" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(n_chars), 2) AS avg_chars,
+        |       round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                         CAST(embedding AS DOUBLE[])))), 4) AS avg_l2
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "text_top_terms" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest(string_split($norm, ' ')) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "text_bigrams" ->
+      s"""WITH toks AS (SELECT string_split($norm, ' ') AS tk FROM documents),
+         |bg AS (SELECT unnest([tk[i] || ' ' || tk[i + 1] FOR i IN range(1, len(tk))]) AS bigram
+         |       FROM toks WHERE len(tk) >= 2)
+         |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+         |FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+  )
+}
