@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming wiring of the §2.10 event-time operators
+  * (SURVEY.md §2.10 "true streaming in design"): the same logic the batch
+  * twins in [[graft.queries.Events]] declare, expressed over an unbounded
+  * source with watermarks. Not oracle-checked (the driver gate verifies the
+  * batch formulations); covered by StreamingSpec via MemoryStream.
+  *
+  * Scale notes: each aggregation keys its state by (window, event_type) or
+  * (user, session) — state store shards by key hash across executors; the
+  * 10-minute watermark bounds state size (late rows beyond it are dropped
+  * and their windows evicted). Output mode `update` emits only changed
+  * windows per micro-batch.
+  */
+object StreamingJobs {
+
+  val WatermarkDelay = "10 minutes"
+
+  /** Tumbling 1-hour counts — streaming twin of `stream_tumbling`. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsx", WatermarkDelay)
+      .groupBy(window(col("tsx"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
+
+  /** Sliding 1h/30min counts — streaming twin of `stream_sliding`. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsx", WatermarkDelay)
+      .groupBy(window(col("tsx"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
+
+  /** 30-min-gap sessions via the built-in session window — streaming twin of
+    * `stream_session` (whose batch form is gaps-and-islands).
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsx", WatermarkDelay)
+      .groupBy(session_window(col("tsx"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming dedup bounded by the watermark — the streaming face of the
+    * dedup operators: exact-key dedup whose state is evicted once the
+    * watermark passes (SURVEY.md §2.10 late-data row).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsx", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ── custom state: sessionization with flatMapGroupsWithState ───────────
+
+  case class Ev(user_id: Long, tsUs: Long, value: Double)
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
+  val SessionGapUs: Long = 30L * 60L * 1000000L
+
+  /** Custom per-key state machine (KeyValueGroupedDataset.flatMapGroupsWithState):
+    * emits a session row whenever a gap > 30 min closes one. Demonstrates the
+    * arbitrary-state API the built-in session_window can't cover (e.g.
+    * emitting mid-session heartbeats or custom eviction policies).
+    */
+  def sessionize(events: Dataset[Ev])(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsUs))
+          val out = Seq.newBuilder[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.tsUs - st.lastUs <= SessionGapUs =>
+                cur = Some(st.copy(lastUs = e.tsUs, n = st.n + 1))
+              case Some(st) =>
+                out += SessionOut(user, st.startUs, st.lastUs, st.n)
+                cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+              case None =>
+                cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

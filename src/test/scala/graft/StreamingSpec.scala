@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.{Ev, SessionOut}
+
+case class StreamEv(tsx: Timestamp, event_type: String, value: Double, user_id: Long, event_id: Long)
+
+/** Structured Streaming wiring tests: MemoryStream micro-batches through the
+  * real streaming plans (state store, watermark), plus batch execution of the
+  * custom flatMapGroupsWithState sessionizer.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+
+  test("tumbling window aggregates arrive incrementally") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEv]
+    val query = StreamingJobs.tumbling(in.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        StreamEv(ts(5), "click", 1.0, 7, 1),
+        StreamEv(ts(20), "click", 2.0, 7, 2),
+        StreamEv(ts(65), "click", 4.0, 7, 3))
+      query.processAllAvailable()
+      val rows = spark.table("tumb").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set(
+        (ts(0).getTime, 2L, 3.0),   // hour 0: two clicks
+        (ts(60).getTime, 1L, 4.0))) // hour 1: one click
+    } finally query.stop()
+  }
+
+  test("session window closes after the 30-min gap") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEv]
+    val query = StreamingJobs.sessions(in.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(
+        StreamEv(ts(0), "view", 1.0, 7, 1),
+        StreamEv(ts(10), "view", 1.0, 7, 2),
+        StreamEv(ts(50), "view", 1.0, 7, 3))
+      query.processAllAvailable()
+      val rows = spark.table("sess").collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(rows.sorted === Seq((7L, 1L), (7L, 2L))) // sessions of 2 and 1 events
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event ids") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEv]
+    val query = StreamingJobs.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        StreamEv(ts(0), "view", 1.0, 7, 1),
+        StreamEv(ts(1), "view", 1.0, 7, 1), // dup id within watermark
+        StreamEv(ts(2), "view", 1.0, 7, 2))
+      query.processAllAvailable()
+      assert(spark.table("dedup").count() === 2)
+    } finally query.stop()
+  }
+
+  test("custom flatMapGroupsWithState sessionizer emits closed sessions (batch run)") {
+    import spark.implicits._
+    implicit val s = spark
+    val us = 60L * 1000000L
+    val evs = Seq(
+      Ev(7L, 0 * us, 1.0), Ev(7L, 10 * us, 1.0), // session 1
+      Ev(7L, 50 * us, 1.0), // session 2 (stays open → not emitted in batch)
+      Ev(8L, 5 * us, 1.0)
+    ).toDS()
+    val out = StreamingJobs.sessionize(evs).collect().toSet
+    assert(out === Set(SessionOut(7L, 0L, 10 * us, 2L)))
+  }
+}

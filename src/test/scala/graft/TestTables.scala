@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+/** Tiny literal tables written once to a temp dir shaped like a driver
+  * `sfDir` (FIXTURES.md §3: unit tests must not read /root/testdata), so
+  * specs can exercise the REAL `SparkEntry.queries` functions end-to-end.
+  *
+  * events.ts is written as a plain BIGINT of ns-since-epoch — the same value
+  * `Tables.events` derives from the driver's TIMESTAMP(NANOS) column via the
+  * nanosAsLong conf, so `ts div 1000` behaves identically.
+  */
+object TestTables {
+
+  private var cached: Option[String] = None
+
+  def dir(spark: SparkSession): String = synchronized {
+    cached.getOrElse {
+      val d = Files.createTempDirectory("graft-test-sf").toString
+      write(spark, d)
+      cached = Some(d)
+      d
+    }
+  }
+
+  private def write(spark: SparkSession, d: String): Unit = {
+    import spark.implicits._
+
+    Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"))
+      .toDF("r_regionkey", "r_name")
+      .write.parquet(s"$d/region.parquet")
+
+    Seq((0, "ALGERIA", 0), (1, "BRAZIL", 1), (2, "CHINA", 2), (3, "KENYA", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$d/nation.parquet")
+
+    Seq(
+      (1L, "cust1", 0, 100.5, "AUTO"),
+      (2L, "cust2", 1, 50.25, "RETAIL"),
+      (3L, "cust3", 1, 75.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$d/customer.parquet")
+
+    Seq((1L, "supp1", 0, 10.0), (2L, "supp2", 3, 20.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$d/supplier.parquet")
+
+    Seq((1L, "azure part", "B#1", "small brass", 3, 9.99))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$d/part.parquet")
+
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    Seq(
+      (10L, 1L, "O", 100.0, ts("1995-03-01 00:00:00"), "1-URGENT"),
+      (11L, 1L, "F", 300.0, ts("1995-04-01 00:00:00"), "2-HIGH"),
+      (12L, 2L, "O", 200.0, ts("1995-05-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+
+    Seq(
+      (10L, 1L, 1L, 1, 2.0, 100.0, 0.05, 0.01, "A", "F", ts("1995-03-10 00:00:00")),
+      (10L, 1L, 2L, 2, 3.0, 200.0, 0.06, 0.02, "R", "O", ts("1995-03-20 00:00:00")),
+      (11L, 1L, 1L, 1, 4.0, 400.0, 0.00, 0.00, "N", "O", ts("1995-04-05 00:00:00")),
+      (12L, 1L, 2L, 1, 8.0, 800.0, 0.07, 0.03, "R", "F", ts("1995-07-30 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+
+    // ns-epoch longs; user 7: events at 0, +10min, +50min, +55min → two
+    // 30-min-gap sessions of 2 events each. A view precedes each purchase.
+    val base = 1704067200L * 1000000000L // 2024-01-01 00:00:00 UTC in ns
+    def ns(min: Long): Long = base + min * 60L * 1000000000L
+    Seq(
+      (1L, ns(0), 7L, "view", 1.0, """{"k": 1}"""),
+      (2L, ns(10), 7L, "purchase", 2.0, """{"k": 2}"""),
+      (3L, ns(50), 7L, "view", 3.0, """{"k": 3}"""),
+      (4L, ns(55), 7L, "purchase", 4.0, """{"k": 4}"""),
+      (5L, ns(20), 8L, "view", 5.0, """{"k": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+
+    Seq(
+      (0L, "a b c", "en", "src0", 5L),
+      (1L, "  A  b   C ", "en", "src1", 11L), // normalizes identical to doc 0
+      (2L, "x y", "en", "src2", 3L),
+      (3L, "a b d", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.9f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+  }
+}
