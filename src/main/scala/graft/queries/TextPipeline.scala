@@ -60,28 +60,20 @@ object TextPipeline {
         .orderBy("a_id", "b_id")
     }),
 
-    // MinHash+LSH near-dup candidates — the 100 TB path: shingle → minhash
-    // signature → band → bucket equi-join; cost is O(candidate pairs), not
-    // O(n²). Approximate ⇒ oracle-less; its exact twin dedup_jaccard is the
-    // hash-checked query (SURVEY.md §2.11). Seeded for determinism.
+    // MinHash+LSH near-dup pairs — the 100 TB path: 3-token shingle →
+    // 27-hash minhash signature → 9 bands × 3 rows → bucket equi-join →
+    // exact verify on candidates only (graft.operators.MinHashLsh scaladoc
+    // explains why MLlib's 1-row-band MinHashLSH was rejected). Shingles,
+    // not token sets: the corpus vocabulary is 31 tokens, so token-SET
+    // similarity is degenerate while shingle similarity separates true
+    // near-dups. Approximate recall ⇒ oracle-less (SURVEY.md §2.11);
+    // deterministic (fixed hash seeds).
     "dedup_minhash" -> ((s, d) => {
-      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
       val docs = t(s, d, "documents")
         .select(col("doc_id"), split(normText(col("text")), " ").as("tokens"))
-      val tf = new HashingTF()
-        .setInputCol("tokens").setOutputCol("tf")
-        .setNumFeatures(1 << 18).setBinary(true)
-      val vecs = tf.transform(docs).select(col("doc_id"), col("tf"))
-      val lsh = new MinHashLSH()
-        .setInputCol("tf").setOutputCol("hashes")
-        .setNumHashTables(5).setSeed(42L)
-      val model = lsh.fit(vecs)
-      model.approxSimilarityJoin(vecs, vecs, 0.5, "jaccard_dist")
-        .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
-        .select(
-          col("datasetA.doc_id").as("a_id"),
-          col("datasetB.doc_id").as("b_id"),
-          round(col("jaccard_dist"), 4).as("jaccard_dist"))
+      graft.operators.MinHashLsh
+        .nearDupPairs(docs, "doc_id", "tokens", threshold = 0.8)
+        .select(col("a_id"), col("b_id"), rd(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
 

@@ -82,6 +82,12 @@ class QueriesSpec extends SparkSpec {
     assert(rows("b d") === 1L)
   }
 
+  test("dedup_minhash finds the exact-duplicate pair via banded LSH") {
+    val rows = q("dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((0L, 1L, 1.0))) // docs 0,1 normalize identical
+  }
+
   test("sim_knn_cosine ranks the aligned vector first") {
     val first = q("sim_knn_cosine").collect()
       .filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L).head
