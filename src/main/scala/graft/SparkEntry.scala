@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Events, PpdbQueries, Relational, Scalars, TextPipeline, Windows}
+import graft.queries.{Events, Extras, PpdbQueries, Relational, Scalars, TextPipeline, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,14 +22,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ PpdbQueries.queries ++ Windows.queries ++
-      Scalars.queries ++ Events.queries ++ TextPipeline.queries
+      Scalars.queries ++ Events.queries ++ TextPipeline.queries ++ Extras.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted on purpose for the approximate
-    * operators (`agg_approx_distinct`, `dedup_minhash`) → driver records a
+    * operators (`agg_approx_distinct`, `dedup_minhash`, `sim_ann_lsh`) → driver records a
     * weaker rows-only check (SURVEY.md §2.4, §2.11).
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ PpdbQueries.oracle ++ Windows.oracle ++
-      Scalars.oracle ++ Events.oracle ++ TextPipeline.oracle
+      Scalars.oracle ++ Events.oracle ++ TextPipeline.oracle ++ Extras.oracle
 }

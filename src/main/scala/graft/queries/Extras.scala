@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{normText, normTextSql, rd, t}
+import graft.operators.{AnnLsh, MinHashLsh, SimHash}
+
+/** Extended LLM-pipeline operators beyond SURVEY.md §2 (builder prompt:
+  * SimHash, embedding-cosine near-dup, ANN, language-ID, quality scoring,
+  * token counting, fingerprinting, multimodal binary plumbing). Declared in
+  * SURVEY.md §2.12; deterministic ones carry DuckDB oracles, approximate
+  * ones (`sim_ann_lsh`) are oracle-less with a measurable exact twin.
+  */
+object Extras {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "en" -> Seq("the", "of", "and", "is", "not"),
+    "es" -> Seq("el", "la", "y", "es", "no"),
+    "fr" -> Seq("le", "la", "et", "est", "ne"),
+    "zh" -> Seq("的", "是", "不", "了", "我"))
+
+  private val enStop = langMarkers.toMap.apply("en")
+
+  private def markerHits(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(set), t))).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // n-gram/stopword language ID: per-language marker hits, argmax with
+    // alphabetical tiebreak. One scan, no shuffle before the final sort.
+    "text_langid" -> ((s, d) => {
+      val toks = split(normText(col("text")), " ")
+      val scored = t(s, d, "documents").select(
+        col("doc_id") +:
+          langMarkers.map { case (l, set) => markerHits(toks, set).as(s"s_$l") }: _*)
+      val best = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+      val predicted = langMarkers
+        .foldLeft(when(lit(false), lit(""))) { case (acc, (l, _)) =>
+          acc.when(col(s"s_$l") === best, lit(l))
+        }
+      scored
+        .withColumn("predicted", coalesce(predicted, lit("und")))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/punctuation/stopword signals → composite in
+    // [0,1]. All per-row double math — parity via the floor-round.
+    "text_quality" -> ((s, d) => {
+      val toks = split(normText(col("text")), " ")
+      val nTok = size(toks).cast("double")
+      val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")
+      val stop = markerHits(toks, enStop).cast("double") / greatest(nTok, lit(1.0))
+      val quality = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punct) + lit(0.3) * stop
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          rd(chars / greatest(nTok, lit(1.0)), 4).as("avg_tok_len"),
+          rd(punct, 4).as("punct_ratio"),
+          rd(stop, 4).as("stop_ratio"),
+          rd(quality, 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (alnum runs | single non-alnum marks) — both codegen'd.
+    "text_tokencount" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          when(trim(col("text")) === "", 0L)
+            .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("ws_tokens"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: min-hash over 3-token shingles (winnowing-style
+    // representative hash) — an 8-byte-per-doc identity for fast pre-dedup.
+    "text_fingerprint" -> ((s, d) => {
+      val sh = MinHashLsh.shingles(split(normText(col("text")), " "), 3)
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(sh).cast("long").as("n_shingles"),
+          array_min(transform(sh, x => md5(x))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup pairs via the exact 4-band pigeonhole join
+    // (operators.SimHash scaladoc; Manku et al. WWW'07).
+    "dedup_simhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id").as("id"), split(normText(col("text")), " ").as("toks"))
+      val sigs = SimHash.signatures(docs, "id", "toks")
+      SimHash.nearPairs(sigs, maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Embedding-cosine similarity pairs (the embedding face of near-dup).
+    // Blocked to vec_id<2000; threshold 0.45 fits this corpus (max pairwise
+    // cos ≈ 0.51 — random vectors have no true dups, the operator pattern is
+    // the deliverable).
+    "dedup_embedding" -> ((s, d) => {
+      // all-pairs numeric kernel → broadcast + mapPartitions JVM loop
+      // (operators.CosinePairs scaladoc: measured 30–75 s as expressions,
+      // ~1 s as a kernel; identical IEEE op order keeps oracle parity)
+      val emb = t(s, d, "embeddings")
+        .filter(col("vec_id") < 2000)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.operators.CosinePairs.allPairs(s, emb, threshold = 0.45)
+        .select(col("a_id"), col("b_id"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Bucketed ANN (random-hyperplane LSH, multi-probe) — the scale path
+    // whose exactness baseline is sim_knn_cosine. Approximate ⇒ oracle-less.
+    "sim_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      AnnLsh.topK(emb, q, k = 5, nPlanes = 8, dim = 64)
+        .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // Multimodal binary plumbing: payload + typed metadata + per-partition
+    // stubbed decode (graft.multimodal.Binary).
+    "multimodal_binary" -> ((s, d) => {
+      graft.multimodal.Binary
+        .decodedMeta(s, t(s, d, "documents"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val norm = normTextSql("text")
+  private val bpePattern = "[a-z0-9]+|[^a-z0-9\\s]"
+
+  private def hitsSql(set: Seq[String]): String =
+    s"len(list_filter(string_split($norm, ' '), t -> list_contains([${set.map("'" + _ + "'").mkString(", ")}], t)))"
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" -> {
+      val scores = langMarkers.map { case (l, set) => s"CAST(${hitsSql(set)} AS BIGINT) AS s_$l" }
+      val best = s"greatest(${langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+      val cases = langMarkers
+        .map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+        .mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, ${scores.mkString(",\n         ")}
+         |  FROM documents)
+         |SELECT *, CASE $cases ELSE 'und' END AS predicted
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" ->
+      s"""WITH x AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split($norm, ' ')) AS DOUBLE) AS n_tok,
+         |         CAST(length(replace($norm, ' ', '')) AS DOUBLE) AS chars,
+         |         CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |           / greatest(length(text), 1) AS punct,
+         |         CAST(${hitsSql(enStop)} AS DOUBLE) / greatest(len(string_split($norm, ' ')), 1) AS stop
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |       floor(chars / greatest(n_tok, 1.0) * 10000.0 + 0.5) / 10000.0 AS avg_tok_len,
+         |       floor(punct * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+         |       floor(stop * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+         |       floor((0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - punct) + 0.3 * stop)
+         |             * 10000.0 + 0.5) / 10000.0 AS quality
+         |FROM x ORDER BY doc_id""".stripMargin,
+    "text_tokencount" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN trim(text) = '' THEN 0
+         |            ELSE CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS BIGINT)
+         |       END AS ws_tokens,
+         |       CAST(len(regexp_extract_all(lower(text), '$bpePattern')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |              list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+         |                             FOR i IN range(1, len(tk) - 1)]) AS sh
+         |       FROM tk)
+         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |       list_min(list_transform(sh, s -> md5(s))) AS fp
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+         |  FROM documents WHERE doc_id < 500),
+         |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+         |bits AS (SELECT doc_id, j,
+         |                sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |         FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id,
+         |               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |                             ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, simhash, k, (simhash >> CAST(15 * k AS INT)) & 32767 AS v
+         |          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |                a.simhash AS sa, b.simhash AS sb
+         |         FROM bands a JOIN bands b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 2000),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |             list_inner_product(a.v, b.v)
+        |               / (sqrt(list_inner_product(a.v, a.v))
+        |                  * sqrt(list_inner_product(b.v, b.v))) AS cos
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |FROM p WHERE cos >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
+    "multimodal_binary" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+        |       64 + CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 448 AS width,
+        |       64 + CAST(('0x' || substr(md5(text), 7, 6)) AS BIGINT) % 448 AS height,
+        |       substr(md5(text), 1, 8) AS thumb_hash
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -16,14 +16,13 @@ object TextPipeline {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** dot(a,b) over two array<double> columns via codegen'd higher-order
-    * functions — no UDF in the hot path.
+  /** dot/l2 over array<double> columns: unrolled codegen'd arithmetic for
+    * the hot per-pair path (graft.functions.Vec scaladoc), higher-order
+    * aggregate for the general per-row path.
     */
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  private def dot(a: String, b: String) = graft.functions.Vec.dotUnrolled(a, b, 64)
 
-  private def l2(a: String) =
-    expr(s"sqrt(aggregate(transform($a, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+  private def l2(a: String) = graft.functions.Vec.l2(a)
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the md5 of normalized text. One shuffle of
@@ -82,13 +81,16 @@ object TextPipeline {
     // probe (10·n dot products, embarrassingly parallel). The bucketed scale
     // path is sim_ann_lsh.
     "sim_knn_cosine" -> ((s, d) => {
+      // norms projected per side pre-join (not per joined pair) — identical
+      // float ops, fewer evaluations
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        .withColumn("nrm", l2("vec"))
       val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("nrm").as("qnrm"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       emb.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos", dot("vec", "qvec") / (l2("vec") * l2("qvec")))
+        .withColumn("cos", dot("vec", "qvec") / (col("nrm") * col("qnrm")))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("vec_id").as("nid"), rd(col("cos"), 4).as("cos_sim"))

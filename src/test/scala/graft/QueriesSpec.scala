@@ -10,11 +10,47 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 53 declared queries, 51 with oracles") {
-    assert(SparkEntry.queries.size === 53)
-    assert(SparkEntry.oracleSql.size === 51)
+  test("inventory: 61 declared queries (53 SURVEY §2 + 8 extras), 58 with oracles") {
+    assert(SparkEntry.queries.size === 61)
+    assert(SparkEntry.oracleSql.size === 58)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("agg_approx_distinct", "dedup_minhash"))
+    assert(noOracle === Set("agg_approx_distinct", "dedup_minhash", "sim_ann_lsh"))
+  }
+
+  test("dedup_simhash pairs the normalized-identical docs at hamming 0") {
+    val rows = q("dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.contains((0L, 1L, 0L)))
+  }
+
+  test("sim_ann_lsh finds the aligned vector among candidates") {
+    val rows = q("sim_ann_lsh").collect()
+      .filter(r => r.getLong(0) == 0L)
+      .map(r => r.getLong(2))
+    assert(rows.contains(1L)) // e1 shares e0's bucket (cos≈0.99)
+  }
+
+  test("multimodal_binary decode stub is deterministic and plumbed end-to-end") {
+    val rows = q("multimodal_binary").collect()
+    assert(rows.length === 4)
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) === 5L) // "a b c" is 5 bytes
+    assert(r0.getLong(2) >= 64L && r0.getLong(2) < 512L)
+    assert(r0.getString(4).length === 8)
+  }
+
+  test("text_langid scores and predicts deterministically") {
+    val rows = q("text_langid").collect()
+    assert(rows.length === 4)
+    assert(rows.forall(r => Set("de", "en", "es", "fr", "zh", "und").contains(r.getString(6))))
+  }
+
+  test("text_fingerprint: identical normalized docs share the fingerprint") {
+    val byDoc = q("text_fingerprint").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.getString(2)))).toMap
+    assert(byDoc(0L) === byDoc(1L))
+    assert(byDoc(0L)._1 === 1L) // "a b c" → one trigram shingle
+    assert(byDoc(2L) === ((0L, None))) // "x y" too short for trigrams
   }
 
   test("dedup_exact groups normalized duplicates") {

@@ -89,11 +89,13 @@ object TestTables {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
 
+    // dim 64 like the driver data (the unrolled dot product indexes 1..64)
+    def pad(v: Float*): Array[Float] = (v ++ Seq.fill(64 - v.length)(0.0f)).toArray
     Seq(
-      (0L, Array(1.0f, 0.0f, 0.0f), 0),
-      (1L, Array(0.9f, 0.1f, 0.0f), 0),
-      (2L, Array(0.0f, 1.0f, 0.0f), 1),
-      (3L, Array(0.0f, 0.9f, 0.1f), 1))
+      (0L, pad(1.0f, 0.0f, 0.0f), 0),
+      (1L, pad(0.9f, 0.1f, 0.0f), 0),
+      (2L, pad(0.0f, 1.0f, 0.0f), 1),
+      (3L, pad(0.0f, 0.9f, 0.1f), 1))
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$d/embeddings.parquet")
   }
