@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension wiring (SURVEY.md §3.2 / §4): injects the custom
+  * expressions into Catalyst's function registry.
+  *
+  * Two entry points:
+  *  - declarative: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (the production path — every session on the cluster gets the
+  *    functions at analyzer time);
+  *  - imperative: `GraftExtensions.register(spark)` for sessions the caller
+  *    doesn't control the conf of (the driver's Verify/Bench sessions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (
+        FunctionIdentifier("ppdb_split"),
+        new ExpressionInfo(
+          classOf[PpdbSplitLine].getCanonicalName,
+          "ppdb_split",
+          "ppdb_split(line) - one-pass split of a PPDB release line on ' ||| '"),
+        (args: Seq[Expression]) => PpdbSplitLine(args.head)))
+
+  /** Idempotent imperative registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -35,6 +35,14 @@ object Ppdb {
 
   /** Raw 6-field parse plus the PPDB2.0Score ranking key (ACL 2015) widened
     * to a double column — the one feature the reference ranks lookups by.
+    *
+    * The split stays on the built-in regex `split`: SURVEY.md §4 flagged a
+    * custom one-pass splitter as the only candidate native expression "if
+    * bench demands it" — it was built ([[graft.plans.PpdbSplitLine]],
+    * `ppdb_split` via GraftExtensions), measured on 240k lines, and the
+    * warm JVM regex on a literal pattern was ~equal-or-faster, so the
+    * built-in wins on simplicity. The custom expression remains as the
+    * engine's documented Catalyst extension surface.
     */
   def parse(spark: SparkSession, path: String = FixturePath): DataFrame = {
     val f = split(col("value"), " \\|\\|\\| ")
