@@ -20,6 +20,24 @@ object StreamingJobs {
 
   val WatermarkDelay = "10 minutes"
 
+  /** File-source stream over an events parquet directory: the real
+    * `readStream → transforms → writeStream` entry point. The schema is
+    * pinned explicitly (streaming sources don't infer), with `ts` as raw
+    * ns-epoch BIGINT exactly as `Tables.events` reads the driver's
+    * TIMESTAMP(NANOS) column; `tsx` is the µs-truncated event-time used by
+    * every window below. At scale the directory is a landing zone new files
+    * roll into; each micro-batch picks up only unseen files.
+    */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Tumbling 1-hour counts — streaming twin of `stream_tumbling`. */
   def tumbling(events: DataFrame): DataFrame =
     events

@@ -71,6 +71,21 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source stream drives the tumbling window end-to-end") {
+    val dir = TestTables.dir(spark)
+    val query = StreamingJobs.tumbling(StreamingJobs.eventsFileStream(spark, s"$dir/events.parquet"))
+      .writeStream.format("memory").queryName("filetumb")
+      .outputMode(OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      query.awaitTermination(60000)
+      // TestTables events: 5 events all inside hour 2024-01-01T00
+      val rows = spark.table("filetumb").collect().map(r => (r.getString(1), r.getLong(2))).toMap
+      assert(rows === Map("view" -> 3L, "purchase" -> 2L))
+    } finally query.stop()
+  }
+
   test("custom flatMapGroupsWithState sessionizer emits closed sessions (batch run)") {
     import spark.implicits._
     implicit val s = spark
