@@ -84,17 +84,22 @@ object MinHashLsh {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
 
+    // The shingle set feeds three consumers (signatures, and both sides of
+    // the verify join) - persist it so the scan+shingling runs once. At
+    // 100 TB this step is a materialized signature TABLE (cf.
+    // PpdbRelease.ingest), not an in-memory cache.
     val sh = df.select(
       col(idCol).as("doc"),
       shingles(col(tokensCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val signed = sh.withColumn("sig", signature(col("sh"), numHashes))
-
-    // band j = polynomial combine of sig[j*r .. j*r+r-1]
-    val banded = signed
+    // banded rows stay SLIM - (doc, band_idx, band_hash) only; shingle
+    // arrays never enter the candidate shuffle or the pair dedup
+    val banded = sh
+      .withColumn("sig", signature(col("sh"), numHashes))
       .select(
-        col("doc"), col("sh"),
+        col("doc"),
         posexplode(
           transform(
             sequence(lit(0), lit(bands - 1)),
@@ -104,20 +109,19 @@ object MinHashLsh {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
 
-    // bucket join: candidates share (band_idx, band_hash); skew guard drops
-    // degenerate buckets (a bucket of size m contributes m² pairs)
+    // skew guard: drop degenerate buckets (a bucket of size m contributes
+    // m^2 pairs); the window reuses the hash partitioning the candidate
+    // join needs, so it costs no extra exchange
     val bucketed = banded.withColumn(
       "bucket_n",
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
       .filter(col("bucket_n") <= maxBucketSize)
 
-    val a = bucketed.select(
-      col("band_idx"), col("band_hash"),
-      col("doc").as("a_id"), col("sh").as("a_sh"))
+    val a = bucketed.select(col("band_idx"), col("band_hash"), col("doc").as("a_id"))
     val b = bucketed.select(
       col("band_idx").as("band_idx_b"), col("band_hash").as("band_hash_b"),
-      col("doc").as("b_id"), col("sh").as("b_sh"))
+      col("doc").as("b_id"))
 
     val candidates = a
       .join(
@@ -125,11 +129,14 @@ object MinHashLsh {
         col("band_idx") === col("band_idx_b") &&
           col("band_hash") === col("band_hash_b") &&
           col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
 
-    // exact verify on the candidate set only
+    // exact verify on candidates only: join the cached shingle sets back by
+    // id - touches candidate docs, not the corpus
     candidates
+      .join(sh.select(col("doc").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("isize", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
       .withColumn("usize", (size(col("a_sh")) + size(col("b_sh"))).cast("double") - col("isize"))
       .withColumn("jaccard", col("isize") / col("usize"))
