@@ -32,21 +32,21 @@ object Events {
     }),
 
     // As-of join: for each purchase, the most recent strictly-earlier view by
-    // the same user. Spark has no native ASOF: equi-join on user_id with a
-    // range residual, then keep rank-1 per purchase. At scale the user_id
-    // equi-key makes this a hash-partitioned join (no cross product); the
-    // per-purchase top-1 is a window over the same partitioning, so the
-    // exchange is reused.
+    // the same user — the reusable graft.operators.AsOfJoin operator
+    // (backward, strict, deterministic v_id tiebreak; scale notes in its
+    // scaladoc).
     "join_asof" -> ((s, d) => {
       val ev = events(s, d)
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
       val v = ev.filter(col("event_type") === "view")
         .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts_us").as("v_ts"))
-      val w = Window.partitionBy("p_id").orderBy(col("v_ts").desc, col("v_id").desc)
-      p.join(v, col("user_id") === col("v_user") && col("v_ts") < col("p_ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      graft.operators.AsOfJoin
+        .join(p, v,
+          keys = Seq("user_id" -> "v_user"),
+          leftTime = "p_ts", rightTime = "v_ts",
+          direction = graft.operators.AsOfJoin.Backward, strict = true,
+          tiebreak = Seq(col("v_id").desc))
         .select(col("p_id").as("event_id"), col("v_id").as("prev_view"))
         .orderBy("event_id")
     }),
