@@ -13,14 +13,16 @@ object Bench {
     // warm the executor pool / codegen / parquet footer cache once so the
     // first timed query doesn't absorb ~4 s of session startup
     spark.range(1000).selectExpr("sum(id)").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted for run-to-run comparability (Map iteration order is
+    // hash-dependent and would reshuffle warm-cache effects across rounds)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
