@@ -1,0 +1,40 @@
+package graft
+
+/** Physical-plan regression tests: the scale properties the engine promises
+  * (pushdown, pruning, broadcast, top-k without full sort, no accidental
+  * cross products) must survive refactors.
+  */
+class PlanSpec extends SparkSpec {
+
+  private lazy val d = TestTables.dir(spark)
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("filter_project pushes filters and prunes columns at the scan") {
+    val p = plan("filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_partkey"), "projection must prune unused columns")
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+    assert(plan("sort_multi_key").contains("TakeOrderedAndProject"))
+  }
+
+  test("no query plans a CartesianProduct; nested-loop joins only where declared") {
+    val bnljAllowed = Set("join_cross", "sim_knn_cosine")
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, d).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!bnljAllowed(name))
+        assert(
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an undeclared BroadcastNestedLoopJoin")
+    }
+  }
+}
