@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{normText, normTextSql, rd, t}
-import graft.operators.{AnnLsh, MinHashLsh, SimHash}
+import graft.operators.{AnnIvf, AnnLsh, MinHashLsh, SimHash}
 
 /** Extended LLM-pipeline operators beyond SURVEY.md §2 (builder prompt:
   * SimHash, embedding-cosine near-dup, ANN, language-ID, quality scoring,
@@ -128,6 +128,19 @@ object Extras {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
       AnnLsh.topK(emb, q, k = 5, nPlanes = 8, dim = 64)
+        .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // IVF ANN (seeded k-means coarse quantizer, nProbe cells per query) —
+    // the FAISS-style scale path beside the LSH one. Approximate ⇒
+    // oracle-less; recall is measured against sim_knn_cosine in tests.
+    "sim_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      AnnIvf.topK(emb, q, k = 5, nLists = 16, nProbe = 4)
         .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
         .orderBy("qid", "rnk")
     }),

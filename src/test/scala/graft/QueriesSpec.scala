@@ -10,11 +10,16 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 61 declared queries (53 SURVEY §2 + 8 extras), 58 with oracles") {
-    assert(SparkEntry.queries.size === 61)
+  test("inventory: 62 declared queries (53 SURVEY §2 + 9 extras), 58 with oracles") {
+    assert(SparkEntry.queries.size === 62)
     assert(SparkEntry.oracleSql.size === 58)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("agg_approx_distinct", "dedup_minhash", "sim_ann_lsh"))
+    assert(noOracle === Set("agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf"))
+  }
+
+  test("sim_ann_ivf recall: finds the aligned vector for query 0") {
+    val rows = q("sim_ann_ivf").collect().filter(r => r.getLong(0) == 0L).map(_.getLong(2))
+    assert(rows.contains(1L))
   }
 
   test("dedup_simhash pairs the normalized-identical docs at hamming 0") {
