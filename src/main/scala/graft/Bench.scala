@@ -10,9 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the executor pool / codegen / parquet footer cache once so the
-    // first timed query doesn't absorb ~4 s of session startup
+    // warm the executor pool, codegen pipeline, AND the vectorized parquet
+    // read path once, so the first timed query doesn't absorb session startup
     spark.range(1000).selectExpr("sum(id)").count()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // sorted for run-to-run comparability (Map iteration order is
     // hash-dependent and would reshuffle warm-cache effects across rounds)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
