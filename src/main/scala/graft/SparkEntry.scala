@@ -7,7 +7,7 @@ import graft.queries.{Events, Extras, PpdbQueries, Relational, Scalars, TextPipe
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is SURVEY.md §2's declared inventory: every key has a total
-  * ORDER BY and (except the two intentionally oracle-less approximate
+  * ORDER BY and (except the four intentionally oracle-less approximate
   * operators) a DuckDB twin in `oracleSql` with identical column names.
   */
 object SparkEntry {
@@ -26,8 +26,9 @@ object SparkEntry {
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted on purpose for the approximate
-    * operators (`agg_approx_distinct`, `dedup_minhash`, `sim_ann_lsh`) → driver records a
-    * weaker rows-only check (SURVEY.md §2.4, §2.11).
+    * operators (`agg_approx_distinct`, `dedup_minhash`, `sim_ann_lsh`,
+    * `sim_ann_ivf`) → driver records a weaker rows-only check
+    * (SURVEY.md §2.4, §2.11, §2.12).
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ PpdbQueries.oracle ++ Windows.oracle ++

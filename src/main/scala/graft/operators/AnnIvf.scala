@@ -47,6 +47,10 @@ object AnnIvf {
       .setFeaturesCol("fv").setPredictionCol("list_id")
       .fit(vecs)
     val assigned = model.transform(vecs).select(col("vec_id"), col("vec"), col("list_id"))
+    // the multi-pass consumer (fit) is done; release the cache now — the
+    // lazy `assigned` plan recomputes its single pass from source instead
+    // of pinning the vectorized corpus for the rest of the session
+    vecs.unpersist(blocking = false)
 
     // nProbe nearest cells per query. A closure-based UDF on purpose: the
     // expression alternative inlines the k×dim centroid matrix as a

@@ -26,7 +26,11 @@ object AnnLsh {
     Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** Bucket id column for an array<double> vector column. */
+  /** Bucket id column for an array<double> vector column. Fails fast on a
+    * dim mismatch: zip_with null-pads silently, which would null the dot
+    * products and collapse every vector into bucket 0 (a silent brute-force
+    * scan instead of an error).
+    */
   def bucket(vec: Column, nPlanes: Int, dim: Int): Column = {
     val ps = planes(nPlanes, dim)
     val bits = ps.zipWithIndex.map { case (p, k) =>
@@ -36,7 +40,9 @@ object AnnLsh {
         (acc, v) => acc + v)
       when(dot > 0, lit(1L << k)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(vec) === dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"AnnLsh: expected $dim-dim vector, got "), size(vec).cast("string"))))
   }
 
   /** Top-k approximate neighbors for each query vector (multi-probe at

@@ -56,6 +56,10 @@ object AsOfJoin {
       tiebreak: Seq[Column] = Nil,
       joinType: String = "inner"): DataFrame = {
     require(Seq("inner", "left").contains(joinType), s"unsupported joinType $joinType")
+    // columns are resolved by bare name across the join, so the two sides
+    // must not share names (callers rename, e.g. user_id -> v_user)
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty, s"left/right column names must be disjoint; shared: $shared")
 
     val l = left.withColumn("__asof_lid", monotonically_increasing_id())
 
@@ -78,29 +82,21 @@ object AsOfJoin {
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
+    // nulls-last ordering: an unmatched left row under left_outer carries a
+    // single all-null right row, which rank-1 then keeps — so ONE join
+    // covers both join types and `l` (with its nondeterministic row ids) is
+    // evaluated exactly once in the plan (two evaluations would re-assign
+    // ids after shuffles and misalign any id reconciliation)
     val timeOrder = direction match {
-      case Backward => col(rightTime).desc
-      case Forward  => col(rightTime).asc
+      case Backward => col(rightTime).desc_nulls_last
+      case Forward  => col(rightTime).asc_nulls_last
     }
     val w = Window.partitionBy("__asof_lid").orderBy(timeOrder +: tiebreak: _*)
+    val sparkJoin = if (joinType == "left") "left_outer" else "inner"
 
-    val matched = l
-      .join(right, keyCond && timeCond && tolCond, "inner")
+    l.join(right, keyCond && timeCond && tolCond, sparkJoin)
       .withColumn("__asof_rn", row_number().over(w))
       .filter(col("__asof_rn") === 1)
-      .drop("__asof_rn")
-
-    val result = joinType match {
-      case "inner" => matched
-      case "left" =>
-        // re-attach unmatched left rows with null right columns
-        val unmatched = l.join(
-          matched.select(col("__asof_lid").as("__asof_mid")),
-          col("__asof_lid") === col("__asof_mid"),
-          "left_anti")
-        val rightCols = right.columns.map(c => lit(null).cast(right.schema(c).dataType).as(c))
-        matched.unionByName(unmatched.select((l.columns.map(col) ++ rightCols): _*))
-    }
-    result.drop("__asof_lid")
+      .drop("__asof_rn", "__asof_lid")
   }
 }

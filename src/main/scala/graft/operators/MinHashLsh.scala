@@ -85,9 +85,12 @@ object MinHashLsh {
     val r = numHashes / bands
 
     // The shingle set feeds three consumers (signatures, and both sides of
-    // the verify join) - persist it so the scan+shingling runs once. At
+    // the verify join) - persist it so the scan+shingling runs once. The
+    // cache lives until the session drops it (LRU): it cannot be unpersisted
+    // here because the returned plan is lazy and still references it. At
     // 100 TB this step is a materialized signature TABLE (cf.
-    // PpdbRelease.ingest), not an in-memory cache.
+    // PpdbRelease.ingest), not an in-memory cache - callers wanting a
+    // bounded lifecycle should materialize the result and unpersist.
     val sh = df.select(
       col(idCol).as("doc"),
       shingles(col(tokensCol), shingleSize).as("sh"))

@@ -35,6 +35,8 @@ object RangeJoin {
       extraKeys: Seq[(String, String)] = Nil,
       maxBuckets: Int = 1000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty, s"left/right column names must be disjoint; shared: $shared")
 
     val l = left.withColumn("__bucket", expr(s"$pointCol div $bucketWidth"))
     val r = right

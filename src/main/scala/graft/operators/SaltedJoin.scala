@@ -40,6 +40,11 @@ object SaltedJoin {
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
     require(saltSource.nonEmpty, "need salt source columns")
+    // small-side-preserving types (right/full) would emit every unmatched
+    // REPLICA as its own null-padded row — up to saltFactor duplicates
+    require(Seq("inner", "left").contains(joinType), s"unsupported joinType $joinType")
+    val shared = large.columns.toSet.intersect(small.columns.toSet)
+    require(shared.isEmpty, s"large/small column names must be disjoint; shared: $shared")
 
     val salted = large.withColumn(
       "__salt",

@@ -93,7 +93,7 @@ object Ppdb {
     """WITH ppdb AS (
       |  SELECT f[1] AS lhs, f[2] AS phrase, f[3] AS paraphrase,
       |         f[4] AS features_raw, f[5] AS alignment, f[6] AS entailment,
-      |         CAST(regexp_extract(f[4], 'PPDB2\.0Score=([0-9.]+)', 1) AS DOUBLE) AS ppdb2score
+      |         CAST(regexp_extract(f[4], 'PPDB2\.0Score=([-+]?[0-9.]+([eE][-+]?[0-9]+)?)', 1) AS DOUBLE) AS ppdb2score
       |  FROM (SELECT string_split(column0, ' ||| ') AS f
       |        FROM read_csv('/root/repo/fixtures/ppdb_sample.txt.gz',
       |                      delim=e'\x01', header=false, quote='', escape='',

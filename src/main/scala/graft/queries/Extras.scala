@@ -237,7 +237,7 @@ object Extras {
         |FROM p WHERE cos >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
     "multimodal_binary" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
         |       64 + CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 448 AS width,
         |       64 + CAST(('0x' || substr(md5(text), 7, 6)) AS BIGINT) % 448 AS height,
         |       substr(md5(text), 1, 8) AS thumb_hash

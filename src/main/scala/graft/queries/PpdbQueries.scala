@@ -116,7 +116,7 @@ object PpdbQueries {
     "ppdb_features_map" ->
       s"""$cte
          |SELECT phrase, paraphrase,
-         |       CAST(regexp_extract(features_raw, 'PPDB2\\.0Score=([0-9.]+)', 1) AS DOUBLE) AS score
+         |       CAST(regexp_extract(features_raw, 'PPDB2\\.0Score=([-+]?[0-9.]+([eE][-+]?[0-9]+)?)', 1) AS DOUBLE) AS score
          |FROM ppdb ORDER BY phrase, paraphrase""".stripMargin,
     "ppdb_explode_alignment" ->
       s"""$cte
