@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables.normText
+import graft.operators.MinHashLsh
+
+/** End-to-end training-corpus cleaning — the composition the individual
+  * operators exist for: normalize → quality gate → exact dedup → near-dup
+  * dedup → clean corpus.
+  *
+  * Everything is one lazy declarative graph: the normalize+quality pass is a
+  * single projection over the scan; exact dedup shuffles (16-byte hash, id)
+  * pairs; near-dup runs the banded MinHash LSH over exact-dedup survivors
+  * only. Near-dup resolution is the standard greedy keep-smallest-id: every
+  * doc that pairs with a smaller-id near-duplicate is dropped (one pass over
+  * the pair list, no transitive-closure iteration — the usual web-corpus
+  * approximation).
+  */
+object CorpusClean {
+
+  /** @param minTokens      drop docs shorter than this many tokens
+    * @param maxPunctRatio  drop docs with more punctuation than this
+    * @param nearDupJaccard shingle-Jaccard threshold for near-dup removal
+    */
+  case class Config(
+      minTokens: Int = 5,
+      maxPunctRatio: Double = 0.3,
+      nearDupJaccard: Double = 0.8)
+
+  /** docs: (doc_id, text, ...) → surviving rows plus `norm` and `n_tok`.
+    * Drop order: quality gate, then exact duplicates (keep min doc_id),
+    * then near-duplicates (keep min doc_id of each pair).
+    */
+  def clean(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val normalized = docs
+      .withColumn("norm", normText(col("text")))
+      .withColumn("n_tok", size(split(col("norm"), " ")))
+      .withColumn(
+        "punct_ratio",
+        length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double"))
+
+    val quality = normalized
+      .filter(col("n_tok") >= cfg.minTokens && col("punct_ratio") <= cfg.maxPunctRatio)
+      .drop("punct_ratio")
+
+    // exact dedup: keep the smallest doc_id per normalized-text hash
+    val keepers = quality
+      .withColumn("h", md5(col("norm")))
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("h", "keeper")
+
+    // near-dup dedup over the survivors: drop any doc paired with a
+    // smaller-id near-duplicate (pairs are emitted with a_id < b_id)
+    val pairs = MinHashLsh.nearDupPairs(
+      keepers.select(col("doc_id"), split(col("norm"), " ").as("tokens")),
+      "doc_id", "tokens", threshold = cfg.nearDupJaccard)
+    val dropIds = pairs.select(col("b_id").as("doc_id")).distinct()
+
+    keepers.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+}

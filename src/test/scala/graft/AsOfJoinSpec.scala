@@ -51,6 +51,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Set((1L, 10L))) // trade2@200 vs quote@180 gap 20 > 15 → dropped
   }
 
+  test("randomized equivalence with the naive formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    for (_ <- 1 to 3) {
+      val trades = (1 to 60).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+        .toDF("trade_id", "acct", "t")
+      val quotes = (1 to 80).map(i => (1000L + i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+        .toDF("quote_id", "q_acct", "q_t")
+      val out = AsOfJoin.join(trades, quotes, Seq("acct" -> "q_acct"), "t", "q_t",
+        Backward, strict = true, tiebreak = Seq(col("quote_id").desc))
+        .select("trade_id", "quote_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+      // naive per-trade scan
+      val ts = trades.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val qs = quotes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val expected = ts.flatMap { case (tid, acct, t) =>
+        val cands = qs.filter(q => q._2 == acct && q._3 < t)
+        if (cands.isEmpty) None
+        else Some(tid -> cands.maxBy(q => (q._3, q._1))._1)
+      }.toMap
+      assert(out === expected)
+    }
+  }
+
   test("left join keeps unmatched rows with null right columns") {
     val (trades, quotes) = frames()
     val out = AsOfJoin.join(trades, quotes, Seq("acct" -> "q_acct"), "t", "q_t",
