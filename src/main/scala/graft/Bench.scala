@@ -23,7 +23,7 @@ object Bench {
       catch { case e: Throwable =>
         // a broken query must be visible, not a normal-looking timing
         failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] $name FAILED: $e")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -42,7 +42,8 @@ object AnnLsh {
     }
     when(size(vec) === dim, bits.reduce(_ + _))
       .otherwise(raise_error(concat(
-        lit(s"AnnLsh: expected $dim-dim vector, got "), size(vec).cast("string"))))
+        lit(s"AnnLsh: expected $dim-dim vector, got "),
+        coalesce(size(vec).cast("string"), lit("null"))))) // null vec → clear message, not raise_error(NULL)
   }
 
   /** Top-k approximate neighbors for each query vector (multi-probe at

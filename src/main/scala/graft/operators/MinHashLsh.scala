@@ -71,6 +71,15 @@ object MinHashLsh {
     * @param bands         number of LSH bands
     * @param threshold     exact shingle-Jaccard similarity cut for the verify
     * @param maxBucketSize drop degenerate buckets larger than this (skew guard)
+    * @param persistShingles cache the shingle set (it feeds three consumers:
+    *                      signatures + both verify-join sides). The cache
+    *                      lives for the SESSION (the returned plan is lazy,
+    *                      so it cannot be unpersisted here) — pass false
+    *                      from repeated-invocation call sites (pipelines) to
+    *                      trade two recompute passes for zero cache
+    *                      footprint. At 100 TB this step is a materialized
+    *                      signature TABLE (cf. PpdbRelease.ingest), not an
+    *                      in-memory cache.
     */
   def nearDupPairs(
       df: DataFrame,
@@ -80,22 +89,18 @@ object MinHashLsh {
       numHashes: Int = 27,
       bands: Int = 9,
       threshold: Double = 0.8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      persistShingles: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
 
-    // The shingle set feeds three consumers (signatures, and both sides of
-    // the verify join) - persist it so the scan+shingling runs once. The
-    // cache lives until the session drops it (LRU): it cannot be unpersisted
-    // here because the returned plan is lazy and still references it. At
-    // 100 TB this step is a materialized signature TABLE (cf.
-    // PpdbRelease.ingest), not an in-memory cache - callers wanting a
-    // bounded lifecycle should materialize the result and unpersist.
-    val sh = df.select(
+    val sh0 = df.select(
       col(idCol).as("doc"),
       shingles(col(tokensCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh =
+      if (persistShingles) sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sh0
 
     // banded rows stay SLIM - (doc, band_idx, band_hash) only; shingle
     // arrays never enter the candidate shuffle or the pair dedup

@@ -39,26 +39,38 @@ object CorpusClean {
       .withColumn("n_tok", size(split(col("norm"), " ")))
       .withColumn(
         "punct_ratio",
-        length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double") /
+        length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
           greatest(length(col("text")), lit(1)).cast("double"))
 
     val quality = normalized
       .filter(col("n_tok") >= cfg.minTokens && col("punct_ratio") <= cfg.maxPunctRatio)
       .drop("punct_ratio")
 
-    // exact dedup: keep the smallest doc_id per normalized-text hash
-    val keepers = quality
-      .withColumn("h", md5(col("norm")))
-      .withColumn("keeper", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .filter(col("doc_id") === col("keeper"))
-      .drop("h", "keeper")
+    // exact dedup, slim-shuffle form: only (doc_id, 16-byte hash) pairs
+    // enter the exchange — the document-bearing side is then filtered by a
+    // broadcast-friendly semi-join on keeper ids, so text never shuffles
+    val hashed = quality.withColumn("h", md5(col("norm")))
+    val keeperIds = hashed
+      .select(col("doc_id"), col("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .drop("h")
+    // materialize the survivor set once (localCheckpoint: block-manager
+    // storage with GC-tied cleanup, unlike an unreleasable CacheManager
+    // entry) — it feeds both the near-dup shingle build and the final
+    // anti-join probe
+    val keepers = hashed
+      .join(keeperIds, Seq("doc_id"), "left_semi")
+      .drop("h")
+      .localCheckpoint()
 
     // near-dup dedup over the survivors: drop any doc paired with a
-    // smaller-id near-duplicate (pairs are emitted with a_id < b_id)
+    // smaller-id near-duplicate (pairs are emitted with a_id < b_id);
+    // shingles recompute from the checkpoint instead of pinning a cache
     val pairs = MinHashLsh.nearDupPairs(
       keepers.select(col("doc_id"), split(col("norm"), " ").as("tokens")),
-      "doc_id", "tokens", threshold = cfg.nearDupJaccard)
+      "doc_id", "tokens", threshold = cfg.nearDupJaccard,
+      persistShingles = false)
     val dropIds = pairs.select(col("b_id").as("doc_id")).distinct()
 
     keepers.join(dropIds, Seq("doc_id"), "left_anti")

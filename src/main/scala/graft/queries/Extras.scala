@@ -52,7 +52,8 @@ object Extras {
       val toks = split(normText(col("text")), " ")
       val nTok = size(toks).cast("double")
       val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
-      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double") /
+      // \p classes: non-ASCII letters are NOT punctuation (validated identical in RE2/Java)
+      val punct = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
         greatest(length(col("text")), lit(1)).cast("double")
       val stop = markerHits(toks, enStop).cast("double") / greatest(nTok, lit(1.0))
       val quality = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
