@@ -85,6 +85,20 @@ object Ppdb {
       .as[PpdbRule]
   }
 
+  /** Widen chosen feature keys from the dynamic map into typed double
+    * columns (the "hot scoring keys" layout from SURVEY.md §1.1): map access
+    * per row is fine for ad-hoc queries, but a scoring pipeline that touches
+    * the same keys everywhere wants real columns — they prune, push down,
+    * and store column statistics in parquet. Column name = key with
+    * non-alphanumerics underscored (`p(e|f)` → `p_e_f_`).
+    */
+  def withFeatureColumns(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val m = str_to_map(col("features_raw"), lit(" "), lit("="))
+    keys.foldLeft(df) { (acc, k) =>
+      acc.withColumn(k.replaceAll("[^A-Za-z0-9]", "_"), element_at(m, k).cast("double"))
+    }
+  }
+
   /** DuckDB-side twin of [[parse]] as a CTE named `ppdb` (oracle recipe
     * validated: 1-byte sentinel delimiter that never occurs, so each line
     * lands whole in `column0`; gzip decompression is automatic).

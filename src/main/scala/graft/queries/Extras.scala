@@ -25,6 +25,14 @@ object Extras {
 
   private val enStop = langMarkers.toMap.apply("en")
 
+  /** Char-trigram profiles (high-frequency trigrams per language). */
+  private val triProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("sch", "der", "ein", "ich", "und", "cht"),
+    "en" -> Seq("the", "ing", "and", "ion", "ent", "hat"),
+    "es" -> Seq("que", "ado", "los", "nte", "ara", "del"),
+    "fr" -> Seq("les", "ent", "des", "ait", "eur", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "我", "在"))
+
   private def markerHits(toks: Column, set: Seq[String]): Column =
     size(filter(toks, t => array_contains(typedLit(set), t))).cast("long")
 
@@ -40,6 +48,32 @@ object Extras {
       val predicted = langMarkers
         .foldLeft(when(lit(false), lit(""))) { case (acc, (l, _)) =>
           acc.when(col(s"s_$l") === best, lit(l))
+        }
+      scored
+        .withColumn("predicted", coalesce(predicted, lit("und")))
+        .orderBy("doc_id")
+    }),
+
+    // Character-trigram language ID — the n-gram variant of text_langid:
+    // score = trigrams of the normalized text found in each language's
+    // profile set, argmax with alphabetical tiebreak. The trigram extraction
+    // is one transform over the char positions; profiles are tiny literals.
+    "text_langid_ngram" -> ((s, d) => {
+      // NB sequence(1, n) counts DOWN for n < 1 — guard short docs explicitly
+      val tri = expr(
+        """CASE WHEN length(norm) >= 3
+          |     THEN transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))
+          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+      val scored = t(s, d, "documents")
+        .withColumn("norm", normText(col("text")))
+        .select(
+          col("doc_id") +: triProfiles.map { case (l, set) =>
+            size(filter(tri, x => array_contains(typedLit(set), x))).cast("long").as(s"g_$l")
+          }: _*)
+      val best = greatest(triProfiles.map { case (l, _) => col(s"g_$l") }: _*)
+      val predicted = triProfiles
+        .foldLeft(when(lit(false), lit(""))) { case (acc, (l, _)) =>
+          acc.when(col(s"g_$l") === best, lit(l))
         }
       scored
         .withColumn("predicted", coalesce(predicted, lit("und")))
@@ -171,6 +205,24 @@ object Extras {
       s"""WITH scored AS (
          |  SELECT doc_id, ${scores.mkString(",\n         ")}
          |  FROM documents)
+         |SELECT *, CASE $cases ELSE 'und' END AS predicted
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "text_langid_ngram" -> {
+      val scores = triProfiles.map { case (l, set) =>
+        s"CAST(len(list_filter(tg, t -> list_contains([${set.map("'" + _ + "'").mkString(", ")}], t))) AS BIGINT) AS g_$l"
+      }
+      val best = s"greatest(${triProfiles.map { case (l, _) => s"g_$l" }.mkString(", ")})"
+      val cases = triProfiles
+        .map { case (l, _) => s"WHEN g_$l = $best THEN '$l'" }
+        .mkString(" ")
+      s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
+         |tri AS (SELECT doc_id,
+         |               [substr(norm, CAST(i AS INT), 3) FOR i IN range(1, length(norm) - 1)] AS tg
+         |        FROM n),
+         |scored AS (
+         |  SELECT doc_id, ${scores.mkString(",\n         ")}
+         |  FROM tri)
          |SELECT *, CASE $cases ELSE 'und' END AS predicted
          |FROM scored ORDER BY doc_id""".stripMargin
     },
