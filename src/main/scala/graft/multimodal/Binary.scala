@@ -64,4 +64,52 @@ object Binary {
     implicit val s: SparkSession = spark
     decodeStub(attachPayload(docs).as[MediaRow]).toDF()
   }
+
+  case class Resized(doc_id: Long, width: Long, height: Long, scale: Double)
+
+  /** STUB resize: fit decoded dims into a `maxSide` bounding box preserving
+    * aspect ratio — the arithmetic is real (what a thumbnailing stage
+    * computes), only the pixel resampling is absent. Runs as a plain
+    * projection over the decoded metadata: no data movement at all.
+    */
+  def resizeStub(decoded: Dataset[Decoded], maxSide: Long)(
+      implicit spark: SparkSession): Dataset[Resized] = {
+    import spark.implicits._
+    decoded.map { d =>
+      val longest = math.max(d.width, d.height)
+      val scale = if (longest <= maxSide) 1.0 else maxSide.toDouble / longest
+      Resized(
+        d.doc_id,
+        math.max(1L, math.round(d.width * scale)),
+        math.max(1L, math.round(d.height * scale)),
+        scale)
+    }
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame_hash: String)
+
+  /** STUB frame sampling: treat the payload as a "video" of fixed-size
+    * frames and emit every `stride`-th frame's offset + md5. The plumbing is
+    * the real shape — one input row fans out to N frame rows inside the
+    * partition (flatMap, no shuffle), exactly how a video decoder feeds
+    * per-frame feature extraction downstream.
+    */
+  def frameSampleStub(rows: Dataset[MediaRow], frameBytes: Int, stride: Int)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && stride > 0)
+    rows.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by stride).iterator.map { i =>
+          md.reset()
+          val hex = md
+            .digest(java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes))
+            .map("%02x".format(_)).mkString
+          Frame(r.doc_id, i.toLong, hex.substring(0, 8))
+        }
+      }
+    }
+  }
 }

@@ -44,6 +44,24 @@ class QueriesSpec extends SparkSpec {
     assert(r0.getString(4).length === 8)
   }
 
+  test("multimodal resize and frame-sample stubs run the real plumbing") {
+    import spark.implicits._
+    implicit val s = spark
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val decoded = graft.multimodal.Binary.decodeStub(
+      graft.multimodal.Binary.attachPayload(docs).as[graft.multimodal.Binary.MediaRow])
+    val resized = graft.multimodal.Binary.resizeStub(decoded, maxSide = 64L).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.width <= 64 && r.height <= 64 && r.scale <= 1.0))
+
+    val frames = graft.multimodal.Binary.frameSampleStub(
+      graft.multimodal.Binary.attachPayload(docs).as[graft.multimodal.Binary.MediaRow],
+      frameBytes = 2, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0)) // stride respected
+    assert(frames.forall(_.frame_hash.length == 8))
+  }
+
   test("text_langid scores and predicts deterministically") {
     val rows = q("text_langid").collect()
     assert(rows.length === 4)
