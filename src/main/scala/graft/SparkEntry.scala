@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Events, Extras, PpdbQueries, Relational, Scalars, TextPipeline, Windows}
+import graft.queries.{Analytics, Events, Extras, PpdbQueries, Relational, Scalars, TextPipeline, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ PpdbQueries.queries ++ Windows.queries ++
-      Scalars.queries ++ Events.queries ++ TextPipeline.queries ++ Extras.queries
+      Scalars.queries ++ Events.queries ++ TextPipeline.queries ++
+      Extras.queries ++ Analytics.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted on purpose for the approximate
@@ -32,5 +33,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ PpdbQueries.oracle ++ Windows.oracle ++
-      Scalars.oracle ++ Events.oracle ++ TextPipeline.oracle ++ Extras.oracle
+      Scalars.oracle ++ Events.oracle ++ TextPipeline.oracle ++
+      Extras.oracle ++ Analytics.oracle
 }

@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{events, rd, rdSql, t}
+
+/** Analytic-SQL surface widening (SURVEY.md §2.13, round 2): reshaping
+  * (pivot/unpivot), statistical and ordered-set aggregates, filtered
+  * aggregates, list aggregation, subqueries (scalar / IN / correlated),
+  * advanced window frames, and deterministic hash sampling.
+  *
+  * Same conventions as [[Relational]]: total ORDER BY over a unique key set,
+  * identical column aliases on both engines, `rd`/`rdSql` for per-row double
+  * rounding, builtin `round` for aggregate outputs.
+  *
+  * Scale notes (100 TB): every query here is a single shuffle (groupBy or
+  * window partition) or shuffle-free scan; pivot uses an explicit value list
+  * (no extra distinct-collection job); the hash sample pushes a cheap
+  * deterministic predicate into the scan so only ~1/16 of rows survive the
+  * first projection.
+  */
+object Analytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Pivot with an explicit value list: no Spark pre-pass job to collect
+    // distinct keys (which at 100 TB is a full extra scan).
+    "pivot_status" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Long-form unpivot (melt): one output row per (row, metric).
+    "unpivot_metrics" -> ((s, d) => {
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    }),
+
+    // Statistical aggregates — single-pass moment sketches (no sort, one
+    // shuffle); corr/stddev/covar merge associatively across partitions.
+    "agg_stats" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont: same linear interpolation). At 100 TB prefer
+    // approx_percentile (t-digest sketch, no global sort of the group).
+    "agg_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Ordered-set arg-min/max. The ranking value gets an injective epsilon
+    // tiebreak (+ key·1e-9): o_totalprice has 2-decimal granularity, so the
+    // perturbation (< 1.5e-3 even at sf1) can never reorder distinct prices
+    // but makes the argmax unique — both engines evaluate the identical IEEE
+    // expression, so the winner matches bit-for-bit.
+    "agg_minmax_by" -> ((s, d) => {
+      val rank = col("o_totalprice") + col("o_orderkey") * lit(1e-9)
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), rank).as("max_order"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          min_by(col("o_orderkey"), rank).as("min_order"),
+          round(min(col("o_totalprice")), 2).as("min_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Conditional / boolean aggregates (count_if, bool_and, bool_or) — all
+    // partial-aggregatable, so map-side combine keeps the shuffle tiny.
+    "agg_filtered" -> ((s, d) => {
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count_if(col("c_acctbal") < 0).as("n_neg"),
+          bool_and(col("c_acctbal") > -1000).as("all_above"),
+          bool_or(col("c_acctbal") > 9900).as("any_high"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // List aggregation with a deterministic element order (sort_array ==
+    // string_agg ORDER BY); emitted as a joined string so the hash compare
+    // is representation-stable across engines.
+    "agg_listagg" -> ((s, d) => {
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")
+    }),
+
+    // Uncorrelated scalar subquery — planned as a separate tiny aggregate
+    // job whose single-row result folds into the main scan's filter.
+    "subquery_scalar" -> ((s, d) => {
+      s.sql(
+        s"""SELECT o_orderkey, round(o_totalprice, 2) AS total
+           |FROM parquet.`$d/orders.parquet`
+           |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice)
+           |                          FROM parquet.`$d/orders.parquet`)
+           |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // IN-subquery — Catalyst rewrites to a left-semi join (same physical
+    // shape as join_left_semi, arrived at from the SQL surface).
+    "subquery_in" -> ((s, d) => {
+      s.sql(
+        s"""SELECT c_custkey, c_name
+           |FROM parquet.`$d/customer.parquet`
+           |WHERE c_custkey IN (SELECT o_custkey FROM parquet.`$d/orders.parquet`
+           |                    WHERE o_totalprice > 400000)
+           |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Correlated scalar subquery — decorrelated by Catalyst into an
+    // aggregate + equi-join on the correlation key (no per-row re-execution).
+    "subquery_correlated" -> ((s, d) => {
+      s.sql(
+        s"""SELECT o.o_orderkey
+           |FROM parquet.`$d/orders.parquet` o
+           |WHERE o.o_totalprice > 1.9 * (SELECT avg(o2.o_totalprice)
+           |                              FROM parquet.`$d/orders.parquet` o2
+           |                              WHERE o2.o_custkey = o.o_custkey)
+           |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
+    // Event-time RANGE frame (interval-bounded, not row-count-bounded):
+    // peers with equal order keys share a frame, so the result is
+    // deterministic even under order-key ties.
+    "window_range_frame" -> ((s, d) => {
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey,
+           |       round(sum(o_totalprice) OVER (
+           |         PARTITION BY o_custkey ORDER BY o_orderdate
+           |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+           |         AS sum_30d
+           |FROM parquet.`$d/orders.parquet`
+           |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Distribution ranking: ntile / percent_rank / cume_dist. The window
+    // order includes the unique key, so there are no rank peers and every
+    // value is deterministic.
+    "window_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
+    // first/last/nth over an explicit full-partition frame (the default
+    // frame for last_value is UNBOUNDED..CURRENT, a classic footgun — the
+    // full frame is declared on both engines).
+    "window_first_last" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          first(col("event_type")).over(full).as("first_et"),
+          last(col("event_type")).over(full).as("last_et"),
+          nth_value(col("event_type"), 2).over(full).as("second_et"))
+        .orderBy("event_id")
+    }),
+
+    // Deterministic hash sampling (~1/16): the md5-prefix predicate is pure
+    // and engine-portable — the SAME rows are sampled everywhere, unlike
+    // TABLESAMPLE (engine-specific RNG). At 100 TB this is the reproducible
+    // downsample for pipeline debugging; the predicate evaluates pre-shuffle.
+    "sample_hash" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(
+          substring(
+            md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("l_partkey"))),
+            1, 1) === "0")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "unpivot_metrics" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_minmax_by" ->
+      """SELECT o_orderpriority,
+        |       arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS max_order,
+        |       round(max(o_totalprice), 2) AS max_price,
+        |       arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS min_order,
+        |       round(min(o_totalprice), 2) AS min_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_filtered" ->
+      """SELECT c_mktsegment,
+        |       CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_neg,
+        |       bool_and(c_acctbal > -1000) AS all_above,
+        |       bool_or(c_acctbal > 9900) AS any_high,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "agg_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "subquery_scalar" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+        |FROM orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "subquery_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "subquery_correlated" ->
+      """SELECT o.o_orderkey FROM orders o
+        |WHERE o.o_totalprice > 1.9 * (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                              WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS sum_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "window_ntile" ->
+      """SELECT c_custkey, c_nationkey,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+    "window_first_last" ->
+      """SELECT event_id, user_id,
+        |       first_value(event_type) OVER w AS first_et,
+        |       last_value(event_type) OVER w AS last_et,
+        |       nth_value(event_type, 2) OVER w AS second_et
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+    "sample_hash" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey)), 1, 1) = '0'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
