@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Events, Extras, PpdbQueries, Relational, Scalars, TextPipeline, Windows}
+import graft.queries.{Analytics, Events, Extras, PpdbQueries, Quality, Relational, Scalars, TextPipeline, Windows}
+import graft.sources.FileSources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ PpdbQueries.queries ++ Windows.queries ++
       Scalars.queries ++ Events.queries ++ TextPipeline.queries ++
-      Extras.queries ++ Analytics.queries
+      Extras.queries ++ Analytics.queries ++ Quality.queries ++ FileSources.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted on purpose for the approximate
@@ -34,5 +35,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ PpdbQueries.oracle ++ Windows.oracle ++
       Scalars.oracle ++ Events.oracle ++ TextPipeline.oracle ++
-      Extras.oracle ++ Analytics.oracle
+      Extras.oracle ++ Analytics.oracle ++ Quality.oracle ++ FileSources.oracle
 }

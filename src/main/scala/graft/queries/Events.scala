@@ -96,6 +96,37 @@ object Events {
           min(col("ts_us")).as("session_start"),
           max(col("ts_us")).as("session_end"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // Keep-first dedup per (user_id, event_type) — the batch twin of
+    // streaming `dropDuplicatesWithinWatermark` (StreamingJobs.dedupJob).
+    // One shuffle on the dedup key; row_number+filter never materializes
+    // the duplicate rows past the exchange.
+    "stream_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Purchases within 1h after a view by the same user — the batch twin of
+    // a watermarked stream-stream interval join (StreamingJobs.streamJoinJob).
+    // Equi-key on user_id carries the join; the time band is a residual
+    // predicate, so no O(n²) blowup.
+    "stream_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("v_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts"))
+      v.join(p, Seq("user_id"))
+        .filter(col("p_ts") >= col("v_ts") && col("p_ts") - col("v_ts") <= 3600L * 1000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
     })
   )
 
@@ -132,6 +163,20 @@ object Events {
         |      FROM f)
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |       min(ts_us) AS session_start, max(ts_us) AS session_end
-        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "stream_dedup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |                  row_number() OVER (PARTITION BY user_id, event_type
+        |                                     ORDER BY epoch_us(ts), event_id) AS rn
+        |           FROM events)
+        |SELECT event_id, user_id, event_type, ts_us
+        |FROM e WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "stream_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS v_ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_ts FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |WHERE p.p_ts >= v.v_ts AND p.p_ts - v.v_ts <= 3600000000
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
   )
 }

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{normText, normTextSql, rd, rdSql, t}
+
+/** Training-data quality signals, round 2 (SURVEY.md §2.13): TF-IDF term
+  * weighting, Gopher-style repetition detection, token-distribution entropy,
+  * edit-distance near-dup within blocks, and the higher-order array-function
+  * surface.
+  *
+  * Parity: every per-row score is derived purely from integer counts via the
+  * same IEEE double ops on both engines (division, ln), so values are
+  * bit-identical up to libm's ulp; `rd`/round digits absorb that.
+  *
+  * Scale: per-document signals are embarrassingly parallel (no shuffle
+  * beyond the explode-aggregate); TF-IDF is two hash aggregations plus a
+  * broadcast of the document count; edit-distance pairs are blocked by
+  * (lang, id-range) so the candidate set stays bounded no matter the corpus
+  * size — the 100 TB version swaps the id-range block for an LSH bucket
+  * (dedup_minhash) and only then pays Levenshtein on candidates.
+  */
+object Quality {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column): Column = split(normText(c), " ")
+
+  val queries: Map[String, Q] = Map(
+    // TF-IDF: tf = cnt/len, idf = ln(N/df); global top-20 weighted terms.
+    // Two hash aggregates (term-per-doc, doc-freq) + one broadcast scalar —
+    // no sort until the final top-k (TakeOrderedAndProject).
+    "text_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val terms = docs
+        .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
+      val tf = terms.groupBy("doc_id", "token", "len").agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn(
+          "score",
+          (col("cnt").cast("double") / col("len")) *
+            log(col("n_docs").cast("double") / col("df")))
+        .select(col("doc_id"), col("token"), rd(col("score"), 6).as("tfidf"),
+          col("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("token"))
+        .limit(20)
+        .drop("score")
+    }),
+
+    // Repetition ratio: 1 − distinct/total token-trigrams (the Gopher/MassiveText
+    // duplicate-n-gram quality filter). Non-distinct trigrams via zip_with of
+    // three shifted slices — pure codegen'd array ops, no UDF.
+    "text_repetition" -> ((s, d) => {
+      // filter BEFORE slicing: slice(…, n-2) with n<3 is a negative length,
+      // an error under ANSI mode
+      val n3 = col("nt") - 2
+      val tri = zip_with(
+        zip_with(slice(col("tk"), lit(1), n3), slice(col("tk"), lit(2), n3),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(col("tk"), lit(3), n3),
+        (ab, c) => concat(ab, lit(" "), c))
+      t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("nt", size(col("tk")))
+        .filter(col("nt") >= 3)
+        .select(col("doc_id"), col("nt"), tri.as("tri"))
+        .select(
+          col("doc_id"),
+          (col("nt") - 2).cast("long").as("n_trigrams"),
+          rd(lit(1.0) - size(array_distinct(col("tri"))).cast("double") /
+            (col("nt") - 2), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Shannon entropy of the per-document token distribution (natural log).
+    // Degenerate/boilerplate docs score low — a standard corpus-quality cut.
+    "text_entropy" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
+      docs
+        .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
+        .groupBy("doc_id", "token", "len")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p", col("cnt").cast("double") / col("len"))
+        .groupBy(col("doc_id"), col("len"))
+        .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy"))
+        .select(col("doc_id"), col("len").cast("long").as("n_tokens"), col("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // Edit-distance near-dup within (lang, id<300) blocks on 60-char
+    // normalized prefixes. Blocking bounds the pair count; at scale the
+    // block key comes from LSH (see scaladoc).
+    "dedup_editdist" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"),
+          substring(normText(col("text")), 1, 60).as("s"))
+      val a = base.select(col("doc_id").as("doc_id_a"), col("lang"), col("s").as("sa"))
+      val b = base.select(col("doc_id").as("doc_id_b"), col("lang"), col("s").as("sb"))
+      a.join(b, Seq("lang"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+        .filter(col("dist") <= 38)
+        .select(col("doc_id_a"), col("doc_id_b"), col("dist"))
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    // Higher-order array functions: filter / aggregate (fold) / exists —
+    // all Catalyst-native lambdas, fully codegen-compatible, no UDFs.
+    "func_higher_order" -> ((s, d) => {
+      val tk = toks(col("text"))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(filter(tk, x => length(x) > 4)).cast("long").as("n_long"),
+          aggregate(tk, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+          exists(tk, x => x.startsWith("data")).as("has_data"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val norm = normTextSql("text")
+
+  val oracle: Map[String, String] = Map(
+    "text_tfidf" ->
+      s"""WITH docs AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents),
+         |n AS (SELECT count(*)::DOUBLE AS n_docs FROM docs),
+         |terms AS (SELECT doc_id, len(tk) AS len, unnest(tk) AS token FROM docs),
+         |tf AS (SELECT doc_id, token, len, count(*) AS cnt FROM terms GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, tf.token,
+         |       ${rdSql("(cnt::DOUBLE / len) * ln(n_docs / df)", 6)} AS tfidf
+         |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+         |ORDER BY (cnt::DOUBLE / len) * ln(n_docs / df) DESC, doc_id, tf.token
+         |LIMIT 20""".stripMargin,
+    "text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents),
+         |t AS (SELECT doc_id, len(tk) AS nt,
+         |             list_transform(range(1, len(tk) - 1),
+         |                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tri
+         |      FROM d WHERE len(tk) >= 3)
+         |SELECT doc_id, CAST(nt - 2 AS BIGINT) AS n_trigrams,
+         |       ${rdSql("1.0 - len(list_distinct(tri))::DOUBLE / (nt - 2)", 6)} AS rep_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      s"""WITH docs AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents),
+         |terms AS (SELECT doc_id, len(tk) AS len, unnest(tk) AS token FROM docs),
+         |tf AS (SELECT doc_id, token, len, count(*) AS cnt FROM terms GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(len AS BIGINT) AS n_tokens,
+         |       round(-sum((cnt::DOUBLE / len) * ln(cnt::DOUBLE / len)), 4) AS entropy
+         |FROM tf GROUP BY doc_id, len ORDER BY doc_id""".stripMargin,
+    "dedup_editdist" ->
+      s"""WITH b AS (SELECT doc_id, lang, substr($norm, 1, 60) AS s
+         |           FROM documents WHERE doc_id < 300)
+         |SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+         |       CAST(levenshtein(a.s, c.s) AS BIGINT) AS dist
+         |FROM b a JOIN b c ON a.lang = c.lang AND a.doc_id < c.doc_id
+         |WHERE levenshtein(a.s, c.s) <= 38
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "func_higher_order" ->
+      s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(list_filter(tk, x -> len(x) > 4)) AS BIGINT) AS n_long,
+         |       CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT) AS sum_len,
+         |       len(list_filter(tk, x -> x LIKE 'data%')) > 0 AS has_data
+         |FROM d ORDER BY doc_id""".stripMargin
+  )
+}

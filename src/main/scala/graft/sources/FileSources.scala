@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Non-parquet file sources (SURVEY.md §2.1 widening, round 2): header CSV
+  * with quoting/escapes and null fields, and newline-delimited JSON with a
+  * nested struct and absent fields.
+  *
+  * Both readers take an EXPLICIT schema: at 100 TB schema inference is a
+  * full extra pass over the data (Spark samples, but still opens every
+  * file), and inferred types can drift between runs — a production pipeline
+  * pins the schema. The fixture lives in the repo (FIXTURES.md) so the
+  * driver's DuckDB oracle reads the identical bytes.
+  */
+object FileSources {
+
+  val CsvPath = "/root/repo/fixtures/sample_orders.csv"
+  val JsonlPath = "/root/repo/fixtures/sample_events.jsonl"
+
+  val csvSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("amount", DoubleType),
+    StructField("d", DateType)))
+
+  val jsonlSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("kind", StringType),
+    StructField("score", DoubleType),
+    StructField("meta", StructType(Seq(StructField("k", LongType))))))
+
+  /** RFC-4180-style CSV: header, `"`-quoting, `""` escape, empty → null. */
+  def readCsv(spark: SparkSession, path: String = CsvPath): DataFrame =
+    spark.read
+      .schema(csvSchema)
+      .option("header", "true")
+      .option("escape", "\"") // RFC 4180 doubled-quote escape (Spark defaults to backslash)
+      .csv(path)
+
+  /** JSON Lines with a nested struct; absent fields → null. */
+  def readJsonl(spark: SparkSession, path: String = JsonlPath): DataFrame =
+    spark.read.schema(jsonlSchema).json(path)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // d emitted as midnight timestamp: the comparator canonicalizes
+    // timestamps across engines but not DATE objects
+    "scan_csv" -> ((s, _) =>
+      readCsv(s)
+        .withColumn("d", col("d").cast("timestamp"))
+        .orderBy("id")),
+    "scan_jsonl" -> ((s, _) =>
+      readJsonl(s)
+        .select(col("id"), col("kind"), col("score"), col("meta.k").as("meta_k"))
+        .orderBy("id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_csv" ->
+      s"""SELECT id, name, amount, CAST(d AS TIMESTAMP) AS d
+         |FROM read_csv('$CsvPath', header=true,
+         |  columns={'id':'BIGINT','name':'VARCHAR','amount':'DOUBLE','d':'DATE'})
+         |ORDER BY id""".stripMargin,
+    "scan_jsonl" ->
+      s"""SELECT id, kind, score, meta.k AS meta_k
+         |FROM read_json('$JsonlPath', format='newline_delimited',
+         |  columns={'id':'BIGINT','kind':'VARCHAR','score':'DOUBLE','meta':'STRUCT(k BIGINT)'})
+         |ORDER BY id""".stripMargin
+  )
+}

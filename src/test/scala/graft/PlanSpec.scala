@@ -27,7 +27,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no query plans a CartesianProduct; nested-loop joins only where declared") {
-    val bnljAllowed = Set("join_cross", "sim_knn_cosine")
+    // text_tfidf broadcasts a single-row aggregate (the corpus size) — a
+    // deliberate 1×N nested-loop, not a join-order accident
+    val bnljAllowed = Set("join_cross", "sim_knn_cosine", "text_tfidf")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, d).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 77 declared queries (53 SURVEY §2 + 24 extras), 73 with oracles") {
-    assert(SparkEntry.queries.size === 77)
-    assert(SparkEntry.oracleSql.size === 73)
+  test("inventory: 86 declared queries (53 SURVEY §2 + 33 extras), 82 with oracles") {
+    assert(SparkEntry.queries.size === 86)
+    assert(SparkEntry.oracleSql.size === 82)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set("agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf"))
   }
