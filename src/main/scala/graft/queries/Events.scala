@@ -99,7 +99,7 @@ object Events {
     }),
 
     // Keep-first dedup per (user_id, event_type) — the batch twin of
-    // streaming `dropDuplicatesWithinWatermark` (StreamingJobs.dedupJob).
+    // streaming dropDuplicatesWithinWatermark (StreamingJobs.dedupWithinWatermark).
     // One shuffle on the dedup key; row_number+filter never materializes
     // the duplicate rows past the exchange.
     "stream_dedup" -> ((s, d) => {
@@ -113,7 +113,7 @@ object Events {
     }),
 
     // Purchases within 1h after a view by the same user — the batch twin of
-    // a watermarked stream-stream interval join (StreamingJobs.streamJoinJob).
+    // a watermarked stream-stream interval join (StreamingJobs.viewPurchaseJoin).
     // Equi-key on user_id carries the join; the time band is a residual
     // predicate, so no O(n²) blowup.
     "stream_join" -> ((s, d) => {

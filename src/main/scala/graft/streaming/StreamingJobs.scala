@@ -72,10 +72,30 @@ object StreamingJobs {
     * dedup operators: exact-key dedup whose state is evicted once the
     * watermark passes (SURVEY.md §2.10 late-data row).
     */
-  def dedupWithinWatermark(events: DataFrame): DataFrame =
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
     events
       .withWatermark("tsx", WatermarkDelay)
-      .dropDuplicatesWithinWatermark("event_id")
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked stream-stream interval join — purchases within 1 hour after
+    * a view by the same user (streaming twin of the `stream_join` batch
+    * query). Both sides carry a watermark and the join condition bounds
+    * event time on BOTH ends, so each side's state store evicts rows once
+    * the other side's watermark passes `v_ts + 1h` — bounded state, the
+    * non-negotiable requirement for an unbounded join.
+    */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tsx").as("v_ts"))
+      .withWatermark("v_ts", WatermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tsx").as("p_ts"))
+      .withWatermark("p_ts", WatermarkDelay)
+    views.join(
+      purchases,
+      expr("user_id = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("v_ts"), col("p_ts"))
+  }
 
   // ── custom state: sessionization with flatMapGroupsWithState ───────────
 

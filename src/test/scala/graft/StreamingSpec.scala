@@ -98,4 +98,40 @@ class StreamingSpec extends SparkSpec {
     val out = StreamingJobs.sessionize(evs).collect().toSet
     assert(out === Set(SessionOut(7L, 0L, 10 * us, 2L)))
   }
+
+  test("stream-stream interval join matches purchases within 1h of a view") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEv]
+    val query = StreamingJobs.viewPurchaseJoin(in.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        StreamEv(ts(0), "view", 1.0, 7, 1),
+        StreamEv(ts(30), "purchase", 9.0, 7, 2), // within 1h of the view → match
+        StreamEv(ts(90), "purchase", 9.0, 7, 3), // 90 min after → no match
+        StreamEv(ts(10), "purchase", 9.0, 8, 4)) // other user → no match
+      query.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+      assert(rows.toSeq === Seq((7L, ts(0).getTime, ts(30).getTime)))
+    } finally query.stop()
+  }
+
+  test("keyed dedupWithinWatermark keeps one row per (user, type)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEv]
+    val query = StreamingJobs
+      .dedupWithinWatermark(in.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("kdedup").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        StreamEv(ts(0), "view", 1.0, 7, 1),
+        StreamEv(ts(1), "view", 1.0, 7, 2), // same (user, type) → dropped
+        StreamEv(ts(2), "click", 1.0, 7, 3))
+      query.processAllAvailable()
+      assert(spark.table("kdedup").count() === 2)
+    } finally query.stop()
+  }
 }
