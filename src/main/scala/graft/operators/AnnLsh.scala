@@ -56,7 +56,11 @@ object AnnLsh {
       k: Int = 5,
       nPlanes: Int = 8,
       dim: Int = 64): DataFrame = {
-    val bucketed = emb.withColumn("bucket", bucket(col("vec"), nPlanes, dim))
+    // fan out: the corpus-side bucket hashes + candidate cosines are CPU
+    // bound and a one-file scan arrives as a single partition
+    val bucketed = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .withColumn("bucket", bucket(col("vec"), nPlanes, dim))
     // query bucket + its nPlanes Hamming-1 probes
     val probes = queries
       .withColumn("qbucket", bucket(col("qvec"), nPlanes, dim))

@@ -37,7 +37,10 @@ object CosinePairs {
     }
     val bc = spark.sparkContext.broadcast((build, norms))
 
+    // fan the probe side out across cores — the O(n²/2) kernel below is CPU
+    // bound and a one-file scan arrives as a single partition
     rows
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         val (b, bn) = bc.value
         it.flatMap { case (aId, av) =>

@@ -53,14 +53,26 @@ object MinHashLsh {
       when(n >= shingleSize, joined).otherwise(typedLit(Array.empty[String])))
   }
 
-  /** MinHash signature (array of `numHashes` longs) of a shingle array. */
+  /** MinHash signature (array of `numHashes` longs) of a shingle array.
+    *
+    * The shingle hashes are materialized ONCE via a named lambda variable
+    * (`aggregate` over the base array), not re-derived per hash function:
+    * `array(min(f_1(base)), …, min(f_k(base)))` would re-evaluate the
+    * xxhash64 base array k times — Catalyst does not CSE across array
+    * elements (measured ~2× on the sf0.1 dedup_minhash bench).
+    */
   def signature(shingleCol: Column, numHashes: Int): Column = {
     val (a, b) = hashParams(numHashes)
-    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
-    val perHash = (0 until numHashes).map { i =>
+    val perHash = (base: Column) => (0 until numHashes).map { i =>
       array_min(transform(base, h => pmod(h * lit(a(i)) + lit(b(i)), lit(P))))
     }
-    array(perHash: _*)
+    // transform(array(<base>), b -> array(mins…)) names the base array as a
+    // lambda variable so it is computed exactly once per row
+    element_at(
+      transform(
+        array(transform(shingleCol, s => pmod(xxhash64(s), lit(P)))),
+        base => array(perHash(base): _*)),
+      1)
   }
 
   /** Near-duplicate pairs (aId < bId) with exact shingle-Jaccard ≥ threshold,
@@ -94,7 +106,12 @@ object MinHashLsh {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
 
-    val sh0 = df.select(
+    // fan out before the heavy per-doc compute: a small corpus arrives as
+    // one scan partition (one file = one task), which would run every
+    // shingle+signature on a single core; hash-repartition by id spreads it
+    // and pre-aligns the verify joins below
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh0 = df.repartition(par, col(idCol)).select(
       col(idCol).as("doc"),
       shingles(col(tokensCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)

@@ -29,7 +29,11 @@ object SimHash {
     * SQL runs on any engine and all arithmetic is exact integer math.
     */
   def signatures(df: DataFrame, idCol: String, tokensCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), explode(col(tokensCol)).as("tok"))
+    // fan out before the token×60-bit explode (a one-file scan would run it
+    // on a single core); partitioning by id also pre-aligns both groupBys
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = df.repartition(par, col(idCol))
+      .select(col(idCol).as("id"), explode(col(tokensCol)).as("tok"))
     val hashed = toks.select(
       col("id"),
       conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))

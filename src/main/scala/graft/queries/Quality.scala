@@ -100,12 +100,18 @@ object Quality {
         .filter(col("doc_id") < 300)
         .select(col("doc_id"), col("lang"),
           substring(normText(col("text")), 1, 60).as("s"))
-      val a = base.select(col("doc_id").as("doc_id_a"), col("lang"), col("s").as("sa"))
+      // fan the pair-generating side out across cores: the broadcast join
+      // inherits the left side's partitioning, and a one-file scan is a
+      // single partition — which would run every Levenshtein on one core
+      val a = base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id").as("doc_id_a"), col("lang"), col("s").as("sa"))
       val b = base.select(col("doc_id").as("doc_id_b"), col("lang"), col("s").as("sb"))
+      // thresholded levenshtein: banded O(len·k) with early abandon (-1 when
+      // the distance exceeds 38) instead of the full O(len²) DP
       a.join(b, Seq("lang"))
         .filter(col("doc_id_a") < col("doc_id_b"))
-        .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
-        .filter(col("dist") <= 38)
+        .withColumn("dist", levenshtein(col("sa"), col("sb"), 38).cast("long"))
+        .filter(col("dist") >= 0)
         .select(col("doc_id_a"), col("doc_id_b"), col("dist"))
         .orderBy("doc_id_a", "doc_id_b")
     }),
