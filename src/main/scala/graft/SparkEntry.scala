@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Events, Extras, PpdbQueries, Quality, Relational, Scalars, TextPipeline, Windows}
+import graft.queries.{Analytics, Events, Extras, PpdbQueries, Quality, Relational, Scalars, ScaleOps, TextPipeline, Windows}
 import graft.sources.FileSources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ PpdbQueries.queries ++ Windows.queries ++
       Scalars.queries ++ Events.queries ++ TextPipeline.queries ++
-      Extras.queries ++ Analytics.queries ++ Quality.queries ++ FileSources.queries
+      Extras.queries ++ Analytics.queries ++ Quality.queries ++
+      FileSources.queries ++ ScaleOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted on purpose for the approximate
@@ -35,5 +36,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ PpdbQueries.oracle ++ Windows.oracle ++
       Scalars.oracle ++ Events.oracle ++ TextPipeline.oracle ++
-      Extras.oracle ++ Analytics.oracle ++ Quality.oracle ++ FileSources.oracle
+      Extras.oracle ++ Analytics.oracle ++ Quality.oracle ++
+      FileSources.oracle ++ ScaleOps.oracle
 }

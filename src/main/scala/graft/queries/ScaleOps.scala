@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{events, normTextSql, t}
+
+/** Round-2 §2.13 additions that promote the round-1 scale operators from
+  * spec-only to first-class declared queries: the skew-breaking salted
+  * join, the bucketed range join, the KMV distinct sketch, and the
+  * end-to-end corpus-cleaning pipeline.
+  *
+  * `join_salted` and `join_range_sessions` are deliberately declared with
+  * oracles that describe the PLAIN semantics (an ordinary join / session
+  * assignment): the operators are pure execution-strategy rewrites, so
+  * their output must be indistinguishable from the naive plan — that
+  * equivalence IS the correctness property worth gating.
+  */
+object ScaleOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SessionGapUs = 30L * 60L * 1000000L
+
+  /** Batch sessionization (same logic as `stream_session`) — reused as the
+    * interval build side of the range join.
+    */
+  private def sessions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn(
+        "new_s",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start"), max(col("ts_us")).as("session_end"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Salted equi-join (graft.operators.SaltedJoin): deterministic salt on
+    // the fact side, explode-replicated dim side — the manual skew-breaker
+    // for keys AQE can't split. The oracle is the PLAIN join aggregate:
+    // salting must not change a single row.
+    "join_salted" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SaltedJoin
+        .join(li, ord,
+          keys = Seq("l_orderkey" -> "o_orderkey"),
+          saltFactor = 8,
+          saltSource = Seq("l_linenumber", "l_partkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Bucketed range join (graft.operators.RangeJoin): assign every event
+    // to its 30-min-gap session by ts ∈ [session_start, session_end] — the
+    // manufactured-equi-key rewrite of an interval predicate (nested-loop
+    // otherwise). Counting events per session must reproduce the
+    // sessionization counts exactly, which is what the oracle checks.
+    "join_range_sessions" -> ((s, d) => {
+      val pts = events(s, d).select(col("event_id"), col("user_id"), col("ts_us"))
+      val iv = sessions(s, d).select(
+        col("user_id").as("s_user"), col("session_id"),
+        col("session_start"), col("session_end"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, iv,
+          pointCol = "ts_us", startCol = "session_start", endCol = "session_end",
+          bucketWidth = SessionGapUs,
+          extraKeys = Seq("user_id" -> "s_user"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // KMV (k-minimum-values) distinct sketch — the custom
+    // Aggregator/TypedImperativeAggregate face of approximate distinct
+    // counting next to builtin HLL++ (`agg_approx_distinct`). Hashing stays
+    // in codegen'd SQL; the JVM buffer is k longs per group. Oracle-less
+    // (sketch-specific estimate), rows-only check like the other approx ops.
+    "agg_kmv_distinct" -> ((s, d) => {
+      val kmv = udaf(new graft.functions.KmvDistinct(256))
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), xxhash64(col("l_partkey")).as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(kmv(col("h")).as("kmv_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // End-to-end corpus cleaning (graft.pipeline.CorpusClean): normalize →
+    // quality gate (min tokens, punctuation ratio) → exact dedup (md5 of
+    // norm, keep min id) → shingle-SET dedup. nearDupJaccard = 1.0 makes
+    // the LSH stage EXHAUSTIVE (identical shingle sets collide in every
+    // band, and only Jaccard-1.0 pairs survive the verify), so the whole
+    // pipeline is deterministic and SQL-expressible — the oracle mirrors it
+    // with a group-by-sorted-shingle-set.
+    "pipeline_corpus_clean" -> ((s, d) => {
+      graft.pipeline.CorpusClean
+        .clean(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          graft.pipeline.CorpusClean.Config(
+            minTokens = 5, maxPunctRatio = 0.3, nearDupJaccard = 1.0))
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val norm = normTextSql("text")
+
+  val oracle: Map[String, String] = Map(
+    "join_salted" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_range_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "pipeline_corpus_clean" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, $norm AS norm,
+         |         len(string_split($norm, ' ')) AS n_tok,
+         |         len(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE /
+         |           greatest(len(text), 1) AS punct_ratio
+         |  FROM documents),
+         |q AS (SELECT doc_id, norm, n_tok FROM n
+         |      WHERE n_tok >= 5 AND punct_ratio <= 0.3),
+         |k AS (SELECT doc_id, norm, n_tok FROM q
+         |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(norm))),
+         |tri AS (
+         |  SELECT doc_id, n_tok,
+         |         list_sort(list_distinct(
+         |           list_transform(range(1, len(string_split(norm, ' ')) - 1),
+         |             i -> string_split(norm, ' ')[i] || ' ' ||
+         |                  string_split(norm, ' ')[i+1] || ' ' ||
+         |                  string_split(norm, ' ')[i+2]))) AS shset
+         |  FROM k)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok
+         |FROM tri t
+         |WHERE NOT EXISTS (SELECT 1 FROM tri t2
+         |                  WHERE t2.shset = t.shset AND t2.doc_id < t.doc_id)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -10,11 +10,13 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 86 declared queries (53 SURVEY §2 + 33 extras), 82 with oracles") {
-    assert(SparkEntry.queries.size === 86)
-    assert(SparkEntry.oracleSql.size === 82)
+  test("inventory: 90 declared queries (53 SURVEY §2 + 37 extras), 85 with oracles") {
+    assert(SparkEntry.queries.size === 90)
+    assert(SparkEntry.oracleSql.size === 85)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf"))
+    assert(noOracle === Set(
+      "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
+      "agg_kmv_distinct"))
   }
 
   test("sim_ann_ivf recall: finds the aligned vector for query 0") {

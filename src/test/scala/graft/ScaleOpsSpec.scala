@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** §2.13 scale-operator queries: strategy-rewrite equivalence (salted /
+  * range join), sketch accuracy, pipeline composition.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  private lazy val d = TestTables.dir(spark)
+  private def q(name: String) = SparkEntry.queries(name)(spark, d)
+
+  test("join_salted output is row-identical to the plain join aggregate") {
+    val salted = q("join_salted").collect().toSeq
+    val plain = spark.read.parquet(s"$d/lineitem.parquet")
+      .join(spark.read.parquet(s"$d/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+      .collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("join_range_sessions reproduces sessionization counts exactly") {
+    val viaRange = q("join_range_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaSessions = q("stream_session").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaRange === viaSessions)
+  }
+
+  test("agg_kmv_distinct estimates within sketch error of the exact count") {
+    val est = q("agg_kmv_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$d/lineitem.parquet")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      // k=256 → exact below 256 distinct; tiny test corpus must be exact
+      assert(est(k) === n, s"flag $k")
+    }
+  }
+
+  test("pipeline_corpus_clean drops short, noisy, exact-dup and shingle-set-dup docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "THE  quick Brown fox jumps over the lazy dog"), // exact dup of 1 after norm
+      (3L, "too short"), // fails min tokens
+      (4L, "!!! ??? *** ### $$$ %%% ^^^ &&& !!!"), // fails punct ratio
+      (5L, "an unrelated document with plenty of distinct tokens here"),
+      (6L, "the quick brown fox jumps over the lazy dog extra")) // superset shingles → kept
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("clean").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val kept = SparkEntry.queries("pipeline_corpus_clean")(spark, tmp)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L, 5L, 6L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Sink surface (SURVEY.md §2.1): partitioned parquet writes with partition
+  * pruning on read-back, and bucketed tables whose co-bucketed join plans
+  * without an Exchange — the two layout decisions that matter most at
+  * 100 TB (prune what you don't read; don't shuffle what's pre-shuffled).
+  */
+class SinkSpec extends SparkSpec {
+
+  private lazy val d = TestTables.dir(spark)
+
+  test("partitionBy write + read-back prunes partitions at the scan") {
+    val out = Files.createTempDirectory("psink").toString
+    spark.read.parquet(s"$d/documents.parquet")
+      .write.partitionBy("lang").mode("overwrite").parquet(s"$out/docs")
+
+    val back = spark.read.parquet(s"$out/docs").filter(col("lang") === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "scan should carry partition filters")
+    assert(plan.contains("lang"), "lang must appear as a partition filter")
+    // pruned scan still returns exactly the partition's rows
+    val expected = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("lang") === "en").count()
+    assert(back.count() === expected)
+  }
+
+  test("co-bucketed tables join without an Exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_embs")
+    spark.read.parquet(s"$d/documents.parquet")
+      .write.bucketBy(4, "doc_id").sortBy("doc_id").saveAsTable("b_docs")
+    spark.read.parquet(s"$d/embeddings.parquet")
+      .withColumnRenamed("vec_id", "doc_id")
+      .write.bucketBy(4, "doc_id").sortBy("doc_id").saveAsTable("b_embs")
+    // broadcast would win on a test-sized table (and disables bucketed
+    // scans); turn it off to exercise the layout that matters at scale,
+    // where neither side fits in an executor
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_docs").join(spark.table("b_embs"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+      assert(!plan.contains("Exchange"), s"co-bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_embs")
+    }
+  }
+}
