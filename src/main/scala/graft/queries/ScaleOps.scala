@@ -53,7 +53,7 @@ object ScaleOps {
       graft.operators.SaltedJoin
         .join(li, ord,
           keys = Seq("l_orderkey" -> "o_orderkey"),
-          saltFactor = 8,
+          saltFactor = 4,
           saltSource = Seq("l_linenumber", "l_partkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
@@ -94,6 +94,49 @@ object ScaleOps {
         .orderBy("l_returnflag")
     }),
 
+    // Connected components over the exact near-dup pair graph
+    // (graft.operators.ConnectedComponents, iterative min-label
+    // propagation): every doc gets the min doc-id of its transitive
+    // duplicate cluster. The oracle computes the same fixpoint with a
+    // recursive CTE — two entirely different evaluation strategies must
+    // meet at the same labels.
+    "dedup_components" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(split(graft.Tables.normText(col("text")), " ")).as("toks"))
+      val a = base.select(col("doc_id").as("src"), col("lang"), col("toks").as("ta"))
+      val b = base.select(col("doc_id").as("dst"), col("lang").as("lang_b"), col("toks").as("tb"))
+      val isect = size(array_intersect(col("ta"), col("tb"))).cast("double")
+      val edges = a
+        .join(b, col("lang") === col("lang_b") && col("src") < col("dst"))
+        .withColumn("jac", isect / (size(col("ta")) + size(col("tb")) - isect))
+        .filter(col("jac") >= 0.7)
+        .select(col("src"), col("dst"))
+      graft.operators.ConnectedComponents
+        .labels(base.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): a month spine over the full
+    // order-date domain, LEFT-joined to per-month order stats so empty
+    // months surface as zeros — the standard time-series densification.
+    "cte_recursive" -> ((s, d) => {
+      s.sql(
+        s"""WITH RECURSIVE months(m) AS (
+           |  SELECT TIMESTAMP '1995-01-01' AS m
+           |  UNION ALL
+           |  SELECT m + INTERVAL '1' MONTH FROM months
+           |  WHERE m < TIMESTAMP '2001-08-01'
+           |)
+           |SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           |       round(coalesce(sum(o_totalprice), 0), 2) AS sum_price
+           |FROM months LEFT JOIN parquet.`$d/orders.parquet`
+           |  ON date_trunc('month', o_orderdate) = m
+           |GROUP BY m ORDER BY m""".stripMargin)
+    }),
+
     // End-to-end corpus cleaning (graft.pipeline.CorpusClean): normalize →
     // quality gate (min tokens, punctuation ratio) → exact dedup (md5 of
     // norm, keep min id) → shingle-SET dedup. nearDupJaccard = 1.0 makes
@@ -130,6 +173,34 @@ object ScaleOps {
         |      FROM f)
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, lang, list_distinct(string_split($norm, ' ')) AS toks
+         |  FROM documents WHERE doc_id < 500),
+         |e AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+         |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |walk AS (
+         |  SELECT doc_id AS node, doc_id AS lbl FROM t
+         |  UNION
+         |  SELECT s.dst AS node, w.lbl
+         |  FROM walk w JOIN sym s ON s.src = w.node)
+         |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+    "cte_recursive" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01' AS m
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < TIMESTAMP '2001-08-01'
+        |)
+        |SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0), 2) AS sum_price
+        |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        |GROUP BY m ORDER BY m""".stripMargin,
     "pipeline_corpus_clean" ->
       s"""WITH n AS (
          |  SELECT doc_id, $norm AS norm,

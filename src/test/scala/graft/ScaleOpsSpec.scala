@@ -42,6 +42,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("ConnectedComponents labels a path graph, separate component, and singleton") {
+    import spark.implicits._
+    // path 1-2-3-4 (diameter 3 → needs >1 round), pair {10,11}, singleton 20
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("src", "dst")
+    val labels = graft.operators.ConnectedComponents.labels(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("cte_recursive month spine is dense: one row per month, zeros for empty months") {
+    val rows = q("cte_recursive").collect()
+    assert(rows.length === 80) // 1995-01 .. 2001-08 inclusive
+    assert(rows.map(_.getLong(1)).sum ===
+      spark.read.parquet(s"$d/orders.parquet").count())
+  }
+
   test("pipeline_corpus_clean drops short, noisy, exact-dup and shingle-set-dup docs") {
     import spark.implicits._
     val docs = Seq(
