@@ -34,4 +34,21 @@ object Vec {
 
   def l2Unrolled(a: String, dim: Int): Column =
     sqrt(dotUnrolled(a, a, dim))
+
+  /** Native codegen'd kernels (graft.plans.VecExprs) — the preferred tier:
+    * one call inside whole-stage codegen, any dimension, no per-element
+    * closures, no intermediate arrays; bit-identical to the tiers above
+    * (same left-fold IEEE order). Idempotently registers the extension
+    * functions on the session first, so they work under sessions created
+    * without `spark.sql.extensions` (the driver's Verify/Bench).
+    */
+  def dotNative(spark: org.apache.spark.sql.SparkSession, a: String, b: String): Column = {
+    graft.plans.GraftExtensions.register(spark)
+    call_function("dot_product", expr(a), expr(b))
+  }
+
+  def l2Native(spark: org.apache.spark.sql.SparkSession, a: String): Column = {
+    graft.plans.GraftExtensions.register(spark)
+    call_function("l2_norm", expr(a))
+  }
 }

@@ -138,12 +138,11 @@ object AnnIvf {
     })
     val probed = queries.withColumn("probe", explode(probeUdf(col("qvec"))))
 
-    val dot = expr(
-      "aggregate(zip_with(vec, qvec, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    val nv = expr(
-      "sqrt(aggregate(transform(vec, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
-    val nq = expr(
-      "sqrt(aggregate(transform(qvec, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+    // native codegen'd kernels (graft.plans.VecExprs) — bit-identical to
+    // the lambda fold, no per-element closure interpretation on candidates
+    val dot = graft.functions.Vec.dotNative(emb.sparkSession, "vec", "qvec")
+    val nv = graft.functions.Vec.l2Native(emb.sparkSession, "vec")
+    val nq = graft.functions.Vec.l2Native(emb.sparkSession, "qvec")
 
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     assigned

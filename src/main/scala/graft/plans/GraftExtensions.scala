@@ -32,7 +32,21 @@ object GraftExtensions {
           classOf[PpdbSplitLine].getCanonicalName,
           "ppdb_split",
           "ppdb_split(line) - one-pass split of a PPDB release line on ' ||| '"),
-        (args: Seq[Expression]) => PpdbSplitLine(args.head)))
+        (args: Seq[Expression]) => PpdbSplitLine(args.head)),
+      (
+        FunctionIdentifier("dot_product"),
+        new ExpressionInfo(
+          classOf[DotProduct].getCanonicalName,
+          "dot_product",
+          "dot_product(a, b) - codegen'd double-array dot product (left-fold IEEE order)"),
+        (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+      (
+        FunctionIdentifier("l2_norm"),
+        new ExpressionInfo(
+          classOf[L2Norm].getCanonicalName,
+          "l2_norm",
+          "l2_norm(a) - codegen'd double-array L2 norm (left-fold IEEE order)"),
+        (args: Seq[Expression]) => L2Norm(args.head)))
 
   /** Idempotent imperative registration into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native vector-math expressions (SURVEY.md §4 tier (b): a custom Catalyst
+  * `Expression` with `doGenCode`, above UDFs in the preference order).
+  *
+  * Why a third implementation next to Vec.dot (higher-order lambdas,
+  * interpreted closure per element) and Vec.dotUnrolled (64-term codegen'd
+  * arithmetic tree): the native kernel is a tight JVM loop over the packed
+  * `ArrayData`, stays inside whole-stage codegen as ONE call, works for any
+  * dimension (unrolled hardcodes it), and allocates nothing (zip_with
+  * materializes an intermediate array per row).
+  *
+  * Parity contract: the sums are the same left-associated IEEE fold as both
+  * the lambda (`aggregate(..., (acc, v) -> acc + v)`) and the unrolled tree
+  * (left-assoc `+`), so all three tiers — and DuckDB's sequential
+  * `list_inner_product` — produce bit-identical doubles on identical input.
+  *
+  * Element nulls are NOT supported (vector data is dense); a null element
+  * reads as 0.0 per `ArrayData.getDouble`. Mismatched lengths throw — the
+  * zip_with alternative silently null-pads, which corrupts similarity
+  * scores instead of failing (AnnLsh scaladoc documents the same hazard).
+  */
+object VecExprs {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_product: dimension mismatch ($n vs ${b.numElements()})")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def l2(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  private[plans] def checkDoubleArray(name: String, e: Expression): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<double>, got ${other.catalogString}")
+    }
+}
+
+/** `dot_product(a, b)` — Σ aᵢ·bᵢ as a single codegen'd kernel call. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VecExprs.checkDoubleArray(prettyName, left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VecExprs.checkDoubleArray(prettyName, right)
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecExprs.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecExprs.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `l2_norm(a)` — √(Σ aᵢ²) as a single codegen'd kernel call. */
+case class L2Norm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprs.checkDoubleArray(prettyName, child)
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecExprs.l2(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.VecExprs.l2($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}

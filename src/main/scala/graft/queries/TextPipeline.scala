@@ -16,13 +16,15 @@ object TextPipeline {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** dot/l2 over array<double> columns: unrolled codegen'd arithmetic for
-    * the hot per-pair path (graft.functions.Vec scaladoc), higher-order
-    * aggregate for the general per-row path.
+  /** dot/l2 over array<double> columns: the native codegen'd kernel
+    * expressions (graft.plans.VecExprs via Vec.dotNative/l2Native) —
+    * bit-identical to the lambda and unrolled tiers, one call inside
+    * whole-stage codegen, dimension-agnostic.
     */
-  private def dot(a: String, b: String) = graft.functions.Vec.dotUnrolled(a, b, 64)
+  private def dot(s: SparkSession, a: String, b: String) =
+    graft.functions.Vec.dotNative(s, a, b)
 
-  private def l2(a: String) = graft.functions.Vec.l2(a)
+  private def l2(s: SparkSession, a: String) = graft.functions.Vec.l2Native(s, a)
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the md5 of normalized text. One shuffle of
@@ -85,12 +87,12 @@ object TextPipeline {
       // float ops, fewer evaluations
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-        .withColumn("nrm", l2("vec"))
+        .withColumn("nrm", l2(s, "vec"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("nrm").as("qnrm"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       emb.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos", dot("vec", "qvec") / (col("nrm") * col("qnrm")))
+        .withColumn("cos", dot(s, "vec", "qvec") / (col("nrm") * col("qnrm")))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("vec_id").as("nid"), rd(col("cos"), 4).as("cos_sim"))
@@ -104,7 +106,7 @@ object TextPipeline {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"), col("label"))
       docs.join(emb, col("doc_id") === col("vec_id"))
-        .withColumn("l2n", l2("vec"))
+        .withColumn("l2n", l2(s, "vec"))
         .groupBy(col("label"))
         .agg(
           count(lit(1)).as("n"),
