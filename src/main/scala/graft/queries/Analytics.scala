@@ -203,6 +203,28 @@ object Analytics {
         .orderBy("event_id")
     }),
 
+    // Equi-width histogram by floor-bucketing — the data-profiling shape
+    // (one partial+final aggregate; bucket count independent of row count).
+    "agg_histogram" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy((floor(col("o_totalprice") / 50000) * 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // File-lineage metadata: rows per input file via the hidden _metadata
+    // struct — at 100 TB the provenance/debugging primitive (which file did
+    // this row come from) with zero extra I/O. Reads the repo fixture (the
+    // one input whose path is constant across scale factors, which a static
+    // oracle needs).
+    "scan_metadata" -> ((s, _) => {
+      graft.sources.FileSources.readCsv(s)
+        .select(col("_metadata.file_name").as("file_name"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("file_name")
+    }),
+
     // Deterministic hash sampling (~1/16): the md5-prefix predicate is pure
     // and engine-portable — the SAME rows are sampled everywhere, unlike
     // TABLESAMPLE (engine-specific RNG). At 100 TB this is the reproducible
@@ -300,6 +322,15 @@ object Analytics {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "scan_metadata" ->
+      """SELECT parse_filename(filename) AS file_name, CAST(count(*) AS BIGINT) AS n
+        |FROM read_csv('/root/repo/fixtures/sample_orders.csv', header=true, filename=true,
+        |  columns={'id':'BIGINT','name':'VARCHAR','amount':'DOUBLE','d':'DATE'})
+        |GROUP BY file_name ORDER BY file_name""".stripMargin,
     "sample_hash" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(l_extendedprice), 2) AS sum_price
