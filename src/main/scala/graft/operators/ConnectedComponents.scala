@@ -39,6 +39,10 @@ object ConnectedComponents {
       .localCheckpoint()
 
     var labels = vertices.select(col("id"), col("id").as("comp")).localCheckpoint()
+    // labels only ever DECREASE (least of self and neighbors), so Σcomp is
+    // a fixpoint witness: unchanged sum ⇔ no label moved. One scalar
+    // aggregate per round replaces a join + filter + count.
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
@@ -52,12 +56,10 @@ object ConnectedComponents {
           col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .count()
+      val newSum = updated.agg(sum(col("comp"))).head().getLong(0)
       labels = updated
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       round += 1
     }
     labels

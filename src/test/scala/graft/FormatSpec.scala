@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Format surface beyond parquet (SURVEY.md §2.1): ORC source/sink
+  * roundtrip with pushdown, and CSV/JSON writers re-read by the engine's
+  * own readers (spec-gated — DuckDB reads none of the intermediates, so
+  * these carry no oracle keys).
+  */
+class FormatSpec extends SparkSpec {
+
+  private lazy val d = TestTables.dir(spark)
+
+  test("ORC roundtrip preserves rows and pushes filters at the scan") {
+    val out = Files.createTempDirectory("orc").toString
+    val src = spark.read.parquet(s"$d/orders.parquet")
+    src.write.orc(s"$out/orders_orc")
+    val back = spark.read.orc(s"$out/orders_orc")
+    assert(back.count() === src.count())
+    val filtered = back.filter(col("o_totalprice") > 100000)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("o_totalprice"),
+      s"ORC scan should push the predicate:\n$scan")
+    assert(filtered.count() ===
+      src.filter(col("o_totalprice") > 100000).count())
+  }
+
+  test("CSV writer roundtrips through the engine's CSV reader including nulls") {
+    val out = Files.createTempDirectory("csvw").toString
+    val src = graft.sources.FileSources.readCsv(spark)
+    src.write.option("header", "true").option("escape", "\"").csv(s"$out/w")
+    val back = spark.read
+      .schema(graft.sources.FileSources.csvSchema)
+      .option("header", "true").option("escape", "\"")
+      .csv(s"$out/w")
+    assert(back.orderBy("id").collect().toSeq === src.orderBy("id").collect().toSeq)
+  }
+
+  test("JSON writer roundtrips nested structs and null fields") {
+    val out = Files.createTempDirectory("jsonw").toString
+    val src = graft.sources.FileSources.readJsonl(spark)
+    src.write.json(s"$out/w")
+    val back = spark.read.schema(graft.sources.FileSources.jsonlSchema).json(s"$out/w")
+    assert(back.orderBy("id").collect().toSeq === src.orderBy("id").collect().toSeq)
+  }
+}
