@@ -43,6 +43,22 @@ object PpdbQueries {
         .orderBy("phrase", "paraphrase")
     }),
 
+    // Map-function surface over the parsed feature map: map_keys + sorted
+    // join (representation-stable), map_values through a cast-and-fold
+    // lambda — the MapType face of the §2.8 scalar-function inventory.
+    "func_map" -> ((s, _) => {
+      val m = str_to_map(col("features_raw"), lit(" "), lit("="))
+      Ppdb.parse(s)
+        .select(
+          col("phrase"), col("paraphrase"),
+          size(map_keys(m)).cast("long").as("n_features"),
+          array_join(sort_array(map_keys(m)), ",").as("feature_names"),
+          graft.Tables.rd(
+            aggregate(map_values(m), lit(0.0), (acc, v) => acc + v.cast("double")), 4)
+            .as("sum_values"))
+        .orderBy("phrase", "paraphrase")
+    }),
+
     "ppdb_agg_entailment" -> ((s, _) => {
       Ppdb.parse(s)
         .groupBy(col("entailment"))
@@ -96,6 +112,16 @@ object PpdbQueries {
          |SELECT paraphrase, ppdb2score, entailment FROM ppdb
          |WHERE phrase = 'happy'
          |ORDER BY ppdb2score DESC, paraphrase""".stripMargin,
+    "func_map" ->
+      s"""$cte
+         |SELECT phrase, paraphrase,
+         |       CAST(len(string_split(features_raw, ' ')) AS BIGINT) AS n_features,
+         |       array_to_string(list_sort(list_transform(string_split(features_raw, ' '),
+         |         x -> string_split(x, '=')[1])), ',') AS feature_names,
+         |       ${graft.Tables.rdSql(
+                   "list_sum(list_transform(string_split(features_raw, ' '), " +
+                     "x -> CAST(string_split(x, '=')[2] AS DOUBLE)))", 4)} AS sum_values
+         |FROM ppdb ORDER BY phrase, paraphrase""".stripMargin,
     "ppdb_selfjoin_chain" ->
       s"""$cte
          |SELECT DISTINCT a.phrase AS phrase, b.paraphrase AS paraphrase

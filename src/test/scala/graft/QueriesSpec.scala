@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 94 declared queries (53 SURVEY §2 + 41 extras), 89 with oracles") {
-    assert(SparkEntry.queries.size === 94)
-    assert(SparkEntry.oracleSql.size === 89)
+  test("inventory: 95 declared queries (53 SURVEY §2 + 42 extras), 90 with oracles") {
+    assert(SparkEntry.queries.size === 95)
+    assert(SparkEntry.oracleSql.size === 90)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
