@@ -98,6 +98,24 @@ object Events {
         .orderBy("user_id", "session_id")
     }),
 
+    // The NATIVE session_window operator evaluated in batch — same session
+    // semantics as the gaps-and-islands formulation (stream_session), via
+    // Spark's built-in merging-window aggregation instead of two window
+    // passes. Only the session START is emitted: session_window.end is
+    // last_event + gap by definition, not max(ts). Oracle = the
+    // gaps-and-islands CTE — two formulations, one fixpoint.
+    "stream_session_window" -> ((s, d) => {
+      events(s, d)
+        .withColumn("tsx", timestamp_micros(col("ts_us")))
+        .groupBy(session_window(col("tsx"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // Keep-first dedup per (user_id, event_type) — the batch twin of
     // streaming dropDuplicatesWithinWatermark (StreamingJobs.dedupWithinWatermark).
     // One shuffle on the dedup key; row_number+filter never materializes
@@ -164,6 +182,16 @@ object Events {
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |       min(ts_us) AS session_start, max(ts_us) AS session_end
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM f)
+        |SELECT user_id, min(ts_us) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
     "stream_dedup" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |                  row_number() OVER (PARTITION BY user_id, event_type
