@@ -157,6 +157,34 @@ object Analytics {
            |ORDER BY o.o_orderkey""".stripMargin)
     }),
 
+    // NOT IN subquery — the null-aware anti join (distinct plan shape from
+    // NOT EXISTS: one null in the subquery empties the result, so the
+    // planner must prove/track nullability).
+    "subquery_not_in" -> ((s, d) => {
+      s.sql(
+        s"""SELECT c_custkey FROM parquet.`$d/customer.parquet`
+           |WHERE c_custkey NOT IN (SELECT o_custkey FROM parquet.`$d/orders.parquet`
+           |                        WHERE o_totalprice > 400000)
+           |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // ANSI-safe function surface: try_cast / try_divide / try_element_at
+    // return NULL where the strict forms throw — the per-row error-handling
+    // contract a 100 TB pipeline needs (one malformed row must not kill a
+    // 10-hour job).
+    "func_try" -> ((s, d) => {
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          expr("try_cast(p_brand AS INT)").as("bad_cast"),
+          expr("try_cast(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)").as("brand_num"),
+          expr("try_divide(p_retailprice, p_size - p_size)").as("div0"),
+          expr("try_element_at(split(p_type, ' '), 99)").as("oob"),
+          expr("try_element_at(split(p_type, ' '), 1)").as("first_word"))
+        .orderBy("p_partkey")
+        .limit(500)
+    }),
+
     // Event-time RANGE frame (interval-bounded, not row-count-bounded):
     // peers with equal order keys share a frame, so the result is
     // deterministic even under order-key ties.
@@ -299,6 +327,18 @@ object Analytics {
         |WHERE o.o_totalprice > 1.9 * (SELECT avg(o2.o_totalprice) FROM orders o2
         |                              WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o.o_orderkey""".stripMargin,
+    "subquery_not_in" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "func_try" ->
+      """SELECT p_partkey,
+        |       TRY_CAST(p_brand AS INT) AS bad_cast,
+        |       TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+        |       p_retailprice / nullif(p_size - p_size, 0) AS div0,
+        |       string_split(p_type, ' ')[99] AS oob,
+        |       string_split(p_type, ' ')[1] AS first_word
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
     "window_range_frame" ->
       """SELECT o_orderkey, o_custkey,
         |       round(sum(o_totalprice) OVER (

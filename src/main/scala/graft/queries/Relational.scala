@@ -230,6 +230,26 @@ object Relational {
       t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
         .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
         .orderBy("nationkey")
+    }),
+
+    // Multiset (bag) semantics — duplicates preserved/subtracted by count.
+    // Output rows within a key are identical, so the ORDER BY stays total.
+    "set_union_all" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .unionAll(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    }),
+
+    "set_intersect_all" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersectAll(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    }),
+
+    "set_except_all" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
     })
   )
 
@@ -344,6 +364,15 @@ object Relational {
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
     "set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
-        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "set_union_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION ALL SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
   )
 }

@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 96 declared queries (53 SURVEY §2 + 43 extras), 91 with oracles") {
-    assert(SparkEntry.queries.size === 96)
-    assert(SparkEntry.oracleSql.size === 91)
+  test("inventory: 101 declared queries (53 SURVEY §2 + 48 extras), 96 with oracles") {
+    assert(SparkEntry.queries.size === 101)
+    assert(SparkEntry.oracleSql.size === 96)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
