@@ -85,16 +85,25 @@ object AnnIvf {
       seed: Long = 42L,
       sampleCap: Int = 4096): DataFrame = {
 
-    // deterministic bounded sample: mod-stride on vec_id — one filter, no
-    // shuffle; ordered by vec_id so the fit input is run-stable
-    val n = emb.count()
-    val stride = math.max(1L, n / sampleCap)
+    // deterministic bounded sample, independent of the id distribution:
+    // order by a hash of vec_id and take sampleCap — TakeOrderedAndProject
+    // (per-partition heaps, no full sort), ≤ sampleCap rows collected at ANY
+    // corpus size, and the same rows every run. (A mod-stride filter was
+    // rejected: ids sharing a residue ≠ 0 make it empty, and stride
+    // rounding collects up to 2× the cap.)
     val sample = emb
-      .filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id"), col("vec"))
-      .orderBy("vec_id")
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)), col("vec_id"))
+      .limit(sampleCap)
       .collect()
       .map(_.getSeq[Double](1).toArray)
+    if (sample.isEmpty) {
+      // empty corpus → empty result with the contract schema, like every
+      // other operator (not a driver-side crash in the fit)
+      return queries
+        .select(col("qid"), lit(0L).as("rnk"), col("qid").as("nid"), lit(0.0).as("cos"))
+        .limit(0)
+    }
     val k0 = math.min(nLists, sample.length).max(1)
     val centers = lloyd(sample, k0, iters = 5, seed = seed)
 

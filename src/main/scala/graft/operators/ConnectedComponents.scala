@@ -42,7 +42,9 @@ object ConnectedComponents {
     // labels only ever DECREASE (least of self and neighbors), so Σcomp is
     // a fixpoint witness: unchanged sum ⇔ no label moved. One scalar
     // aggregate per round replaces a join + filter + count.
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    // coalesce: sum over an empty frame is NULL — empty input must yield an
+    // empty result, not a driver NPE
+    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
@@ -56,7 +58,7 @@ object ConnectedComponents {
           col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val newSum = updated.agg(sum(col("comp"))).head().getLong(0)
+      val newSum = updated.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
       labels = updated
       converged = newSum == prevSum
       prevSum = newSum

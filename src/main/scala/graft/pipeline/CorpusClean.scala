@@ -23,11 +23,18 @@ object CorpusClean {
   /** @param minTokens      drop docs shorter than this many tokens
     * @param maxPunctRatio  drop docs with more punctuation than this
     * @param nearDupJaccard shingle-Jaccard threshold for near-dup removal
+    * @param maxBucketSize  LSH degenerate-bucket guard (MinHashLsh). Leave
+    *                       the default for approximate thresholds; set to
+    *                       Int.MaxValue when the threshold is 1.0 and the
+    *                       run must be EXHAUSTIVE — a duplicate cluster
+    *                       larger than the guard would otherwise have its
+    *                       buckets dropped and survive dedup entirely
     */
   case class Config(
       minTokens: Int = 5,
       maxPunctRatio: Double = 0.3,
-      nearDupJaccard: Double = 0.8)
+      nearDupJaccard: Double = 0.8,
+      maxBucketSize: Int = 1000)
 
   /** docs: (doc_id, text, ...) → surviving rows plus `norm` and `n_tok`.
     * Drop order: quality gate, then exact duplicates (keep min doc_id),
@@ -70,6 +77,7 @@ object CorpusClean {
     val pairs = MinHashLsh.nearDupPairs(
       keepers.select(col("doc_id"), split(col("norm"), " ").as("tokens")),
       "doc_id", "tokens", threshold = cfg.nearDupJaccard,
+      maxBucketSize = cfg.maxBucketSize,
       persistShingles = false)
     val dropIds = pairs.select(col("b_id").as("doc_id")).distinct()
 

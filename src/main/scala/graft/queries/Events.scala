@@ -19,7 +19,41 @@ object Events {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val SessionGapUs = 30L * 60L * 1000000L // 30 min in µs
+  private[queries] val SessionGapUs = 30L * 60L * 1000000L // 30 min in µs
+
+  /** Per-user 30-min-gap sessions (gaps-and-islands): (user_id, session_id,
+    * n_events, session_start, session_end). THE single definition of batch
+    * sessionization — `stream_session` declares it, `join_range_sessions`
+    * builds its interval side from it, oracles share [[SessionCteSql]].
+    */
+  private[queries] def sessionBounds(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn(
+        "new_s",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start"),
+        max(col("ts_us")).as("session_end"))
+  }
+
+  /** Oracle twin of [[sessionBounds]] up to the per-session grouping key:
+    * CTE `g` has (user_id, event_id, ts_us, session_id) one row per event.
+    */
+  private[queries] val SessionCteSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |                      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |      FROM f)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "func_json" -> ((s, d) => {
@@ -76,27 +110,13 @@ object Events {
         .orderBy("ws_epoch", "event_type")
     }),
 
-    // 30-min-gap sessionization, batch gaps-and-islands formulation. The
-    // streaming twin is session_window / flatMapGroupsWithState
-    // (graft.streaming.StreamingJobs). Two windows over the same
-    // (user_id → ts) partitioning: one exchange, two sorts, no extra shuffle.
-    "stream_session" -> ((s, d) => {
-      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events(s, d)
-        .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
-        .withColumn(
-          "new_s",
-          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1L)
-            .otherwise(0L))
-        .withColumn("session_id", sum(col("new_s")).over(cum))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          min(col("ts_us")).as("session_start"),
-          max(col("ts_us")).as("session_end"))
-        .orderBy("user_id", "session_id")
-    }),
+    // 30-min-gap sessionization, batch gaps-and-islands formulation
+    // (sessionBounds above). The streaming twin is session_window /
+    // flatMapGroupsWithState (graft.streaming.StreamingJobs). Two windows
+    // over the same (user_id → ts) partitioning: one exchange, two sorts,
+    // no extra shuffle.
+    "stream_session" -> ((s, d) =>
+      sessionBounds(s, d).orderBy("user_id", "session_id")),
 
     // The NATIVE session_window operator evaluated in batch — same session
     // semantics as the gaps-and-islands formulation (stream_session), via
@@ -172,26 +192,14 @@ object Events {
         |       round(sum(value), 4) AS sum_v
         |FROM x GROUP BY ws_epoch, event_type ORDER BY ws_epoch, event_type""".stripMargin,
     "stream_session" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-        |                      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |      FROM f)
-        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
-        |       min(ts_us) AS session_start, max(ts_us) AS session_end
-        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      s"""$SessionCteSql
+         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         |       min(ts_us) AS session_start, max(ts_us) AS session_end
+         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "stream_session_window" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-        |                      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |      FROM f)
-        |SELECT user_id, min(ts_us) AS session_start, CAST(count(*) AS BIGINT) AS n_events
-        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
+      s"""$SessionCteSql
+         |SELECT user_id, min(ts_us) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
     "stream_dedup" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |                  row_number() OVER (PARTITION BY user_id, event_type

@@ -46,6 +46,10 @@ object PpdbQueries {
     // Map-function surface over the parsed feature map: map_keys + sorted
     // join (representation-stable), map_values through a cast-and-fold
     // lambda — the MapType face of the §2.8 scalar-function inventory.
+    // Contract: the PPDB format guarantees well-formed `k=v` entries with
+    // unique keys per rule; on malformed input the engines intentionally
+    // diverge from the oracle (str_to_map raises DUPLICATED_MAP_KEY /
+    // null-propagates a missing '=', where the oracle counts raw splits).
     "func_map" -> ((s, _) => {
       val m = str_to_map(col("features_raw"), lit(" "), lit("="))
       Ppdb.parse(s)

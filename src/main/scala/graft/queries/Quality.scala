@@ -39,17 +39,20 @@ object Quality {
       val tf = terms.groupBy("doc_id", "token", "len").agg(count(lit(1)).as("cnt"))
       val dfreq = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      // rank by the ROUNDED score: the raw double depends on each engine's
+      // libm ln() to the last ulp, so mathematically-equal scores computed
+      // from different (cnt, len, df) triples could order differently
+      // across engines; quantizing to 6 digits first makes ties exact and
+      // the (tfidf, doc_id, token) order total and engine-stable
       tf.join(dfreq, "token")
         .crossJoin(broadcast(nDocs))
         .withColumn(
-          "score",
-          (col("cnt").cast("double") / col("len")) *
-            log(col("n_docs").cast("double") / col("df")))
-        .select(col("doc_id"), col("token"), rd(col("score"), 6).as("tfidf"),
-          col("score"))
-        .orderBy(col("score").desc, col("doc_id"), col("token"))
+          "tfidf",
+          rd((col("cnt").cast("double") / col("len")) *
+            log(col("n_docs").cast("double") / col("df")), 6))
+        .select(col("doc_id"), col("token"), col("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
         .limit(20)
-        .drop("score")
     }),
 
     // Repetition ratio: 1 − distinct/total token-trigrams (the Gopher/MassiveText
@@ -142,7 +145,7 @@ object Quality {
          |SELECT doc_id, tf.token,
          |       ${rdSql("(cnt::DOUBLE / len) * ln(n_docs / df)", 6)} AS tfidf
          |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
-         |ORDER BY (cnt::DOUBLE / len) * ln(n_docs / df) DESC, doc_id, tf.token
+         |ORDER BY tfidf DESC, doc_id, tf.token
          |LIMIT 20""".stripMargin,
     "text_repetition" ->
       s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents),

@@ -20,26 +20,6 @@ object ScaleOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val SessionGapUs = 30L * 60L * 1000000L
-
-  /** Batch sessionization (same logic as `stream_session`) — reused as the
-    * interval build side of the range join.
-    */
-  private def sessions(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
-      .withColumn(
-        "new_s",
-        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum(col("new_s")).over(cum))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("ts_us")).as("session_start"), max(col("ts_us")).as("session_end"))
-  }
-
   val queries: Map[String, Q] = Map(
     // Salted equi-join (graft.operators.SaltedJoin): deterministic salt on
     // the fact side, explode-replicated dim side — the manual skew-breaker
@@ -67,13 +47,13 @@ object ScaleOps {
     // sessionization counts exactly, which is what the oracle checks.
     "join_range_sessions" -> ((s, d) => {
       val pts = events(s, d).select(col("event_id"), col("user_id"), col("ts_us"))
-      val iv = sessions(s, d).select(
+      val iv = Events.sessionBounds(s, d).select(
         col("user_id").as("s_user"), col("session_id"),
         col("session_start"), col("session_end"))
       graft.operators.RangeJoin
         .pointInInterval(pts, iv,
           pointCol = "ts_us", startCol = "session_start", endCol = "session_end",
-          bucketWidth = SessionGapUs,
+          bucketWidth = Events.SessionGapUs,
           extraKeys = Seq("user_id" -> "s_user"))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"))
@@ -105,7 +85,10 @@ object ScaleOps {
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("lang"),
           array_distinct(split(graft.Tables.normText(col("text")), " ")).as("toks"))
-      val a = base.select(col("doc_id").as("src"), col("lang"), col("toks").as("ta"))
+      // fan the pair-generating side out: a one-file scan is one partition,
+      // which would run every intersect on a single core
+      val a = base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id").as("src"), col("lang"), col("toks").as("ta"))
       val b = base.select(col("doc_id").as("dst"), col("lang").as("lang_b"), col("toks").as("tb"))
       val isect = size(array_intersect(col("ta"), col("tb"))).cast("double")
       val edges = a
@@ -149,7 +132,10 @@ object ScaleOps {
         .clean(
           t(s, d, "documents").select(col("doc_id"), col("text")),
           graft.pipeline.CorpusClean.Config(
-            minTokens = 5, maxPunctRatio = 0.3, nearDupJaccard = 1.0))
+            minTokens = 5, maxPunctRatio = 0.3, nearDupJaccard = 1.0,
+            // exhaustiveness requires the skew guard OFF: a dup cluster
+            // bigger than the guard would drop its own buckets and survive
+            maxBucketSize = Int.MaxValue))
         .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
         .orderBy("doc_id")
     })
@@ -164,15 +150,9 @@ object ScaleOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_range_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-        |                      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |      FROM f)
-        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
-        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      s"""${Events.SessionCteSql}
+         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE t AS (
          |  SELECT doc_id, lang, list_distinct(string_split($norm, ' ')) AS toks

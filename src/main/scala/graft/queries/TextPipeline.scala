@@ -49,7 +49,10 @@ object TextPipeline {
         .select(
           col("doc_id"), col("lang"),
           array_distinct(split(normText(col("text")), " ")).as("toks"))
-      val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("toks").as("a_toks"))
+      // fan the pair-generating side out: a one-file scan is one partition,
+      // which would run every intersect on a single core
+      val a = docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id").as("a_id"), col("lang"), col("toks").as("a_toks"))
       val b = docs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("toks").as("b_toks"))
       a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
         .withColumn("isize", size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))

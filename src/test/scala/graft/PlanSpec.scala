@@ -30,7 +30,13 @@ class PlanSpec extends SparkSpec {
     // text_tfidf broadcasts a single-row aggregate (the corpus size) — a
     // deliberate 1×N nested-loop, not a join-order accident
     val bnljAllowed = Set("join_cross", "sim_knn_cosine", "text_tfidf")
-    for ((name, fn) <- SparkEntry.queries) {
+    // these run real jobs at construction time (quantizer-sample collect,
+    // iterative label rounds), and for the localCheckpoint-based ones the
+    // executedPlan is a truncated checkpoint scan this test couldn't see
+    // joins through anyway — their shapes are asserted by their operator
+    // specs instead
+    val checkpointed = Set("dedup_components", "pipeline_corpus_clean", "sim_ann_ivf")
+    for ((name, fn) <- SparkEntry.queries if !checkpointed(name)) {
       val p = fn(spark, d).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
       if (!bnljAllowed(name))
