@@ -80,6 +80,19 @@ object Analytics {
         .orderBy("l_returnflag")
     }),
 
+    // The sketch twin of agg_percentiles: approx_percentile keeps a bounded
+    // buffer per group (no per-group sort), the 100 TB path for quantiles.
+    // Deterministic given identical input but algorithm-specific →
+    // oracle-less, rows-only check like the other sketches.
+    "agg_approx_percentile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("ap99"))
+        .orderBy("l_returnflag")
+    }),
+
     // Ordered-set arg-min/max. The ranking value gets an injective epsilon
     // tiebreak (+ key·1e-9): o_totalprice has 2-decimal granularity, so the
     // perturbation (< 1.5e-3 even at sf1) can never reorder distinct prices

@@ -10,13 +10,13 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 101 declared queries (53 SURVEY §2 + 48 extras), 96 with oracles") {
-    assert(SparkEntry.queries.size === 101)
+  test("inventory: 102 declared queries (53 SURVEY §2 + 49 extras), 96 with oracles") {
+    assert(SparkEntry.queries.size === 102)
     assert(SparkEntry.oracleSql.size === 96)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
-      "agg_kmv_distinct"))
+      "agg_kmv_distinct", "agg_approx_percentile"))
   }
 
   test("sim_ann_ivf recall: finds the aligned vector for query 0") {

@@ -42,6 +42,42 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("ConnectedComponents matches a local union-find on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = (1 to 30).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // local union-find ground truth (min-label per component)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = graft.operators.ConnectedComponents
+        .labels((0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("AnnIvf returns empty on an empty corpus instead of crashing the fit") {
+    import spark.implicits._
+    val emb = Seq.empty[(Long, Array[Double])].toDF("vec_id", "vec")
+    val q = Seq.empty[(Long, Array[Double])].toDF("qid", "qvec")
+    assert(graft.operators.AnnIvf.topK(emb, q).count() === 0)
+  }
+
+  test("ConnectedComponents returns empty on empty input") {
+    import spark.implicits._
+    val out = graft.operators.ConnectedComponents
+      .labels(Seq.empty[Long].toDF("id"), Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(out.count() === 0)
+  }
+
   test("ConnectedComponents labels a path graph, separate component, and singleton") {
     import spark.implicits._
     // path 1-2-3-4 (diameter 3 → needs >1 round), pair {10,11}, singleton 20
