@@ -97,6 +97,20 @@ object StreamingJobs {
       .select(col("user_id"), col("v_ts"), col("p_ts"))
   }
 
+  /** foreachBatch sink — the production escape hatch for sinks Structured
+    * Streaming lacks natively (JDBC upserts, MERGE INTO, multi-table
+    * fan-out). The batch id makes retries idempotent: a replayed micro-batch
+    * overwrites its own output partition instead of appending duplicates
+    * (checkpoint + deterministic per-batch target = effectively-once).
+    */
+  def foreachBatchParquet(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write
+          .mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+      }
+
   // ── custom state: sessionization with flatMapGroupsWithState ───────────
 
   case class Ev(user_id: Long, tsUs: Long, value: Double)
