@@ -16,10 +16,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    doesn't control the conf of (the driver's Verify/Bench sessions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => VecRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -48,9 +50,17 @@ object GraftExtensions {
           "l2_norm(a) - codegen'd double-array L2 norm (left-fold IEEE order)"),
         (args: Seq[Expression]) => L2Norm(args.head)))
 
-  /** Idempotent imperative registration into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent imperative registration into an existing session: the
+    * function registry plus the [[VecRewrite]] auto-vectorization rule
+    * (via `experimental.extraOptimizations`, the imperative counterpart of
+    * `injectOptimizerRule`).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(VecRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VecRewrite
+  }
 }

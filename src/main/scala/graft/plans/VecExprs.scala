@@ -21,10 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (left-assoc `+`), so all three tiers — and DuckDB's sequential
   * `list_inner_product` — produce bit-identical doubles on identical input.
   *
-  * Element nulls are NOT supported (vector data is dense); a null element
-  * reads as 0.0 per `ArrayData.getDouble`. Mismatched lengths throw — the
-  * zip_with alternative silently null-pads, which corrupts similarity
-  * scores instead of failing (AnnLsh scaladoc documents the same hazard).
+  * Contract (fail-fast, intentionally STRICTER than the lambda forms):
+  * vectors are dense, equal-dimension, non-null-element arrays. A ragged
+  * pair or a null element THROWS — the zip_with alternative silently
+  * null-pads / null-poisons to a NULL score, which hides data corruption
+  * in a similarity pipeline instead of surfacing it (AnlLsh's scaladoc
+  * documents the same hazard). [[VecRewrite]] carries this contract to
+  * lambda-written queries it rewrites.
   */
 object VecExprs {
 
@@ -35,7 +38,12 @@ object VecExprs {
         s"dot_product: dimension mismatch ($n vs ${b.numElements()})")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"dot_product: null element at index $i")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -43,7 +51,13 @@ object VecExprs {
     val n = a.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"l2_norm: null element at index $i")
+      val x = a.getDouble(i)
+      s += x * x
+      i += 1
+    }
     math.sqrt(s)
   }
 

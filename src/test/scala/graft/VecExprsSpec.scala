@@ -36,6 +36,40 @@ class VecExprsSpec extends SparkSpec {
     }
   }
 
+  // non-literal input: a LocalRelation of literals would be constant-folded
+  // into evaluated rows before the rewrite could be observed
+  private def rangeVecs = spark.range(32).selectExpr(
+    "array(CAST(id AS DOUBLE), CAST(id AS DOUBLE) + 1.0, 2.5) AS a",
+    "array(CAST(id AS DOUBLE) * 0.5, 3.0, CAST(id AS DOUBLE) - 7.0) AS b")
+
+  test("VecRewrite auto-vectorizes lambda dot products and l2 norms") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = rangeVecs.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d",
+      "sqrt(aggregate(transform(a, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS n")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("dot_product"), s"dot lambda should rewrite:\n$opt")
+    assert(opt.contains("l2_norm"), s"l2 lambda should rewrite:\n$opt")
+    // rewritten results are bit-identical to the native calls
+    val direct = rangeVecs.select(Vec.dotNative(spark, "a", "b"), Vec.l2Native(spark, "a")).collect()
+    df.collect().zip(direct).foreach { case (r, e) =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(e.getDouble(0)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(e.getDouble(1)))
+    }
+  }
+
+  test("VecRewrite leaves non-matching folds alone") {
+    graft.plans.GraftExtensions.register(spark)
+    // max-fold, not a sum — must NOT become a dot product
+    val df = rangeVecs.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v)) AS m")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("dot_product"), s"max fold must not rewrite:\n$opt")
+    assert(df.collect().nonEmpty)
+  }
+
   test("dot_product rejects non-double-array inputs at analysis time") {
     graft.plans.GraftExtensions.register(spark)
     import spark.implicits._
