@@ -124,6 +124,52 @@ object StreamingJobs {
     * arbitrary-state API the built-in session_window can't cover (e.g.
     * emitting mid-session heartbeats or custom eviction policies).
     */
+  /** Timeout-aware streaming sessionizer: like [[sessionize]], but ALSO
+    * closes and emits a session when the event-time watermark passes its
+    * last event + gap — so quiet users' sessions surface without waiting
+    * for their next event (the part `NoTimeout` state machines can't do).
+    * Requires the input watermarked on `tsx`; keyed state times out at
+    * `lastUs + gap` via `GroupStateTimeout.EventTimeTimeout`.
+    */
+  def sessionizeWithTimeout(events: Dataset[Ev])(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withColumn("tsx", expr("timestamp_micros(tsUs)"))
+      .withWatermark("tsx", WatermarkDelay)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val out = Seq.newBuilder[SessionOut]
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is closed by time
+            val st = state.get
+            out += SessionOut(user, st.startUs, st.lastUs, st.n)
+            state.remove()
+          } else {
+            val sorted = evs.toSeq.sortBy(_.tsUs)
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.tsUs - st.lastUs <= SessionGapUs =>
+                  cur = Some(st.copy(lastUs = e.tsUs, n = st.n + 1))
+                case Some(st) =>
+                  out += SessionOut(user, st.startUs, st.lastUs, st.n)
+                  cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+                case None =>
+                  cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp((st.lastUs + SessionGapUs) / 1000L)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   def sessionize(events: Dataset[Ev])(implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     events

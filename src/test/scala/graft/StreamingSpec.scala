@@ -86,6 +86,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("timeout sessionizer closes quiet sessions when the watermark passes") {
+    implicit val sql = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val us = 60L * 1000000L
+    val base = 1704067200000000L // epoch-0 event times sit ON the initial watermark and are dropped
+    val in = MemoryStream[Ev]
+    val query = StreamingJobs.sessionizeWithTimeout(in.toDS())
+      .writeStream.format("memory").queryName("tosess").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(7L, base, 1.0), Ev(7L, base + 10 * us, 1.0))
+      query.processAllAvailable()
+      // no further events from user 7 — but an event far in the future
+      // advances the watermark past 10min+gap, timing the session out
+      in.addData(Ev(9L, base + 120 * us, 1.0))
+      query.processAllAvailable()
+      in.addData(Ev(9L, base + 240 * us, 1.0)) // advance again so the batch after timeout runs
+      query.processAllAvailable()
+      val rows = spark.table("tosess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((7L, base, base + 10 * us, 2L)),
+        s"user 7's quiet session should close by timeout, got $rows")
+    } finally query.stop()
+  }
+
   test("custom flatMapGroupsWithState sessionizer emits closed sessions (batch run)") {
     import spark.implicits._
     implicit val s = spark
