@@ -28,6 +28,27 @@ class SinkSpec extends SparkSpec {
     assert(back.count() === expected)
   }
 
+  test("repartitionByRange write produces key-disjoint files (min/max skipping layout)") {
+    val out = Files.createTempDirectory("rsink").toString
+    spark.read.parquet(s"$d/orders.parquet")
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.parquet(s"$out/orders_ranged")
+    // each output file owns a disjoint o_orderkey range, so a point/range
+    // predicate skips whole files via parquet min/max stats at 100 TB
+    val files = new java.io.File(s"$out/orders_ranged").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
   test("co-bucketed tables join without an Exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS b_docs")
