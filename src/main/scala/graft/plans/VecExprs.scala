@@ -61,6 +61,38 @@ object VecExprs {
     math.sqrt(s)
   }
 
+  /** Lenient kernels with EXACTLY the lambda-fold null semantics (used by
+    * [[VecRewrite]], which must not change what a query returns): a ragged
+    * pair or a null element yields SQL NULL — `zip_with` null-pads the
+    * shorter side and a null product/square null-poisons the fold. Same
+    * left-to-right IEEE accumulation otherwise.
+    */
+  def dotLenient(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  def l2Lenient(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(s))
+  }
+
   private[plans] def checkDoubleArray(name: String, e: Expression): TypeCheckResult =
     e.dataType match {
       case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -108,5 +140,58 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.plans.VecExprs.l2($a)")
 
   override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** Rewrite target of [[VecRewrite]]: the fast kernel with the ORIGINAL
+  * lambda null semantics (ragged / null element → NULL, never an error) so
+  * the optimizer rule is observationally transparent.
+  */
+case class DotProductLenient(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VecExprs.checkDoubleArray(prettyName, left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VecExprs.checkDoubleArray(prettyName, right)
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product_lenient"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecExprs.dotLenient(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double ${ev.value}_r = graft.plans.VecExprs.dotLenient($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLenient =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Rewrite target of [[VecRewrite]] for L2 norms — lambda null semantics. */
+case class L2NormLenient(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprs.checkDoubleArray(prettyName, child)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_norm_lenient"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecExprs.l2Lenient(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""java.lang.Double ${ev.value}_r = graft.plans.VecExprs.l2Lenient($a);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): L2NormLenient =
     copy(child = newChild)
 }

@@ -19,16 +19,19 @@ import org.apache.spark.sql.types.DoubleType
   * IEEE order as the fold, multiplication/addition are each bitwise
   * commutative in IEEE 754 (so `x*y`/`y*x` and `acc+v`/`v+acc` all match),
   * and the `0.0` seed is exact — results are bit-identical on every dense
-  * equal-dimension input (VecExprsSpec asserts this). On CONTRACT
-  * VIOLATIONS the rewrite is intentionally stricter: ragged pairs or null
-  * elements throw (fail fast) where the lambda form silently null-pads to
-  * a NULL score — the engine treats a malformed vector column as
-  * corruption to surface, not data to ignore.
+  * equal-dimension input (VecExprsSpec asserts this).
   *
   * The match is purely structural on the analyzed tree (NamedLambdaVariable
   * identity by exprId), so any SQL/DataFrame spelling of the pattern is
   * caught after analysis, and `transformAllExpressions` reaches it in any
   * operator (projection, filter, join condition, aggregate).
+  *
+  * The rewrite emits the LENIENT kernel variants ([[DotProductLenient]] /
+  * [[L2NormLenient]]), which reproduce the lambda forms' null semantics
+  * exactly (ragged pair or null element → SQL NULL) — an optimizer rule
+  * applies to arbitrary user queries and must be observationally
+  * transparent, so the fail-fast contract stays with the explicitly-called
+  * `dot_product`/`l2_norm` functions only.
   */
 object VecRewrite extends Rule[LogicalPlan] {
 
@@ -81,7 +84,7 @@ object VecRewrite extends Rule[LogicalPlan] {
           usesBothArgs(p, q, args.collect { case n: NamedLambdaVariable => n }) &&
           FoldSum.unapply(merge) && IdentityFinish.unapply(finish) &&
           agg.dataType == DoubleType =>
-      DotProduct(l, r)
+      DotProductLenient(l, r)
 
     // l2 norm: sqrt(aggregate(transform(a, x -> x*x), 0.0, (acc,v) -> acc+v))
     case Sqrt(agg @ ArrayAggregate(
@@ -91,6 +94,6 @@ object VecRewrite extends Rule[LogicalPlan] {
           p.exprId == arg.exprId && q.exprId == arg.exprId &&
           FoldSum.unapply(merge) && IdentityFinish.unapply(finish) &&
           agg.dataType == DoubleType =>
-      L2Norm(a)
+      L2NormLenient(a)
   }
 }

@@ -119,11 +119,35 @@ object StreamingJobs {
 
   val SessionGapUs: Long = 30L * 60L * 1000000L
 
-  /** Custom per-key state machine (KeyValueGroupedDataset.flatMapGroupsWithState):
-    * emits a session row whenever a gap > 30 min closes one. Demonstrates the
-    * arbitrary-state API the built-in session_window can't cover (e.g.
-    * emitting mid-session heartbeats or custom eviction policies).
+  /** Shared per-batch fold of a user's (sorted) events into session state:
+    * merge within the gap, emit + restart across it. Out-of-order events
+    * that land inside an open session extend its bounds with min/max — a
+    * plain `lastUs = e.tsUs` overwrite would let a late-but-valid event
+    * REGRESS session_end (and the event-time timeout anchor) backwards.
+    * Used by both [[sessionize]] and [[sessionizeWithTimeout]] so the twins
+    * cannot diverge.
     */
+  private def foldEvents(
+      user: Long,
+      sorted: Seq[Ev],
+      init: Option[SessionState],
+      out: scala.collection.mutable.Builder[SessionOut, Seq[SessionOut]]): Option[SessionState] = {
+    var cur = init
+    sorted.foreach { e =>
+      cur match {
+        case Some(st) if e.tsUs - st.lastUs <= SessionGapUs =>
+          cur = Some(SessionState(
+            math.min(st.startUs, e.tsUs), math.max(st.lastUs, e.tsUs), st.n + 1))
+        case Some(st) =>
+          out += SessionOut(user, st.startUs, st.lastUs, st.n)
+          cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+        case None =>
+          cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+      }
+    }
+    cur
+  }
+
   /** Timeout-aware streaming sessionizer: like [[sessionize]], but ALSO
     * closes and emits a session when the event-time watermark passes its
     * last event + gap — so quiet users' sessions surface without waiting
@@ -148,19 +172,7 @@ object StreamingJobs {
             out += SessionOut(user, st.startUs, st.lastUs, st.n)
             state.remove()
           } else {
-            val sorted = evs.toSeq.sortBy(_.tsUs)
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur match {
-                case Some(st) if e.tsUs - st.lastUs <= SessionGapUs =>
-                  cur = Some(st.copy(lastUs = e.tsUs, n = st.n + 1))
-                case Some(st) =>
-                  out += SessionOut(user, st.startUs, st.lastUs, st.n)
-                  cur = Some(SessionState(e.tsUs, e.tsUs, 1))
-                case None =>
-                  cur = Some(SessionState(e.tsUs, e.tsUs, 1))
-              }
-            }
+            val cur = foldEvents(user, evs.toSeq.sortBy(_.tsUs), state.getOption, out)
             cur.foreach { st =>
               state.update(st)
               state.setTimeoutTimestamp((st.lastUs + SessionGapUs) / 1000L)
@@ -170,26 +182,19 @@ object StreamingJobs {
       }
   }
 
+  /** Custom per-key state machine (KeyValueGroupedDataset.flatMapGroupsWithState):
+    * emits a session row whenever a gap > 30 min closes one. Demonstrates the
+    * arbitrary-state API the built-in session_window can't cover (e.g.
+    * emitting mid-session heartbeats or custom eviction policies).
+    */
   def sessionize(events: Dataset[Ev])(implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.tsUs))
           val out = Seq.newBuilder[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            cur match {
-              case Some(st) if e.tsUs - st.lastUs <= SessionGapUs =>
-                cur = Some(st.copy(lastUs = e.tsUs, n = st.n + 1))
-              case Some(st) =>
-                out += SessionOut(user, st.startUs, st.lastUs, st.n)
-                cur = Some(SessionState(e.tsUs, e.tsUs, 1))
-              case None =>
-                cur = Some(SessionState(e.tsUs, e.tsUs, 1))
-            }
-          }
+          val cur = foldEvents(user, evs.toSeq.sortBy(_.tsUs), state.getOption, out)
           cur.foreach(state.update)
           out.result().iterator
       }

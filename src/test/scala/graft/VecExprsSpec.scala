@@ -60,6 +60,19 @@ class VecExprsSpec extends SparkSpec {
     }
   }
 
+  test("VecRewrite is observationally transparent on ragged pairs (NULL, not an error)") {
+    graft.plans.GraftExtensions.register(spark)
+    // ragged arrays: the lambda form null-pads to NULL; the rewritten plan
+    // must produce the identical NULL, never the strict kernel's exception
+    val df = spark.range(4).selectExpr(
+      "array(CAST(id AS DOUBLE), 1.0) AS a",
+      "array(CAST(id AS DOUBLE)) AS b")
+    val out = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d")
+    assert(out.queryExecution.optimizedPlan.toString.contains("dot_product_lenient"))
+    assert(out.collect().forall(_.isNullAt(0)))
+  }
+
   test("VecRewrite leaves non-matching folds alone") {
     graft.plans.GraftExtensions.register(spark)
     // max-fold, not a sum — must NOT become a dot product
