@@ -219,12 +219,14 @@ object Analytics {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("c_nationkey")
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      // rd (floor-formula), not round: pr/cd are per-row doubles and k/n can
+      // land exactly on a .5 rounding boundary (found at sf0.1: 41/640)
       t(s, d, "customer")
         .select(
           col("c_custkey"), col("c_nationkey"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          rd(percent_rank().over(w), 6).as("pr"),
+          rd(cume_dist().over(w), 6).as("cd"))
         .orderBy("c_custkey")
     }),
 
@@ -359,13 +361,13 @@ object Analytics {
         |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS sum_30d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "window_ntile" ->
-      """SELECT c_custkey, c_nationkey,
-        |       ntile(4) OVER w AS quartile,
-        |       round(percent_rank() OVER w, 6) AS pr,
-        |       round(cume_dist() OVER w, 6) AS cd
-        |FROM customer
-        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
-        |ORDER BY c_custkey""".stripMargin,
+      s"""SELECT c_custkey, c_nationkey,
+         |       ntile(4) OVER w AS quartile,
+         |       ${rdSql("percent_rank() OVER w", 6)} AS pr,
+         |       ${rdSql("cume_dist() OVER w", 6)} AS cd
+         |FROM customer
+         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+         |ORDER BY c_custkey""".stripMargin,
     "window_first_last" ->
       """SELECT event_id, user_id,
         |       first_value(event_type) OVER w AS first_et,

@@ -119,6 +119,23 @@ object Quality {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    // Stratified deterministic sampling — the corpus-curation op: different
+    // keep-rates per language (e.g. downsample an over-represented lang),
+    // driven by the same portable md5-prefix coin as sample_hash so every
+    // engine keeps the SAME documents. Rates: en 25%, others 75% (first two
+    // hex chars < rate*256).
+    "sample_stratified" -> ((s, d) => {
+      val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+      t(s, d, "documents")
+        .withColumn("coin", coin)
+        .filter(
+          when(col("lang") === "en", col("coin") < 64).otherwise(col("coin") < 192))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // Higher-order array functions: filter / aggregate (fold) / exists —
     // all Catalyst-native lambdas, fully codegen-compatible, no UDFs.
     "func_higher_order" -> ((s, d) => {
@@ -171,6 +188,16 @@ object Quality {
          |FROM b a JOIN b c ON a.lang = c.lang AND a.doc_id < c.doc_id
          |WHERE levenshtein(a.s, c.s) <= 38
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "sample_stratified" ->
+      """WITH c AS (
+        |  SELECT lang, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS coin
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM c
+        |WHERE (lang = 'en' AND coin < 64) OR (lang <> 'en' AND coin < 192)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "func_higher_order" ->
       s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents)
          |SELECT doc_id,
