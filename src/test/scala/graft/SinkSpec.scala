@@ -49,6 +49,23 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE TABLE feeds row/size statistics to the cost-based optimizer") {
+    spark.sql("DROP TABLE IF EXISTS stats_docs")
+    spark.read.parquet(s"$d/documents.parquet").write.saveAsTable("stats_docs")
+    try {
+      spark.sql("ANALYZE TABLE stats_docs COMPUTE STATISTICS FOR ALL COLUMNS")
+      val cat = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("stats_docs"))
+      val stats = cat.stats.get
+      assert(stats.rowCount.get.toLong ===
+        spark.read.parquet(s"$d/documents.parquet").count())
+      assert(stats.sizeInBytes > 0)
+      // column-level stats (distinct counts, null counts) drive join
+      // reordering and broadcast decisions at scale
+      assert(stats.colStats.get("doc_id").exists(_.distinctCount.isDefined))
+    } finally spark.sql("DROP TABLE IF EXISTS stats_docs")
+  }
+
   test("co-bucketed tables join without an Exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS b_docs")
