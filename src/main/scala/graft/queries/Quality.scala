@@ -136,6 +136,31 @@ object Quality {
         .orderBy("lang")
     }),
 
+    // Null-preserving generator: explode_outer keeps rows whose generator
+    // input is EMPTY (as a NULL token) — the difference between "document
+    // has no matches" disappearing from the output (explode) and surfacing
+    // (explode_outer). Docs <100, tokens starting with 'd'.
+    "udtf_explode_outer" -> ((s, d) => {
+      val tk = toks(col("text"))
+      t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), filter(tk, x => x.startsWith("d")).as("dtoks"))
+        .select(col("doc_id"), explode_outer(col("dtoks")).as("token"))
+        .orderBy(asc("doc_id"), asc_nulls_first("token"))
+    }),
+
+    // SQL-registered UDF (spark.udf.register) — the second face of the UDF
+    // surface next to the DataFrame-side udf() in udf_wordcount: the same
+    // function becomes callable from any SQL string.
+    "udf_sql_register" -> ((s, d) => {
+      s.udf.register("norm_wc", (text: String) =>
+        text.toLowerCase.trim.split("\\s+").count(_.nonEmpty))
+      s.sql(
+        s"""SELECT doc_id, CAST(norm_wc(text) AS BIGINT) AS wc
+           |FROM parquet.`$d/documents.parquet`
+           |ORDER BY doc_id""".stripMargin)
+    }),
+
     // Higher-order array functions: filter / aggregate (fold) / exists —
     // all Catalyst-native lambdas, fully codegen-compatible, no UDFs.
     "func_higher_order" -> ((s, d) => {
@@ -188,6 +213,20 @@ object Quality {
          |FROM b a JOIN b c ON a.lang = c.lang AND a.doc_id < c.doc_id
          |WHERE levenshtein(a.s, c.s) <= 38
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "udtf_explode_outer" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split($norm, ' '), x -> x LIKE 'd%') AS dtoks
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         |       unnest(CASE WHEN len(dtoks) = 0 THEN [NULL] ELSE dtoks END) AS token
+         |FROM d
+         |ORDER BY doc_id ASC, token ASC NULLS FIRST""".stripMargin,
+    "udf_sql_register" ->
+      s"""SELECT doc_id,
+         |       CAST(len(list_filter(string_split($norm, ' '),
+         |                            x -> len(x) > 0)) AS BIGINT) AS wc
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH c AS (
         |  SELECT lang, n_chars,

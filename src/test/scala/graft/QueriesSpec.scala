@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 103 declared queries (53 SURVEY §2 + 50 extras), 97 with oracles") {
-    assert(SparkEntry.queries.size === 103)
-    assert(SparkEntry.oracleSql.size === 97)
+  test("inventory: 105 declared queries (53 SURVEY §2 + 52 extras), 99 with oracles") {
+    assert(SparkEntry.queries.size === 105)
+    assert(SparkEntry.oracleSql.size === 99)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
