@@ -182,6 +182,54 @@ object StreamingJobs {
       }
   }
 
+  // ── transformWithState: the Spark 4 arbitrary-state API ────────────────
+
+  case class UserTotal(user_id: Long, sum_value: Double, n_events: Long)
+
+  /** Running per-user totals via `StatefulProcessor` — the current-generation
+    * state API (transformWithState, Spark 4): typed named state cells
+    * (`ValueState`) on the RocksDB store, explicit `TimeMode`, per-key
+    * timers, TTL — replacing flatMapGroupsWithState's single opaque state
+    * blob. Emits the updated running total for each user touched by a
+    * micro-batch.
+    */
+  class RunningTotals extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserTotal] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      implicit val enc: Encoder[UserTotal] = Encoders.product[UserTotal]
+      totals = getHandle.getValueState[UserTotal]("totals", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[UserTotal] = {
+      val prev = Option(totals.get()).getOrElse(UserTotal(key, 0.0, 0L))
+      var s = prev.sum_value
+      var n = prev.n_events
+      rows.foreach { e => s += e.value; n += 1 }
+      val next = UserTotal(key, s, n)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Wire [[RunningTotals]] over a keyed event stream (requires the RocksDB
+    * state store provider — transformWithState's backing store).
+    */
+  def runningTotals(events: Dataset[Ev])(implicit spark: SparkSession): Dataset[UserTotal] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotals,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** Custom per-key state machine (KeyValueGroupedDataset.flatMapGroupsWithState):
     * emits a session row whenever a gap > 30 min closes one. Demonstrates the
     * arbitrary-state API the built-in session_window can't cover (e.g.

@@ -111,6 +111,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    implicit val sql = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StreamingJobs.Ev]
+    val query = StreamingJobs.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("totals").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(StreamingJobs.Ev(7L, 1L, 2.0), StreamingJobs.Ev(7L, 2L, 3.0))
+      query.processAllAvailable()
+      in.addData(StreamingJobs.Ev(7L, 3L, 5.0), StreamingJobs.Ev(8L, 4L, 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("totals").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // Update mode: one row per touched user per batch; last row per user wins
+      val latest = rows.groupBy(_._1).map { case (u, rs) => u -> rs.last }
+      assert(latest(7L) === ((7L, 10.0, 3L)))
+      assert(latest(8L) === ((8L, 1.0, 1L)))
+    } finally {
+      query.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("custom flatMapGroupsWithState sessionizer emits closed sessions (batch run)") {
     import spark.implicits._
     implicit val s = spark
