@@ -17,7 +17,12 @@ object Bench {
     // sorted for run-to-run comparability (Map iteration order is
     // hash-dependent and would reshuffle warm-cache effects across rounds)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for local hot-spot iteration; the
+    // driver never sets it, so the full suite is the default
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
