@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Events, Extras, PpdbQueries, Quality, Relational, Scalars, ScaleOps, TextPipeline, Windows}
+import graft.queries.{Analytics, Analytics2, Events, Extras, Functions3, Pipeline3, PpdbQueries, Quality, Relational, Scalars, ScaleOps, TextPipeline, Windows}
 import graft.sources.FileSources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,8 @@ object SparkEntry {
     Relational.queries ++ PpdbQueries.queries ++ Windows.queries ++
       Scalars.queries ++ Events.queries ++ TextPipeline.queries ++
       Extras.queries ++ Analytics.queries ++ Quality.queries ++
-      FileSources.queries ++ ScaleOps.queries
+      FileSources.queries ++ ScaleOps.queries ++ Analytics2.queries ++
+      Functions3.queries ++ Pipeline3.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted on purpose for the approximate
@@ -37,5 +38,6 @@ object SparkEntry {
     Relational.oracle ++ PpdbQueries.oracle ++ Windows.oracle ++
       Scalars.oracle ++ Events.oracle ++ TextPipeline.oracle ++
       Extras.oracle ++ Analytics.oracle ++ Quality.oracle ++
-      FileSources.oracle ++ ScaleOps.oracle
+      FileSources.oracle ++ ScaleOps.oracle ++ Analytics2.oracle ++
+      Functions3.oracle ++ Pipeline3.oracle
 }

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{events, rd, t}
+
+/** Round-3 analytic-SQL widening (SURVEY.md §2.14): statistical and bitwise
+  * aggregates, deterministic mode/median, struct-ordering argmax, grouping
+  * metadata, IGNORE NULLS windows (forward-fill), correlated LATERAL joins,
+  * CDC latest-snapshot compaction, and the DataSketches HLL union surface.
+  *
+  * Parity notes:
+  * - Spark `skewness`/`kurtosis` are population moments (g1, excess g2);
+  *   DuckDB's are sample-corrected, so the oracle converts
+  *   (g1 = G1·(n−2)/√(n(n−1)); kurtosis_pop == Spark kurtosis). Verified
+  *   numerically this session.
+  * - `mode` ties are unspecified in both engines → both sides compute the
+  *   deterministic formulation (max count, smallest value wins).
+  * - `max(struct(price, key))` ties on price break by key; the oracle's
+  *   `arg_max(key, price + key·1e-9)` is the same total order (the epsilon
+  *   is injective below the 0.01 price granularity — §2.13 agg_minmax_by).
+  *
+  * Scale: every aggregate here is a partial+final HashAggregate (map-side
+  * combine, one shuffle on the group key). The HLL-union query is THE
+  * 100 TB distinct-count pattern: per-partition sketches merged by a
+  * fixed-size binary union instead of an exact distinct shuffle. CDC
+  * latest-snapshot is one window per key — at scale, partition the log by
+  * key range so the window never sees more than a partition.
+  */
+object Analytics2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic mode + interpolated median per group. Mode ties broken
+    // by smallest value — both engines use the same window formulation
+    // because builtin mode() tie order is unspecified in both.
+    "agg_mode_median" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val modes = counts
+        .withColumn("max_cnt", max(col("cnt")).over(Window.partitionBy("l_returnflag")))
+        .filter(col("cnt") === col("max_cnt"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_quantity")).as("mode_qty"),
+          max(col("max_cnt")).cast("long").as("mode_cnt"))
+      val med = li.groupBy("l_returnflag")
+        .agg(round(median(col("l_quantity").cast("double")), 4).as("med_qty"))
+      modes.join(med, "l_returnflag").orderBy("l_returnflag")
+    }),
+
+    // OLS regression aggregates: slope/intercept/r² of price on quantity.
+    "agg_regr" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("icept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").cast("long").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Bitwise aggregates over the key space (bitmap-style rollups).
+    "agg_bitwise" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          bit_and(col("o_orderkey")).cast("long").as("band"),
+          bit_or(col("o_orderkey")).cast("long").as("bor"),
+          bit_xor(col("o_orderkey")).cast("long").as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Higher-moment shape statistics (population g1 / excess kurtosis).
+    "agg_skew_kurt" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(skewness(col("l_discount")), 6).as("skew"),
+          round(kurtosis(col("l_discount")), 6).as("kurt"),
+          count(col("l_discount")).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Distinct-collect surface: sorted distinct set rendered stably.
+    "agg_collect_set" -> ((s, d) => {
+      t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          array_join(
+            transform(array_sort(collect_set(col("c_nationkey"))),
+              x => x.cast("string")), ",").as("nations"),
+          countDistinct(col("c_nationkey")).cast("long").as("n_nations"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // GROUPING() / GROUPING_ID() metadata — how a consumer tells subtotal
+    // rows from genuine-NULL group keys.
+    "agg_grouping_id" -> ((s, d) => {
+      s.sql(
+        s"""SELECT lang, source,
+           |       CAST(grouping(lang) AS BIGINT) AS g_lang,
+           |       CAST(grouping(source) AS BIGINT) AS g_source,
+           |       CAST(grouping_id(lang, source) AS BIGINT) AS gid,
+           |       CAST(count(*) AS BIGINT) AS n
+           |FROM parquet.`$d/documents.parquet`
+           |GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+           |ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // The single-aggregate argmax idiom: max(struct(order cols…)) — no
+    // window, no second shuffle; the struct comparison is the total order.
+    "agg_argmax_struct" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .select(col("o_orderpriority"), col("m.o_orderkey").as("best_order"),
+          col("max_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Forward-fill via IGNORE NULLS: carry the last click value forward and
+    // expose the previous non-null (gap-tolerant sensor/event repair).
+    "window_fill_forward" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val v = when(col("event_type") === "click", col("value"))
+      events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          rd(last(v, ignoreNulls = true).over(wRun), 4).as("fill_v"),
+          rd(lag(v, 1, null, ignoreNulls = true).over(w), 4).as("prev_v"))
+        .orderBy("event_id")
+    }),
+
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    // customers per nation) — the SQL face of topk_per_group.
+    "join_lateral_topk" -> ((s, d) => {
+      s.sql(
+        s"""SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+           |FROM parquet.`$d/nation.parquet` n
+           |JOIN LATERAL (
+           |  SELECT c_custkey, c_acctbal
+           |  FROM parquet.`$d/customer.parquet`
+           |  WHERE c_nationkey = n.n_nationkey
+           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+           |ORDER BY n.n_name, c.c_custkey""".stripMargin)
+    }),
+
+    // CDC latest-snapshot compaction: one row per key = the change-log
+    // entry with the greatest (ts, event_id). The upsert-materialize op.
+    "cdc_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event"),
+          col("event_type").as("last_type"), rd(col("value"), 4).as("last_value"),
+          col("ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // DataSketches HLL: per-group sketches merged by hll_union_agg — the
+    // re-aggregatable distinct-count pattern (sketches, not raw keys, move
+    // through the shuffle). Estimates are algorithm-specific → oracle-less;
+    // exact twin is agg_distinct.
+    "agg_hll_union" -> ((s, d) => {
+      val sk = t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      val per = sk.select(col("l_returnflag").as("flag"),
+        expr("hll_sketch_estimate(sk)").cast("long").as("est_partkeys"))
+      val all = sk
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("est_partkeys"))
+        .select(lit("ALL").as("flag"), col("est_partkeys"))
+      per.unionByName(all).orderBy("flag")
+    }),
+
+    // Sketched heavy hitters (approx_top_k) — bounded-memory top-k without
+    // the exact global sort. Oracle-less; exact twin is text_top_terms.
+    "agg_approx_topk" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(split(graft.Tables.normText(col("text")), " ")).as("token"))
+        .agg(expr("approx_top_k(token, 10)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.*"))
+        .toDF("token", "est_count")
+        .orderBy(col("est_count").desc, col("token"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_mode_median" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT *, max(cnt) OVER (PARTITION BY l_returnflag) AS max_cnt FROM c),
+        |modes AS (SELECT l_returnflag, min(l_quantity) AS mode_qty,
+        |                 CAST(max(max_cnt) AS BIGINT) AS mode_cnt
+        |          FROM w WHERE cnt = max_cnt GROUP BY 1),
+        |med AS (SELECT l_returnflag,
+        |               round(median(CAST(l_quantity AS DOUBLE)), 4) AS med_qty
+        |        FROM lineitem GROUP BY 1)
+        |SELECT modes.l_returnflag, mode_qty, mode_cnt, med_qty
+        |FROM modes JOIN med USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_regr" ->
+      """SELECT l_returnflag,
+        |       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_bitwise" ->
+      """SELECT o_orderpriority,
+        |       CAST(bit_and(o_orderkey) AS BIGINT) AS band,
+        |       CAST(bit_or(o_orderkey) AS BIGINT) AS bor,
+        |       CAST(bit_xor(o_orderkey) AS BIGINT) AS bxor,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // DuckDB skewness/kurtosis are sample statistics; convert to Spark's
+    // population definitions: g1 = G1·(n−2)/√(n(n−1)), kurtosis_pop = g2.
+    "agg_skew_kurt" ->
+      """SELECT l_returnflag,
+        |       round(skewness(l_discount) * (count(l_discount) - 2)
+        |             / sqrt(count(l_discount) * (count(l_discount) - 1.0)), 6) AS skew,
+        |       round(kurtosis_pop(l_discount), 6) AS kurt,
+        |       CAST(count(l_discount) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_collect_set" ->
+      """SELECT c_mktsegment,
+        |       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+        |       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT lang, source,
+        |       CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |       CAST(GROUPING(source) AS BIGINT) AS g_source,
+        |       CAST(GROUPING_ID(lang, source) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+        |ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+    "agg_argmax_struct" ->
+      """SELECT o_orderpriority,
+        |       arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS best_order,
+        |       round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "window_fill_forward" ->
+      """SELECT event_id, user_id,
+        |       floor(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000.0 + 0.5) / 10000.0 AS fill_v,
+        |       floor(lag(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |             * 10000.0 + 0.5) / 10000.0 AS prev_v
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |             CASE WHEN event_type = 'click' THEN value END AS v
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "join_lateral_topk" ->
+      """SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal FROM (
+        |  SELECT n_name, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY n_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rn <= 2
+        |ORDER BY n_name, c_custkey""".stripMargin,
+    "cdc_latest" ->
+      """SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |       floor(value * 10000.0 + 0.5) / 10000.0 AS last_value,
+        |       ts_us AS last_ts_us
+        |FROM (SELECT *, epoch_us(ts) AS ts_us,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{normText, normTextSql, t}
+
+/** Round-3 training-data pipeline operators (SURVEY.md §2.14): PII
+  * redaction, blocklist masking, fixed-stride document chunking,
+  * benchmark-contamination detection, the per-(lang, source) dataset-card
+  * report, and embedding centroid aggregation.
+  *
+  * Scale notes (100 TB):
+  * - Redaction/masking/chunking are per-row codegen'd expressions — scan
+  *   speed, no shuffle. Chunking fans out ~n_tokens/stride rows per doc;
+  *   at scale write chunks partitioned by hash(doc_id) so downstream
+  *   tokenization joins stay co-located.
+  * - Contamination uses the shingle-join pattern: grams are BLOCKED by the
+  *   benchmark side (tiny by construction — benchmarks are ≪ training
+  *   corpus), so the join is a broadcast of the benchmark gram set against
+  *   a map-side scan of training grams. No quadratic pair blowup.
+  * - Centroid aggregation pivots vectors to (dim, value) rows — one
+  *   shuffle keyed (label, dim), each reducer sums one coordinate. The
+  *   classic distributed vector-mean that never materializes per-executor
+  *   dense accumulators.
+  */
+object Pipeline3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column): Column = split(normText(c), " ")
+
+  /** Blocklist used by the masking op (tiny literal; at scale a broadcast). */
+  private val Blocklist = Seq("the", "of", "and", "is", "not")
+
+  private val EmailPat = "[a-z0-9]+@[a-z0-9.]+\\.com"
+  private val PhonePat = "555-[0-9]+"
+
+  val queries: Map[String, Q] = Map(
+    // PII redaction: emails + phone numbers (synthesized deterministically
+    // from columns so both engines see identical inputs) replaced by typed
+    // placeholder tokens; per-doc redaction counts for audit.
+    "text_pii_redact" -> ((s, d) => {
+      val msg = concat(
+        substring(normText(col("text")), 1, 40),
+        lit(" contact "), col("lang"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".com or call 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+      t(s, d, "documents")
+        .withColumn("msg", msg)
+        .select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(col("msg"), EmailPat, "[EMAIL]"),
+            PhonePat, "[PHONE]").as("redacted"),
+          (expr(s"regexp_count(msg, '$EmailPat')") +
+            expr(s"regexp_count(msg, '$PhonePat')")).cast("long").as("n_pii"))
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary blocklist masking (bad-word filtering): blocklisted tokens
+    // → '[MASK]', with the mask count and a stable 15-token preview.
+    "text_blocklist_mask" -> ((s, d) => {
+      val tk = toks(col("text"))
+      val bl = typedLit(Blocklist)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(filter(tk, x => array_contains(bl, x))).cast("long").as("n_masked"),
+        array_join(
+          slice(transform(tk, x =>
+            when(array_contains(bl, x), lit("[MASK]")).otherwise(x)), 1, 15),
+          " ").as("preview"))
+        .orderBy("doc_id")
+    }),
+
+    // Fixed-size token chunking with overlap (size 32, stride 24) — the
+    // context-window segmentation op. Chunk count = ceil((n−32)/24)+1, the
+    // final chunk truncates; every token appears in ≥1 chunk.
+    "doc_chunk" -> ((s, d) => {
+      val size32 = 32
+      val stride = 24
+      t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("nt", size(col("tk")))
+        .withColumn("n_chunks",
+          ceil((col("nt") - size32).cast("double") / stride).cast("long") + 1)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+            i => array_join(slice(col("tk"), i * stride + 1, lit(size32)), " "))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          size(split(col("col"), " ")).cast("long").as("n_chunk_toks"),
+          col("col").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Benchmark contamination: 8-gram overlap between the "benchmark" slice
+    // (doc_id < 50) and the "training" slice (50 ≤ doc_id < 300). Reports
+    // every (train, bench) pair sharing ≥ 1 distinct 8-gram.
+    "text_contamination" -> ((s, d) => {
+      def grams(df: DataFrame, idCol: String): DataFrame = df
+        .select(col("doc_id").as(idCol), toks(col("text")).as("tk"))
+        .withColumn("nt", size(col("tk")))
+        .filter(col("nt") >= 8)
+        .select(col(idCol), explode(
+          transform(sequence(lit(0), col("nt") - 8),
+            i => array_join(slice(col("tk"), i + 1, lit(8)), " "))).as("g8"))
+        .distinct()
+      val docs = t(s, d, "documents")
+      val bench = grams(docs.filter(col("doc_id") < 50), "bench_id")
+      val train = grams(docs.filter(col("doc_id") >= 50 && col("doc_id") < 300), "train_id")
+      train.join(broadcast(bench), "g8")
+        .groupBy("train_id", "bench_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("train_id", "bench_id")
+    }),
+
+    // The dataset-card aggregate: per (lang, source) corpus composition.
+    "corpus_report" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(toks(col("text"))).cast("long").as("n_toks"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(median(col("n_chars").cast("double")), 1).as("med_chars"))
+        .orderBy("lang", "source")
+    }),
+
+    // Per-label embedding centroid via the (label, dim) pivot: posexplode →
+    // per-coordinate mean → reassembled L2 norm. Reports dims and count.
+    "embedding_centroid" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val coords = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col")).as("av"))
+      val norms = coords.groupBy("label")
+        .agg(count(lit(1)).as("n_dims"),
+          round(sqrt(sum(col("av") * col("av"))), 4).as("centroid_norm"))
+      val counts = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      norms.join(counts, "label")
+        .select(col("label"), col("n_vecs"), col("n_dims"), col("centroid_norm"))
+        .orderBy("label")
+    })
+  )
+
+  private val blSql = Blocklist.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH m AS (SELECT doc_id,
+         |                  concat(substr(${normTextSql("text")}, 1, 40),
+         |                         ' contact ', lang, CAST(doc_id AS VARCHAR),
+         |                         '@', source, '.com or call 555-01',
+         |                         lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) AS msg
+         |           FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(regexp_replace(msg, '$EmailPat', '[EMAIL]', 'g'),
+         |                      '$PhonePat', '[PHONE]', 'g') AS redacted,
+         |       CAST(len(regexp_extract_all(msg, '$EmailPat'))
+         |            + len(regexp_extract_all(msg, '$PhonePat')) AS BIGINT) AS n_pii
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_blocklist_mask" ->
+      s"""WITH d AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS tk
+         |           FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(list_filter(tk, x -> list_contains([$blSql], x))) AS BIGINT) AS n_masked,
+         |       array_to_string(
+         |         list_transform(tk, x -> CASE WHEN list_contains([$blSql], x)
+         |                                      THEN '[MASK]' ELSE x END)[1:15],
+         |         ' ') AS preview
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "doc_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS tk,
+         |                  len(string_split(${normTextSql("text")}, ' ')) AS nt
+         |           FROM documents WHERE doc_id < 100),
+         |c AS (SELECT doc_id, tk,
+         |             CAST(ceil((nt - 32) / 24.0) AS BIGINT) + 1 AS n_chunks
+         |      FROM d)
+         |SELECT doc_id, chunk_id,
+         |       CAST(len(tk[(chunk_id * 24 + 1):(chunk_id * 24 + 32)]) AS BIGINT) AS n_chunk_toks,
+         |       array_to_string(tk[(chunk_id * 24 + 1):(chunk_id * 24 + 32)], ' ') AS chunk_text
+         |FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS chunk_id)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_contamination" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS tk
+         |             FROM documents),
+         |grams AS (SELECT doc_id,
+         |                 array_to_string(tk[(i + 1):(i + 8)], ' ') AS g8
+         |          FROM tok, LATERAL (SELECT unnest(range(0, len(tk) - 7)) AS i)
+         |          WHERE len(tk) >= 8),
+         |bench AS (SELECT DISTINCT doc_id AS bench_id, g8 FROM grams WHERE doc_id < 50),
+         |train AS (SELECT DISTINCT doc_id AS train_id, g8 FROM grams
+         |          WHERE doc_id >= 50 AND doc_id < 300)
+         |SELECT train_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM train JOIN bench USING (g8)
+         |GROUP BY train_id, bench_id
+         |ORDER BY train_id, bench_id""".stripMargin,
+    "corpus_report" ->
+      s"""SELECT lang, source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(string_split(${normTextSql("text")}, ' '))) AS BIGINT) AS total_tokens,
+         |       round(avg(n_chars), 2) AS avg_chars,
+         |       round(median(CAST(n_chars AS DOUBLE)), 1) AS med_chars
+         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "embedding_centroid" ->
+      """WITH e AS (SELECT label, pos, embedding[pos + 1] AS v
+        |           FROM embeddings,
+        |                LATERAL (SELECT unnest(range(0, len(embedding))) AS pos)),
+        |c AS (SELECT label, pos, avg(v) AS av FROM e GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT c.label, max(n.n_vecs) AS n_vecs,
+        |       CAST(count(*) AS BIGINT) AS n_dims,
+        |       round(sqrt(sum(av * av)), 4) AS centroid_norm
+        |FROM c JOIN n ON c.label = n.label
+        |GROUP BY c.label
+        |ORDER BY c.label""".stripMargin
+  )
+}

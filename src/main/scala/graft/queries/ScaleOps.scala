@@ -138,6 +138,47 @@ object ScaleOps {
             maxBucketSize = Int.MaxValue))
         .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
         .orderBy("doc_id")
+    }),
+
+    // Bloom-filter-pruned semi join — the runtime-filter pattern for 100 TB
+    // fact scans: a compact sketch of the (small) selective dim-key set is
+    // broadcast and applied DURING the fact scan, so non-matching rows die
+    // before the shuffle; the exact semi join afterwards removes the bloom's
+    // false positives. Oracle = the plain semi join (the prefilter is an
+    // execution strategy and must not change a row).
+    "join_bloom" -> ((s, d) => {
+      val sel = t(s, d, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"))
+      val bloom = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val bloomB = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+      t(s, d, "lineitem")
+        .filter(mightContain(col("l_orderkey")))
+        .join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Z-order (Morton) clustering key: bit-interleave of two dimension keys,
+    // so sorting by zval co-locates rows close in BOTH dimensions — the
+    // multi-column data-clustering layout that makes min/max file skipping
+    // effective for 2-D predicates at 100 TB. The interleave is plain shift
+    // arithmetic (identical on both engines).
+    "zorder_cluster" -> ((s, d) => {
+      val x = col("l_partkey") % 1024
+      val y = col("l_suppkey") % 1024
+      val zval = (0 until 10).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), zval.cast("long").as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(100)
     })
   )
 
@@ -204,6 +245,28 @@ object ScaleOps {
          |FROM tri t
          |WHERE NOT EXISTS (SELECT 1 FROM tri t2
          |                  WHERE t2.shset = t.shset AND t2.doc_id < t.doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "join_bloom" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 450000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "zorder_cluster" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |       CAST(${ZvalSql} AS BIGINT) AS zval
+         |FROM lineitem
+         |ORDER BY zval, l_orderkey, l_linenumber, l_partkey, l_suppkey
+         |LIMIT 100""".stripMargin
   )
+
+  /** The Morton interleave as portable shift arithmetic — the DuckDB twin of
+    * the Spark-side fold in `zorder_cluster` (same 20 terms, same order).
+    */
+  private def ZvalSql: String =
+    (0 until 10).map { i =>
+      s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i}) + " +
+        s"((((l_suppkey % 1024) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
 }

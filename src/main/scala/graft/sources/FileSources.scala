@@ -18,6 +18,7 @@ object FileSources {
 
   val CsvPath = "/root/repo/fixtures/sample_orders.csv"
   val JsonlPath = "/root/repo/fixtures/sample_events.jsonl"
+  val DocsPartPath = "/root/repo/fixtures/docs_part"
 
   val csvSchema: StructType = StructType(Seq(
     StructField("id", LongType),
@@ -55,7 +56,21 @@ object FileSources {
     "scan_jsonl" -> ((s, _) =>
       readJsonl(s)
         .select(col("id"), col("kind"), col("score"), col("meta.k").as("meta_k"))
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // Hive-partitioned directory layout (lang=XX/…): the partition column
+    // comes from the PATH, not the file, and a filter on it prunes whole
+    // directories before any I/O (PartitionFilters — asserted in
+    // FormatSpec). At 100 TB partition pruning is the first and cheapest
+    // form of data skipping.
+    "scan_partitioned" -> ((s, _) =>
+      s.read
+        .option("basePath", DocsPartPath)
+        .parquet(DocsPartPath)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "source"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -68,6 +83,12 @@ object FileSources {
       s"""SELECT id, kind, score, meta.k AS meta_k
          |FROM read_json('$JsonlPath', format='newline_delimited',
          |  columns={'id':'BIGINT','kind':'VARCHAR','score':'DOUBLE','meta':'STRUCT(k BIGINT)'})
-         |ORDER BY id""".stripMargin
+         |ORDER BY id""".stripMargin,
+    "scan_partitioned" ->
+      s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM read_parquet('$DocsPartPath/*/*.parquet', hive_partitioning=true)
+         |WHERE lang IN ('en', 'de')
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 }
