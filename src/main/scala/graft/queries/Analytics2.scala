@@ -41,12 +41,13 @@ object Analytics2 {
       val li = t(s, d, "lineitem")
       val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
         .agg(count(lit(1)).as("cnt"))
+      // single aggregate, no window shuffle: struct order = (count, −qty),
+      // so the max is (highest count, smallest qty) — the deterministic mode
       val modes = counts
-        .withColumn("max_cnt", max(col("cnt")).over(Window.partitionBy("l_returnflag")))
-        .filter(col("cnt") === col("max_cnt"))
         .groupBy("l_returnflag")
-        .agg(min(col("l_quantity")).as("mode_qty"),
-          max(col("max_cnt")).cast("long").as("mode_cnt"))
+        .agg(max(struct(col("cnt"), (-col("l_quantity")).as("negq"))).as("m"))
+        .select(col("l_returnflag"), (-col("m.negq")).as("mode_qty"),
+          col("m.cnt").cast("long").as("mode_cnt"))
       val med = li.groupBy("l_returnflag")
         .agg(round(median(col("l_quantity").cast("double")), 4).as("med_qty"))
       modes.join(med, "l_returnflag").orderBy("l_returnflag")
@@ -155,16 +156,19 @@ object Analytics2 {
     }),
 
     // CDC latest-snapshot compaction: one row per key = the change-log
-    // entry with the greatest (ts, event_id). The upsert-materialize op.
+    // entry with the greatest (ts, event_id). max_by over a struct ordering
+    // key instead of a sort-window: partial aggregation compacts each map
+    // partition to ≤1 row per key BEFORE the shuffle — at 100 TB the
+    // shuffle carries keys, not the log.
     "cdc_latest" -> ((s, d) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val payload = struct(col("event_id"), col("event_type"), col("value"),
+        col("ts_us"))
       events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id").as("last_event"),
-          col("event_type").as("last_type"), rd(col("value"), 4).as("last_value"),
-          col("ts_us").as("last_ts_us"))
+        .groupBy("user_id")
+        .agg(max_by(payload, struct(col("ts_us"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("last_event"),
+          col("m.event_type").as("last_type"), rd(col("m.value"), 4).as("last_value"),
+          col("m.ts_us").as("last_ts_us"))
         .orderBy("user_id")
     }),
 
@@ -189,7 +193,10 @@ object Analytics2 {
     "agg_approx_topk" -> ((s, d) => {
       t(s, d, "documents")
         .select(explode(split(graft.Tables.normText(col("text")), " ")).as("token"))
-        .agg(expr("approx_top_k(token, 10)").as("tk"))
+        // maxItemsTracked 1000 (default 10000): the per-partition summaries
+        // that move through the merge are 10× smaller, and 100× the k is
+        // far beyond the accuracy the top-10 needs on a zipfy vocabulary
+        .agg(expr("approx_top_k(token, 10, 1000)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.*"))
         .toDF("token", "est_count")

@@ -82,8 +82,11 @@ object Pipeline3 {
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), toks(col("text")).as("tk"))
         .withColumn("nt", size(col("tk")))
+        // greatest(1, …): docs shorter than (size − stride) tokens would
+        // otherwise yield 0 chunks — and Spark's sequence(0, −1) DESCENDS
         .withColumn("n_chunks",
-          ceil((col("nt") - size32).cast("double") / stride).cast("long") + 1)
+          greatest(lit(1L),
+            ceil((col("nt") - size32).cast("double") / stride).cast("long") + 1))
         .select(col("doc_id"),
           posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
             i => array_join(slice(col("tk"), i * stride + 1, lit(size32)), " "))))
@@ -176,7 +179,7 @@ object Pipeline3 {
          |                  len(string_split(${normTextSql("text")}, ' ')) AS nt
          |           FROM documents WHERE doc_id < 100),
          |c AS (SELECT doc_id, tk,
-         |             CAST(ceil((nt - 32) / 24.0) AS BIGINT) + 1 AS n_chunks
+         |             greatest(1, CAST(ceil((nt - 32) / 24.0) AS BIGINT) + 1) AS n_chunks
          |      FROM d)
          |SELECT doc_id, chunk_id,
          |       CAST(len(tk[(chunk_id * 24 + 1):(chunk_id * 24 + 32)]) AS BIGINT) AS n_chunk_toks,

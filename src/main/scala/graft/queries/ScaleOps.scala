@@ -150,7 +150,11 @@ object ScaleOps {
       val sel = t(s, d, "orders")
         .filter(col("o_totalprice") > 450000)
         .select(col("o_orderkey"))
-      val bloom = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      // stat.bloomFilter NPEs on an empty build side (no partial aggregates
+      // to merge) — degrade to an insert-free filter that rejects everything
+      val bloom =
+        if (sel.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1)
+        else sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
       val bloomB = s.sparkContext.broadcast(bloom)
       val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
       t(s, d, "lineitem")

@@ -10,13 +10,14 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 105 declared queries (53 SURVEY §2 + 52 extras), 99 with oracles") {
-    assert(SparkEntry.queries.size === 105)
-    assert(SparkEntry.oracleSql.size === 99)
+  test("inventory: 132 declared queries (53 SURVEY §2 + 79 extras), 124 with oracles") {
+    assert(SparkEntry.queries.size === 132)
+    assert(SparkEntry.oracleSql.size === 124)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
-      "agg_kmv_distinct", "agg_approx_percentile"))
+      "agg_kmv_distinct", "agg_approx_percentile", "agg_hll_union",
+      "agg_approx_topk"))
   }
 
   test("sim_ann_ivf recall: finds the aligned vector for query 0") {

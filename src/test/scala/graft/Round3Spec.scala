@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-3 surface (SURVEY.md §2.14): analytic aggregates, IGNORE NULLS
+  * windows, LATERAL, CDC compaction, function suites, pipeline ops, and the
+  * scale operators — runs the REAL SparkEntry.queries over TestTables plus
+  * targeted literal-DataFrame semantics checks.
+  */
+class Round3Spec extends SparkSpec {
+
+  private lazy val d = TestTables.dir(spark)
+  private def q(name: String) = SparkEntry.queries(name)(spark, d)
+
+  // ---- Analytics2 ----
+
+  test("agg_mode_median: mode tie breaks to smallest value, median interpolates") {
+    val r = q("agg_mode_median").collect().map(x => x.getString(0) -> x).toMap
+    // R has quantities {3.0, 8.0}: tied counts → mode = 3.0, median = 5.5
+    assert(r("R").getDouble(1) === 3.0)
+    assert(r("R").getLong(2) === 1L)
+    assert(r("R").getDouble(3) === 5.5)
+  }
+
+  test("agg_regr: two-point group is an exact fit (r2 = 1)") {
+    // R: (qty, price) = (3,200),(8,800) → slope 120, r2 1
+    val r = q("agg_regr").collect().map(x => x.getString(0) -> x).toMap
+    assert(r("R").getDouble(1) === 120.0)
+    assert(r("R").getDouble(3) === 1.0)
+    assert(r("R").getLong(4) === 2L)
+  }
+
+  test("agg_bitwise over URGENT order keys {10, 12}") {
+    val r = q("agg_bitwise").collect().map(x => x.getString(0) -> x).toMap
+    assert(r("1-URGENT").getLong(1) === (10L & 12L))
+    assert(r("1-URGENT").getLong(2) === (10L | 12L))
+    assert(r("1-URGENT").getLong(3) === (10L ^ 12L))
+  }
+
+  test("skewness/kurtosis are population moments (oracle converts DuckDB's sample stats)") {
+    import spark.implicits._
+    val r = Seq(1.0, 2.0, 4.0, 8.0, 16.0).toDF("x")
+      .agg(round(skewness(col("x")), 6), round(kurtosis(col("x")), 6)).head()
+    assert(r.getDouble(0) === 0.889048) // g1, not sample G1 (1.325315)
+    assert(r.getDouble(1) === -0.674059) // excess g2 == DuckDB kurtosis_pop
+  }
+
+  test("agg_collect_set renders the sorted distinct set stably") {
+    val r = q("agg_collect_set").collect().map(x => x.getString(0) -> x).toMap
+    assert(r("AUTO").getString(1) === "0,1")
+    assert(r("AUTO").getLong(2) === 2L)
+  }
+
+  test("agg_grouping_id distinguishes subtotal rows from genuine NULLs") {
+    val rows = q("agg_grouping_id").collect()
+    // sets: (lang)=1 row, (source)=3, (lang,source)=3, ()=1
+    assert(rows.length === 8)
+    val gids = rows.map(_.getLong(4)).toSet
+    assert(gids === Set(0L, 1L, 2L, 3L))
+    val grand = rows.filter(_.getLong(4) == 3L)
+    assert(grand.head.getLong(5) === 4L) // () row counts all docs
+  }
+
+  test("agg_argmax_struct: struct ordering ties on price break by key") {
+    import spark.implicits._
+    val df = Seq((1L, "P", 100.0), (2L, "P", 100.0)).toDF("k", "g", "p")
+    val r = df.groupBy("g").agg(max(struct(col("p"), col("k"))).as("m"))
+      .select(col("m.k")).head()
+    assert(r.getLong(0) === 2L)
+    val urgent = q("agg_argmax_struct").collect()
+      .map(x => x.getString(0) -> x).toMap.apply("1-URGENT")
+    assert(urgent.getLong(1) === 12L && urgent.getDouble(2) === 200.0)
+  }
+
+  test("window_fill_forward carries the last non-null forward (IGNORE NULLS)") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (2L, Double.NaN), (3L, Double.NaN), (4L, 40.0))
+      .toDF("i", "raw")
+      .withColumn("v", when(col("raw").isNaN, lit(null)).otherwise(col("raw")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("i")
+      .rowsBetween(Long.MinValue, 0)
+    val out = df.select(col("i"), last(col("v"), ignoreNulls = true).over(w).as("f"))
+      .orderBy("i").collect().map(_.getDouble(1))
+    assert(out.toSeq === Seq(10.0, 10.0, 10.0, 40.0))
+    // no click events in TestTables → fill stays null end-to-end
+    assert(q("window_fill_forward").collect().forall(_.isNullAt(2)))
+  }
+
+  test("join_lateral_topk: per-nation correlated LIMIT 2") {
+    val rows = q("join_lateral_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // BRAZIL has cust3 (75.0) and cust2 (50.25); ALGERIA only cust1
+    assert(rows.contains(("ALGERIA", 1L, 100.5)))
+    assert(rows.filter(_._1 == "BRAZIL").map(_._2).toSeq === Seq(2L, 3L))
+  }
+
+  test("cdc_latest keeps exactly the greatest (ts, event_id) row per key") {
+    val r = q("cdc_latest").collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(7L).getLong(1) === 4L && r(7L).getString(2) === "purchase")
+    assert(r(8L).getLong(1) === 5L)
+    assert(r.size === 2)
+  }
+
+  test("agg_hll_union: union estimate covers every per-group estimate") {
+    val rows = q("agg_hll_union").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = rows("ALL")
+    assert(rows.filterKeys(_ != "ALL").values.forall(_ <= all))
+    assert(all >= 1L)
+  }
+
+  test("agg_approx_topk matches exact counts on a tiny corpus") {
+    val rows = q("agg_approx_topk").collect()
+    assert(rows.length <= 10)
+    val est = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact: a→3 (docs 0,1,3), b→3, c→2
+    assert(est("a") === 3L && est("b") === 3L && est("c") === 2L)
+  }
+
+  // ---- Functions3 ----
+
+  test("func_regexp devowels and splits words") {
+    val r = q("func_regexp").head()
+    assert(r.getString(1) === "azure")
+    assert(r.getString(4) === "_z_r_ p_rt")
+    assert(r.getString(5) === "azure,part")
+  }
+
+  test("func_hash md5 matches JDK MessageDigest on the normalized text") {
+    val r = q("func_hash").head() // doc 0: "a b c"
+    val jdk = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(1) === jdk)
+    assert(r.getString(2).length === 64)
+    assert(r.getString(2).startsWith(r.getString(3)))
+  }
+
+  test("func_string2 row values") {
+    val r = q("func_string2").head()
+    assert(r.getString(1) === "part") // split_part 2
+    assert(r.getLong(2) === 1L) // instr('azure part','a')
+    assert(r.getString(3) === "00000001")
+    assert(r.getString(7) === "00001:small brass")
+  }
+
+  test("func_date2: calendar derivations for 1995-03-01") {
+    val r = q("func_date2").head()
+    assert(r.getTimestamp(1).toString.startsWith("1995-03-31"))
+    assert(r.getTimestamp(2).toString.startsWith("1995-03-01"))
+    assert(r.getLong(3) === 1L) // quarter
+    assert(r.getLong(4) === 4L) // Wednesday, Sun=1
+    assert(r.getTimestamp(6).toString.startsWith("1995-06-01"))
+  }
+
+  test("func_array2: position/filter/sorted-prefix") {
+    val r = q("func_array2").head() // doc 0: a b c
+    assert(r.getLong(1) === 0L) // 'spark' absent → 0 (matches DuckDB)
+    assert(r.getLong(2) === 3L)
+    assert(r.getLong(3) === 3L)
+    assert(r.getString(4) === "a b c")
+  }
+
+  test("func_url parses host/path/query param") {
+    val r = q("func_url").head()
+    assert(r.getString(1) === "https://src0.example.com/en/0?q=en")
+    assert(r.getString(2) === "src0.example.com")
+    assert(r.getString(3) === "/en/0")
+    assert(r.getString(4) === "en")
+  }
+
+  // ---- Pipeline3 ----
+
+  test("text_pii_redact masks both the email and the phone and counts them") {
+    val r = q("text_pii_redact").head() // doc 0
+    assert(r.getString(1).contains("[EMAIL]"))
+    assert(r.getString(1).contains("[PHONE]"))
+    assert(!r.getString(1).contains("@"))
+    assert(r.getLong(2) === 2L)
+  }
+
+  test("text_blocklist_mask is the identity on blocklist-free docs") {
+    val rows = q("text_blocklist_mask").collect()
+    assert(rows.forall(_.getLong(1) === 0L))
+    assert(rows.head.getString(2) === "a b c")
+    // semantics on a blocklisted token
+    import spark.implicits._
+    val masked = Seq("the cat").toDF("t")
+      .select(transform(split(col("t"), " "),
+        x => when(x === "the", lit("[MASK]")).otherwise(x)).as("m"))
+      .select(array_join(col("m"), " ")).head().getString(0)
+    assert(masked === "[MASK] cat")
+  }
+
+  test("doc_chunk: short docs yield one truncated chunk; windows cover all tokens") {
+    val rows = q("doc_chunk").collect()
+    assert(rows.length === 4) // one chunk per short doc
+    assert(rows.forall(_.getLong(1) === 0L))
+    assert(rows.map(_.getLong(2)).toSeq === Seq(3L, 3L, 2L, 3L)) // doc 2 = "x y"
+    // stride math on a literal 40-token doc: ceil((40-32)/24)+1 = 2 chunks
+    import spark.implicits._
+    val toks = (1 to 40).map(i => s"t$i")
+    val two = Seq(toks.mkString(" ")).toDF("text")
+      .select(split(col("text"), " ").as("tk"))
+      .select(posexplode(transform(
+        sequence(lit(0), ceil((size(col("tk")) - 32).cast("double") / 24).cast("long")),
+        i => slice(col("tk"), i * 24 + 1, lit(32)))))
+      .collect()
+    assert(two.length === 2)
+    assert(two(0).getSeq[String](1).size === 32)
+    assert(two(1).getSeq[String](1).size === 16) // tokens 25..40
+    assert(two(1).getSeq[String](1).last === "t40") // full coverage
+  }
+
+  test("text_contamination: no train slice in the tiny corpus → empty, runs clean") {
+    assert(q("text_contamination").collect().isEmpty)
+  }
+
+  test("corpus_report totals tie out") {
+    val rows = q("corpus_report").collect()
+    assert(rows.map(_.getLong(2)).sum === 4L) // n_docs
+    assert(rows.map(_.getLong(3)).sum === 11L) // 3+3+2+3 tokens
+  }
+
+  test("embedding_centroid: label-0 centroid norm from first two axes") {
+    val r = q("embedding_centroid").collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(0).getLong(1) === 2L) // n_vecs
+    assert(r(0).getLong(2) === 64L) // n_dims
+    // centroid (0.95, 0.05, 0, …) → sqrt(0.905) ≈ 0.9513
+    assert(math.abs(r(0).getDouble(3) - 0.9513) < 1e-9)
+  }
+
+  // ---- ScaleOps ----
+
+  test("join_bloom equals the plain semi join (strategy must not change rows)") {
+    val bloomed = q("join_bloom").collect()
+    val sel = spark.read.parquet(s"$d/orders.parquet")
+      .filter(col("o_totalprice") > 450000).select(col("o_orderkey"))
+    val plain = spark.read.parquet(s"$d/lineitem.parquet")
+      .join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("l_returnflag").collect()
+    assert(bloomed.toSeq === plain.toSeq)
+  }
+
+  test("zorder_cluster interleaves bits (Morton order)") {
+    val rows = q("zorder_cluster").collect()
+      .map(r => ((r.getLong(2), r.getLong(3)), r.getLong(4))).toMap
+    // interleave x-bits into even, y-bits into odd positions:
+    // (1,1)→1|2=3, (1,2)→1|8=9 (TestTables lineitem has keys 1 and 2 only)
+    assert(rows((1L, 1L)) === 3L)
+    assert(rows((1L, 2L)) === 9L)
+    // literal check of a multi-bit interleave: x=3 (11b), y=1 → 1+4+2=7
+    import spark.implicits._
+    val z = Seq((3L, 1L)).toDF("x", "y").select(
+      (0 until 10).map { i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _).as("z")).head().getLong(0)
+    assert(z === 7L)
+  }
+
+  test("scan_partitioned prunes partitions via the path column") {
+    val df = SparkEntry.queries("scan_partitioned")(spark, d) // dir unused: repo fixture
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+    val langs = df.collect().map(_.getString(0)).toSet
+    assert(langs === Set("de", "en"))
+  }
+}
