@@ -85,6 +85,26 @@ object Events {
         .orderBy("event_id")
     }),
 
+    // The same as-of semantics through the NATIVE operator
+    // (graft.plans.AsOfJoinExec — custom LogicalPlan + Strategy + SparkPlan
+    // via SparkSessionExtensions): one-pass merge of the key-sorted
+    // co-partitioned sides, no per-probe match set. Oracle identical to
+    // join_asof: the physical strategy must not change a row.
+    "join_asof_exec" -> ((s, d) => {
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts_us").as("v_ts"))
+      graft.plans.AsOfJoinNative
+        .join(p, v,
+          keys = Seq("user_id" -> "v_user"),
+          leftTime = "p_ts", rightTime = "v_ts",
+          strict = true, tiebreak = Seq("v_id"))
+        .select(col("p_id").as("event_id"), col("v_id").as("prev_view"))
+        .orderBy("event_id")
+    }),
+
     // Tumbling 1h windows — batch twin of the streaming groupBy(window(...)).
     "stream_tumbling" -> ((s, d) => {
       events(s, d)
@@ -174,6 +194,12 @@ object Events {
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
     // DuckDB native ASOF JOIN: match on max v.ts strictly below p.ts.
     "join_asof" ->
+      """SELECT p.event_id AS event_id, v.event_id AS prev_view
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts > v.ts
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_exec" ->
       """SELECT p.event_id AS event_id, v.event_id AS prev_view
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v

@@ -1,0 +1,20 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{DataFrame => ClassicDataFrame, Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+
+/** Minimal bridge into `private[sql]` surface, the standard technique for
+  * Spark extension libraries that contribute custom logical plans (the
+  * public Dataset API has no "wrap this LogicalPlan" entry point).
+  * Everything else in graft uses only public API.
+  */
+object GraftSqlShim {
+
+  /** Wrap a resolved logical plan as a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[ClassicDataFrame].queryExecution.analyzed
+}
