@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{normText, normTextSql, t}
+import graft.Tables.{events, normText, normTextSql, t}
 
 /** Round-3 training-data pipeline operators (SURVEY.md §2.14): PII
   * redaction, blocklist masking, fixed-stride document chunking,
@@ -130,6 +130,65 @@ object Pipeline3 {
         .orderBy("lang", "source")
     }),
 
+    // Unigram language-model scoring: corpus distribution p(t) = cnt/total,
+    // each doc scored by its mean log-probability — the perplexity-style
+    // quality cut. Vocabulary counts are tiny next to the corpus → the
+    // token→p join broadcasts; everything else is two hash aggregates.
+    "text_unigram_lm" -> ((s, d) => {
+      val toksDf = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      val counts = toksDf.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      toksDf
+        .join(broadcast(counts), "token")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Funnel conversion: users reaching view → later click → later purchase,
+    // each stage anchored strictly after the previous stage's first event.
+    // Three keyed aggregates + two equi-joins (each per-user, no windows).
+    "funnel_conversion" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("fv"))
+      val fc = ev.filter(col("event_type") === "click")
+        .join(fv, "user_id").filter(col("ts_us") > col("fv"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("fc"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fc, "user_id").filter(col("ts_us") > col("fc"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("fp"))
+      def stage(idx: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"), col("n_users"))
+      stage(1, "view", fv)
+        .unionByName(stage(2, "click_after_view", fc))
+        .unionByName(stage(3, "purchase_after_click", fp))
+        .orderBy("stage_idx")
+    }),
+
+    // Column profiling (the data-quality report): per column of the CSV
+    // fixture (the one input with genuine nulls) — row/null/distinct counts
+    // via stack to long form. Counts are representation-independent, so
+    // casting values to string for the unpivot is parity-safe.
+    "profile_nulls" -> ((s, _) => {
+      graft.sources.FileSources.readCsv(s)
+        .select(expr(
+          """stack(4,
+            |  'id', CAST(id AS STRING),
+            |  'name', name,
+            |  'amount', CAST(amount AS STRING),
+            |  'd', CAST(d AS STRING)) AS (col_name, val)""".stripMargin))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          count_if(col("val").isNull).as("n_nulls"),
+          countDistinct(col("val")).as("n_distinct"))
+        .orderBy("col_name")
+    }),
+
     // Per-label embedding centroid via the (label, dim) pivot: posexplode →
     // per-coordinate mean → reassembled L2 norm. Reports dims and count.
     "embedding_centroid" -> ((s, d) => {
@@ -200,6 +259,42 @@ object Pipeline3 {
          |FROM train JOIN bench USING (g8)
          |GROUP BY train_id, bench_id
          |ORDER BY train_id, bench_id""".stripMargin,
+    "text_unigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(${normTextSql("text")}, ' ')) AS token
+         |             FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         |tot AS (SELECT sum(cnt) AS total FROM c)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |       round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS lm_score
+         |FROM tok JOIN c USING (token) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |fv AS (SELECT user_id, min(ts_us) AS fv FROM e WHERE event_type = 'view' GROUP BY 1),
+        |fc AS (SELECT e.user_id, min(ts_us) AS fc FROM e JOIN fv USING (user_id)
+        |       WHERE event_type = 'click' AND ts_us > fv GROUP BY 1),
+        |fp AS (SELECT e.user_id, min(ts_us) AS fp FROM e JOIN fc USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > fc GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |         CAST(count(*) AS BIGINT) AS n_users FROM fv
+        |  UNION ALL
+        |  SELECT 2, 'click_after_view', CAST(count(*) AS BIGINT) FROM fc
+        |  UNION ALL
+        |  SELECT 3, 'purchase_after_click', CAST(count(*) AS BIGINT) FROM fp)
+        |ORDER BY stage_idx""".stripMargin,
+    "profile_nulls" ->
+      s"""WITH src AS (SELECT * FROM read_csv('${graft.sources.FileSources.CsvPath}', header=true,
+         |  columns={'id':'BIGINT','name':'VARCHAR','amount':'DOUBLE','d':'DATE'})),
+         |long AS (
+         |  SELECT 'id' AS col_name, CAST(id AS VARCHAR) AS val FROM src
+         |  UNION ALL SELECT 'name', name FROM src
+         |  UNION ALL SELECT 'amount', CAST(amount AS VARCHAR) FROM src
+         |  UNION ALL SELECT 'd', CAST(d AS VARCHAR) FROM src)
+         |SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count_if(val IS NULL) AS BIGINT) AS n_nulls,
+         |       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct
+         |FROM long GROUP BY col_name ORDER BY col_name""".stripMargin,
     "corpus_report" ->
       s"""SELECT lang, source,
          |       CAST(count(*) AS BIGINT) AS n_docs,

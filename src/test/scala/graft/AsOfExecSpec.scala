@@ -63,6 +63,26 @@ class AsOfExecSpec extends SparkSpec {
     assert(native.nonEmpty) // each purchase has an earlier view in TestTables
   }
 
+  test("property: native ≡ composed on randomized inputs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val probes = Seq.tabulate(60)(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, i.toLong))
+        .toDF("k", "t", "pid")
+      val quotes = Seq.tabulate(80)(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong, i.toLong))
+        .toDF("qk", "qt", "qid")
+      val native = AsOfJoinNative
+        .join(probes, quotes, Seq("k" -> "qk"), "t", "qt", tiebreak = Seq("qid"))
+        .select("pid", "qid").orderBy("pid").collect()
+      val composed = graft.operators.AsOfJoin
+        .join(probes, quotes, Seq("k" -> "qk"), leftTime = "t", rightTime = "qt",
+          tiebreak = Seq($"qid".desc))
+        .select("pid", "qid").orderBy("pid").collect()
+      assert(native.toSeq === composed.toSeq, s"trial $trial diverged")
+    }
+  }
+
   test("plan: AsOfJoin merge exec with co-partitioned exchanges, no Window") {
     val plan = SparkEntry.queries("join_asof_exec")(spark, d)
       .queryExecution.executedPlan.toString

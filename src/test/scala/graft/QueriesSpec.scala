@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 133 declared queries (53 SURVEY §2 + 80 extras), 125 with oracles") {
-    assert(SparkEntry.queries.size === 133)
-    assert(SparkEntry.oracleSql.size === 125)
+  test("inventory: 136 declared queries (53 SURVEY §2 + 83 extras), 128 with oracles") {
+    assert(SparkEntry.queries.size === 136)
+    assert(SparkEntry.oracleSql.size === 128)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",

@@ -220,6 +220,35 @@ class Round3Spec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum === 11L) // 3+3+2+3 tokens
   }
 
+  test("text_unigram_lm: uniform tiny corpus scores by token frequency") {
+    val rows = q("text_unigram_lm").collect()
+    assert(rows.length === 4)
+    // doc 3 = "a b d": a,b appear 3× of 11 tokens, d once →
+    // score = (2·ln(3/11) + ln(1/11)) / 3
+    val expected = (2 * math.log(3.0 / 11) + math.log(1.0 / 11)) / 3
+    val d3 = rows.find(_.getLong(0) == 3L).get
+    assert(math.abs(d3.getDouble(2) - expected) < 1e-3)
+  }
+
+  test("funnel_conversion stages are monotonically non-increasing") {
+    val rows = q("funnel_conversion").collect()
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("view", "click_after_view", "purchase_after_click"))
+    val ns = rows.map(_.getLong(2))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2))
+    assert(ns(0) === 2L) // users 7 and 8 both view; no clicks in TestTables
+    assert(ns(1) === 0L && ns(2) === 0L)
+  }
+
+  test("profile_nulls counts rows/nulls/distinct per CSV column") {
+    val byCol = q("profile_nulls").collect().map(r => r.getString(0) -> r).toMap
+    assert(byCol.keySet === Set("id", "name", "amount", "d"))
+    val n = byCol("id").getLong(1)
+    assert(byCol.values.forall(_.getLong(1) === n)) // same row count per column
+    assert(byCol("amount").getLong(2) > 0L) // fixture has a null amount
+    assert(byCol("id").getLong(3) === n - byCol("id").getLong(2)) // ids unique
+  }
+
   test("embedding_centroid: label-0 centroid norm from first two axes") {
     val r = q("embedding_centroid").collect().map(x => x.getInt(0) -> x).toMap
     assert(r(0).getLong(1) === 2L) // n_vecs
