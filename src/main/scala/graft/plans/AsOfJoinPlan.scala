@@ -22,8 +22,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * co-partitioned streams in one pass: each side shuffles ONCE on its key,
   * each right row is read ONCE per partition, and no intermediate match
   * set ever exists — the 100 TB-safe shape (same layout discipline as a
-  * sort-merge join; AQE skew splitting applies to the exchanges the same
-  * way).
+  * sort-merge join). Skew caveat: AQE's OptimizeSkewedJoin matches only
+  * SortMergeJoin/ShuffledHashJoin nodes, so a hot key here needs the
+  * manual mitigation — time-bucket the key (key, ts-bucket) so each
+  * bucket pair merges independently; that salting composes on top of
+  * this operator unchanged.
   *
   * Semantics (matched to DuckDB `ASOF JOIN … ON l.key = r.key AND l.ts >
   * r.ts`, the reference for the declared query): backward-looking inner
@@ -124,7 +127,7 @@ case class AsOfJoinExec(
           while (pending == null && lIter.hasNext) {
             val lrow = lIter.next()
             val lkey = lKeyProj(lrow)
-            if (!lkey.anyNull) {
+            if (!lkey.anyNull && !lTsProj(lrow).anyNull) {
               val lts = lTsProj(lrow)
               // advance the right cursor past everything at-or-before this
               // left position; remember the last key-matching row passed
@@ -137,7 +140,10 @@ case class AsOfJoinExec(
                   if (isStrict) tc < 0 else tc <= 0
                 })
                 if (before) {
-                  if (kc == 0 && !rkey.anyNull) {
+                  // null keys and null timestamps never match (a NULL ts
+                  // sorts first and would otherwise pose as -infinity, which
+                  // both DuckDB ASOF and the composed form reject)
+                  if (kc == 0 && !rkey.anyNull && !rTsProj(rHead).anyNull) {
                     candidate = rHead.copy()
                     candidateKey = rkey.copy()
                   }

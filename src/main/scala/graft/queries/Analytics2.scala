@@ -78,12 +78,16 @@ object Analytics2 {
     }),
 
     // Higher-moment shape statistics (population g1 / excess kurtosis).
+    // NULL for n < 3 or zero variance on BOTH sides: DuckDB's sample
+    // skewness is NULL there while Spark's population form returns
+    // 0/NaN, so the defined domain is pinned explicitly.
     "agg_skew_kurt" -> ((s, d) => {
+      val defined = count(col("l_discount")) >= 3 && var_samp(col("l_discount")) > 0
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(skewness(col("l_discount")), 6).as("skew"),
-          round(kurtosis(col("l_discount")), 6).as("kurt"),
+          when(defined, round(skewness(col("l_discount")), 6)).as("skew"),
+          when(defined, round(kurtosis(col("l_discount")), 6)).as("kurt"),
           count(col("l_discount")).as("n"))
         .orderBy("l_returnflag")
     }),
@@ -236,9 +240,13 @@ object Analytics2 {
     // population definitions: g1 = G1·(n−2)/√(n(n−1)), kurtosis_pop = g2.
     "agg_skew_kurt" ->
       """SELECT l_returnflag,
-        |       round(skewness(l_discount) * (count(l_discount) - 2)
-        |             / sqrt(count(l_discount) * (count(l_discount) - 1.0)), 6) AS skew,
-        |       round(kurtosis_pop(l_discount), 6) AS kurt,
+        |       CASE WHEN count(l_discount) >= 3 AND var_samp(l_discount) > 0
+        |            THEN round(skewness(l_discount) * (count(l_discount) - 2)
+        |                 / sqrt(count(l_discount) * (count(l_discount) - 1.0)), 6)
+        |       END AS skew,
+        |       CASE WHEN count(l_discount) >= 3 AND var_samp(l_discount) > 0
+        |            THEN round(kurtosis_pop(l_discount), 6)
+        |       END AS kurt,
         |       CAST(count(l_discount) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_collect_set" ->

@@ -52,8 +52,10 @@ object Pipeline3 {
           col("doc_id"),
           regexp_replace(regexp_replace(col("msg"), EmailPat, "[EMAIL]"),
             PhonePat, "[PHONE]").as("redacted"),
-          (expr(s"regexp_count(msg, '$EmailPat')") +
-            expr(s"regexp_count(msg, '$PhonePat')")).cast("long").as("n_pii"))
+          // function API, not expr(): SQL string literals drop the backslash
+          // of unrecognized escapes, which would silently loosen '\.com'
+          (regexp_count(col("msg"), lit(EmailPat)) +
+            regexp_count(col("msg"), lit(PhonePat))).cast("long").as("n_pii"))
         .orderBy("doc_id")
     }),
 

@@ -150,11 +150,13 @@ object ScaleOps {
       val sel = t(s, d, "orders")
         .filter(col("o_totalprice") > 450000)
         .select(col("o_orderkey"))
-      // stat.bloomFilter NPEs on an empty build side (no partial aggregates
-      // to merge) — degrade to an insert-free filter that rejects everything
+      // count first: it sizes the filter to the actual key cardinality AND
+      // guards stat.bloomFilter's NPE on an empty build side (no partial
+      // aggregates to merge) — degrading to an insert-free reject-all
+      val nKeys = sel.count()
       val bloom =
-        if (sel.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1)
-        else sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+        if (nKeys == 0) org.apache.spark.util.sketch.BloomFilter.create(1)
+        else sel.stat.bloomFilter("o_orderkey", nKeys, 0.01)
       val bloomB = s.sparkContext.broadcast(bloom)
       val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
       t(s, d, "lineitem")

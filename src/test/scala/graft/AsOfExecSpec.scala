@@ -56,6 +56,17 @@ class AsOfExecSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("null timestamps never match (a NULL ts is not -infinity)") {
+    // NULL right ts sorts NULLS FIRST and would otherwise pose as an
+    // always-earlier candidate; DuckDB ASOF (l.ts > NULL) rejects it
+    val q = Seq((1L, Option.empty[Long], 500L)).toDF("qk", "qt", "qv")
+    assert(AsOfJoinNative.join(probes, q, Seq("k" -> "qk"), "t", "qt")
+      .collect().isEmpty)
+    val p = Seq((1L, Option.empty[Long], 1L)).toDF("k", "t", "pv")
+    assert(AsOfJoinNative.join(p, quotes, Seq("k" -> "qk"), "t", "qt")
+      .collect().isEmpty)
+  }
+
   test("join_asof_exec ≡ join_asof (native exec vs composed window, TestTables)") {
     val native = SparkEntry.queries("join_asof_exec")(spark, d).collect()
     val composed = SparkEntry.queries("join_asof")(spark, d).collect()

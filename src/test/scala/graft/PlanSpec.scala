@@ -27,9 +27,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no query plans a CartesianProduct; nested-loop joins only where declared") {
-    // text_tfidf broadcasts a single-row aggregate (the corpus size) — a
-    // deliberate 1×N nested-loop, not a join-order accident
-    val bnljAllowed = Set("join_cross", "sim_knn_cosine", "text_tfidf")
+    // text_tfidf / text_unigram_lm broadcast a single-row aggregate (the
+    // corpus total) — a deliberate 1×N nested-loop, not a join-order accident
+    val bnljAllowed = Set("join_cross", "sim_knn_cosine", "text_tfidf",
+      "text_unigram_lm")
     // these run real jobs at construction time (quantizer-sample collect,
     // iterative label rounds), and for the localCheckpoint-based ones the
     // executedPlan is a truncated checkpoint scan this test couldn't see
