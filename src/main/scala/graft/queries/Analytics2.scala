@@ -176,6 +176,31 @@ object Analytics2 {
         .orderBy("user_id")
     }),
 
+    // Time-series resample: densify each user's activity to an hourly grid
+    // (sequence-exploded spine, no recursion), LEFT JOIN the per-hour
+    // aggregate, forward-fill gaps with the last observed value. Spine size
+    // is bounded by the time RANGE per key, independent of event volume.
+    "resample_hourly" -> ((s, d) => {
+      val UsPerHour = 3600000000L
+      // integer `div`, not `/`: double division of µs-scale longs can land
+      // a hair below the true quotient and floor to the previous hour
+      val ev = events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $UsPerHour").as("hr"),
+          col("value"))
+      val agg = ev.groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      val spine = ev.groupBy("user_id")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val w = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(agg, Seq("user_id", "hr"), "left_outer")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sum_v"), ignoreNulls = true).over(w).as("fill_v"))
+        .orderBy("user_id", "hr")
+    }),
+
     // DataSketches HLL: per-group sketches merged by hll_union_agg — the
     // re-aggregatable distinct-count pattern (sketches, not raw keys, move
     // through the shuffle). Estimates are algorithm-specific → oracle-less;
@@ -286,6 +311,19 @@ object Analytics2 {
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
         |WHERE rn <= 2
         |ORDER BY n_name, c_custkey""".stripMargin,
+    "resample_hourly" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value FROM events),
+        |a AS (SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n,
+        |             round(sum(value), 4) AS sum_v
+        |      FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM e GROUP BY 1),
+        |s AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM b)
+        |SELECT s.user_id, s.hr, coalesce(a.n, 0) AS n,
+        |       last_value(a.sum_v IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.hr
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_v
+        |FROM s LEFT JOIN a ON s.user_id = a.user_id AND s.hr = a.hr
+        |ORDER BY s.user_id, s.hr""".stripMargin,
     "cdc_latest" ->
       """SELECT user_id, event_id AS last_event, event_type AS last_type,
         |       floor(value * 10000.0 + 0.5) / 10000.0 AS last_value,

@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 136 declared queries (53 SURVEY §2 + 83 extras), 128 with oracles") {
-    assert(SparkEntry.queries.size === 136)
-    assert(SparkEntry.oracleSql.size === 128)
+  test("inventory: 137 declared queries (53 SURVEY §2 + 84 extras), 129 with oracles") {
+    assert(SparkEntry.queries.size === 137)
+    assert(SparkEntry.oracleSql.size === 129)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
