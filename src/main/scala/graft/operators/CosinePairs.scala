@@ -25,11 +25,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CosinePairs {
 
-  /** Pairs (a_id < b_id) with cosine ≥ threshold. Input df: (id, vec). */
-  def allPairs(spark: SparkSession, df: DataFrame, threshold: Double): DataFrame = {
+  /** Pairs (a_id < b_id) with cosine ≥ threshold. Input df: (id, vec).
+    *
+    * `maxBuildRows` is a fail-fast ceiling on the collected+broadcast build
+    * side (mirrors AnnIvf.sampleCap): an unblocked call at scale must throw
+    * loudly, not OOM the driver silently. The collect itself is bounded by
+    * `limit(maxBuildRows + 1)`, so even an oversized input pulls at most one
+    * row past the cap before the require fires.
+    */
+  def allPairs(
+      spark: SparkSession,
+      df: DataFrame,
+      threshold: Double,
+      maxBuildRows: Int = 100000): DataFrame = {
     import spark.implicits._
     val rows = df.selectExpr("id", "vec").as[(Long, Array[Double])]
-    val build = rows.collect().sortBy(_._1)
+    val capped = rows.limit(maxBuildRows + 1).collect()
+    require(
+      capped.length <= maxBuildRows,
+      s"CosinePairs.allPairs build side exceeds maxBuildRows=$maxBuildRows " +
+        "rows; block the input (e.g. by id range) or pre-filter with an ANN " +
+        "operator (AnnLsh/AnnIvf) so the exact kernel only runs inside buckets")
+    val build = capped.sortBy(_._1)
     val norms = build.map { case (_, v) =>
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
