@@ -1,6 +1,9 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,10 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * In a real pipeline the payload column comes from
   * `spark.read.format("binaryFile")` (images/audio/video blobs) or a parquet
-  * table with a binary column; here the documents table's text bytes stand
-  * in as the payload so the plumbing — schema, typed Dataset hop,
-  * mapPartitions batch shape — is real and oracle-checkable while the codec
-  * is STUBBED (no image libs in this container).
+  * table with a binary column. The IMAGE path is fully real: committed
+  * png/jpg/bmp payloads decoded with JDK-builtin `javax.imageio`
+  * (`decodeImages`). The audio/video-shaped stages (`resizeStub`,
+  * `frameSampleStub`) keep deterministic stand-in codecs (those libs aren't
+  * in this container) over the same real plumbing shapes.
   *
   * Scale notes: decode runs inside `mapPartitions`, so per-partition codec
   * initialization is amortized across the partition's rows (the pattern a
@@ -23,6 +27,66 @@ import org.apache.spark.sql.functions._
   * so a 100 TB media scan shuffles kilobytes per task downstream.
   */
 object Binary {
+
+  /** Committed fixture of real encoded images (see tools.GenMediaFixture):
+    * (doc_id, payload, exp_width, exp_height, exp_format, exp_pixsum) where
+    * the exp_* columns were computed by ROUND-TRIPPING the committed bytes
+    * through this same decoder at generation time — so the DuckDB oracle
+    * reads expectations while Spark re-derives them from the pixels.
+    */
+  val MediaFixturePath = "/root/repo/fixtures/media_images.parquet"
+
+  case class ImageRow(doc_id: Long, payload: Array[Byte])
+  case class ImageMeta(
+      doc_id: Long, byte_len: Long, width: Long, height: Long,
+      format: String, pix_sum: Long)
+
+  /** REAL image decode (JDK-builtin `javax.imageio`, zero new deps): true
+    * width/height, the container format the reader sniffed from the magic
+    * bytes, and a checksum over every decoded RGB sample — proof the pixels,
+    * not just the header, were decoded.
+    */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, String, Long) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader recognizes this payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val fmt = reader.getFormatName.toLowerCase
+        val img = reader.read(0)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (img.getWidth, img.getHeight, fmt, sum)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Distributed decode: binary column in, typed metadata out. Decode runs
+    * inside `mapPartitions` (rows never leave their partition — no shuffle)
+    * and the output is a narrow row, so a 100 TB media scan shuffles only
+    * kilobytes per task downstream. ImageIO's reader registry lookup is the
+    * per-partition "codec handle" being amortized.
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[ImageRow].mapPartitions { it =>
+      it.map { r =>
+        val (w, h, fmt, pix) = decodeImage(r.payload)
+        ImageMeta(r.doc_id, r.payload.length.toLong, w.toLong, h.toLong, fmt, pix)
+      }
+    }
+  }
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
   case class Decoded(doc_id: Long, byte_len: Long, width: Long, height: Long, thumb_hash: String)

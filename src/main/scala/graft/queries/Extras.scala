@@ -180,11 +180,16 @@ object Extras {
         .orderBy("qid", "rnk")
     }),
 
-    // Multimodal binary plumbing: payload + typed metadata + per-partition
-    // stubbed decode (graft.multimodal.Binary).
-    "multimodal_binary" -> ((s, d) => {
+    // Multimodal binary column with a REAL javax.imageio decode: committed
+    // png/jpg/bmp payloads (fixtures/media_images.parquet, see
+    // tools.GenMediaFixture) → true width/height/format + a checksum over
+    // every decoded RGB sample, per-partition with no shuffle. The oracle
+    // reads the fixture's round-trip-precomputed exp_* columns, so a
+    // hash-match proves the pixels were actually decoded.
+    "multimodal_binary" -> ((s, _) => {
       graft.multimodal.Binary
-        .decodedMeta(s, t(s, d, "documents"))
+        .decodeImages(s, s.read.parquet(graft.multimodal.Binary.MediaFixturePath))
+        .toDF()
         .orderBy("doc_id")
     })
   )
@@ -290,10 +295,10 @@ object Extras {
         |FROM p WHERE cos >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
     "multimodal_binary" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
-        |       64 + CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 448 AS width,
-        |       64 + CAST(('0x' || substr(md5(text), 7, 6)) AS BIGINT) % 448 AS height,
-        |       substr(md5(text), 1, 8) AS thumb_hash
-        |FROM documents ORDER BY doc_id""".stripMargin
+      s"""SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS byte_len,
+         |       exp_width AS width, exp_height AS height,
+         |       exp_format AS format, exp_pixsum AS pix_sum
+         |FROM read_parquet('${graft.multimodal.Binary.MediaFixturePath}/*.parquet')
+         |ORDER BY doc_id""".stripMargin
   )
 }

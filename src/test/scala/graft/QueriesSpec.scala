@@ -38,13 +38,17 @@ class QueriesSpec extends SparkSpec {
     assert(rows.contains(1L)) // e1 shares e0's bucket (cos≈0.99)
   }
 
-  test("multimodal_binary decode stub is deterministic and plumbed end-to-end") {
+  test("multimodal_binary really decodes the committed images (true dims + formats)") {
     val rows = q("multimodal_binary").collect()
-    assert(rows.length === 4)
-    val r0 = rows.find(_.getLong(0) == 0L).get
-    assert(r0.getLong(1) === 5L) // "a b c" is 5 bytes
-    assert(r0.getLong(2) >= 64L && r0.getLong(2) < 512L)
-    assert(r0.getString(4).length === 8)
+    assert(rows.length === 64)
+    // dims follow the generator's formulas — only a real decode recovers them
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) === 8 + id * 7 % 57, s"width of doc $id")
+      assert(r.getLong(3) === 8 + id * 13 % 57, s"height of doc $id")
+    }
+    assert(rows.map(_.getString(4)).toSet === Set("png", "jpeg", "bmp"))
+    assert(rows.forall(_.getLong(5) > 0L)) // every image's pixels were summed
   }
 
   test("multimodal resize and frame-sample stubs run the real plumbing") {
