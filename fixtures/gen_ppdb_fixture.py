@@ -29,3 +29,17 @@ with open(p, "wb") as raw:
     with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:
         f.write(LINES.encode("utf-8"))
 print(f"wrote {p}")
+
+# Multi-file pack: the SAME 12 rules split across 4 .gz parts — the shape a
+# real PPDB release ships in. gzip is non-splittable, so parallelism on the
+# raw release equals the file count; ppdb_parse_multi + its spec prove the
+# glob scan schedules one task per part.
+multi = pathlib.Path(__file__).resolve().parent / "ppdb_multi"
+multi.mkdir(exist_ok=True)
+lines = LINES.splitlines(keepends=True)
+for i in range(4):
+    part = multi / f"part-{i:05d}.txt.gz"
+    with open(part, "wb") as raw:
+        with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:
+            f.write("".join(lines[i * 3:(i + 1) * 3]).encode("utf-8"))
+    print(f"wrote {part}")

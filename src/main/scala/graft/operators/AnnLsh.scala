@@ -8,21 +8,28 @@ import org.apache.spark.sql.functions._
   * (Charikar 2002 SimHash for angular distance), the bucketed scale path
   * next to the brute-force `sim_knn_cosine` baseline.
   *
-  * Each vector gets an `nPlanes`-bit bucket id: bit k = sign(v · r_k) for a
-  * fixed seeded ±1 hyperplane r_k. Probing is multi-probe (the query bucket
-  * plus all Hamming-1 neighbors), trading k·probes small lookups for recall.
+  * Each vector gets an `nPlanes`-bit bucket id per table: bit k =
+  * sign(v · r_k) for a fixed seeded ±1 hyperplane r_k. Recall comes from
+  * two standard amplifiers composed (Indyk–Motwani OR-construction +
+  * multi-probe): `nTables` independent plane sets — a neighbor is found if
+  * it collides in ANY table — and each table probes the query bucket plus
+  * all Hamming-1 neighbors. Tuning rule: per-table collision for a
+  * neighbor at angle θ is p^nPlanes-ish with p = 1 − θ/π, so nPlanes
+  * scales with log(n) for candidate-set size and nTables lifts recall as
+  * 1 − (1 − p₁)^nTables.
   *
-  * Scale design (100 TB of vectors): vectors shuffle once on bucket id —
-  * an equi-join key — so each probe touches ~n/2^nPlanes candidates instead
-  * of n. Brute-force cosine is only computed inside probed buckets. The
-  * parquet layout would bucket/partition by `bucket` so probes prune
-  * partitions at the scan.
+  * Scale design (100 TB of vectors): the index replicates each vector
+  * nTables times — the textbook LSH space/recall trade — and shuffles once
+  * on the (table, bucket) key, so each probe touches ~n/2^nPlanes
+  * candidates instead of n. Brute-force cosine is only computed inside
+  * probed buckets. The parquet layout would bucket/partition by `tbucket`
+  * so probes prune partitions at the scan.
   */
 object AnnLsh {
 
-  /** Deterministic ±1 hyperplanes, `nPlanes` × `dim` (fixed seed). */
-  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(7)
+  /** Deterministic ±1 hyperplanes, `nPlanes` × `dim` (seed per table). */
+  private def planes(nPlanes: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7 + seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
@@ -31,8 +38,8 @@ object AnnLsh {
     * products and collapse every vector into bucket 0 (a silent brute-force
     * scan instead of an error).
     */
-  def bucket(vec: Column, nPlanes: Int, dim: Int): Column = {
-    val ps = planes(nPlanes, dim)
+  def bucket(vec: Column, nPlanes: Int, dim: Int, table: Int = 0): Column = {
+    val ps = planes(nPlanes, dim, table)
     val bits = ps.zipWithIndex.map { case (p, k) =>
       val dot = aggregate(
         zip_with(vec, typedLit(p), (x, y) => x * y),
@@ -46,29 +53,37 @@ object AnnLsh {
         coalesce(size(vec).cast("string"), lit("null"))))) // null vec → clear message, not raise_error(NULL)
   }
 
-  /** Top-k approximate neighbors for each query vector (multi-probe at
-    * Hamming distance ≤ 1). Output: (qid, rnk, nid, cos) — same shape as the
-    * brute-force baseline so recall is directly measurable.
+  /** Top-k approximate neighbors for each query vector (`nTables`
+    * OR-amplified tables, multi-probe at Hamming distance ≤ 1 in each).
+    * Output: (qid, rnk, nid, cos) — same shape as the brute-force baseline
+    * so recall is directly measurable.
     */
   def topK(
       emb: DataFrame, // (vec_id, vec: array<double>)
       queries: DataFrame, // (qid, qvec: array<double>)
       k: Int = 5,
       nPlanes: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      nTables: Int = 1): DataFrame = {
+    // (table, bucket) packed into one equi-join key: table id in the bits
+    // above the bucket's nPlanes
+    def tbucket(vec: Column, t: Int): Column =
+      bucket(vec, nPlanes, dim, t) + lit(t.toLong << nPlanes)
     // fan out: the corpus-side bucket hashes + candidate cosines are CPU
-    // bound and a one-file scan arrives as a single partition
+    // bound and a one-file scan arrives as a single partition. The explode
+    // is the ×nTables index replication.
     val bucketed = emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
-      .withColumn("bucket", bucket(col("vec"), nPlanes, dim))
-    // query bucket + its nPlanes Hamming-1 probes
+      .withColumn("bucket", explode(array((0 until nTables).map(t => tbucket(col("vec"), t)): _*)))
+    // per table: query bucket + its nPlanes Hamming-1 probes
+    val probeCols = (0 until nTables).flatMap { t =>
+      val qb = tbucket(col("qvec"), t)
+      qb +: (0 until nPlanes).map(b => qb.bitwiseXOR(lit(1L << b)))
+    }
     val probes = queries
-      .withColumn("qbucket", bucket(col("qvec"), nPlanes, dim))
       .select(
         col("qid"), col("qvec"),
-        explode(expr(
-          s"array_union(array(qbucket), transform(sequence(0, ${nPlanes - 1}), k -> qbucket ^ shiftleft(CAST(1 AS BIGINT), k)))"))
-          .as("probe"))
+        explode(array_distinct(array(probeCols: _*))).as("probe"))
 
     // native codegen'd kernels (graft.plans.VecExprs) — bit-identical to
     // the lambda fold, no per-element closure interpretation on candidates

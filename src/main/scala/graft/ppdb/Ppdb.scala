@@ -103,14 +103,24 @@ object Ppdb {
     * validated: 1-byte sentinel delimiter that never occurs, so each line
     * lands whole in `column0`; gzip decompression is automatic).
     */
-  val OracleCte: String =
-    """WITH ppdb AS (
-      |  SELECT f[1] AS lhs, f[2] AS phrase, f[3] AS paraphrase,
-      |         f[4] AS features_raw, f[5] AS alignment, f[6] AS entailment,
-      |         CAST(regexp_extract(f[4], 'PPDB2\.0Score=([-+]?[0-9.]+([eE][-+]?[0-9]+)?)', 1) AS DOUBLE) AS ppdb2score
-      |  FROM (SELECT string_split(column0, ' ||| ') AS f
-      |        FROM read_csv('/root/repo/fixtures/ppdb_sample.txt.gz',
-      |                      delim=e'\x01', header=false, quote='', escape='',
-      |                      columns={'column0': 'VARCHAR'}))
-      |)""".stripMargin
+  /** DuckDB twin of `parse` over any path/glob (read_csv accepts globs, so
+    * the multi-file pack oracles through the same CTE).
+    */
+  def oracleCte(path: String): String =
+    s"""WITH ppdb AS (
+       |  SELECT f[1] AS lhs, f[2] AS phrase, f[3] AS paraphrase,
+       |         f[4] AS features_raw, f[5] AS alignment, f[6] AS entailment,
+       |         CAST(regexp_extract(f[4], 'PPDB2\\.0Score=([-+]?[0-9.]+([eE][-+]?[0-9]+)?)', 1) AS DOUBLE) AS ppdb2score
+       |  FROM (SELECT string_split(column0, ' ||| ') AS f
+       |        FROM read_csv('$path',
+       |                      delim=e'\\x01', header=false, quote='', escape='',
+       |                      columns={'column0': 'VARCHAR'}))
+       |)""".stripMargin
+
+  val OracleCte: String = oracleCte(FixturePath)
+
+  /** 4-part .gz pack of the same rules (FIXTURES.md): gzip is unsplittable,
+    * so this glob's scan parallelism = 4 — one task per part.
+    */
+  val MultiFixtureDir = "/root/repo/fixtures/ppdb_multi"
 }

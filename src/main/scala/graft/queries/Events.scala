@@ -105,6 +105,27 @@ object Events {
         .orderBy("event_id")
     }),
 
+    // The same as-of semantics again, under the declared SKEW mitigation:
+    // time-bucket salting (1h buckets) composed over AsOfJoinExec
+    // (operators.AsOfSkew). A hot user's rows spread across one partition
+    // per touched bucket; pass 2 repairs cross-bucket matches from a
+    // bucket-cardinality aggregate. Oracle identical to join_asof: salting
+    // must not change a row.
+    "join_asof_skew" -> ((s, d) => {
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts_us").as("v_ts"))
+      graft.operators.AsOfSkew
+        .join(p, v,
+          keys = Seq("user_id" -> "v_user"),
+          leftId = "p_id", leftTime = "p_ts", rightTime = "v_ts",
+          tiebreak = "v_id", bucketWidth = 3600L * 1000000L)
+        .select(col("p_id").as("event_id"), col("v_id").as("prev_view"))
+        .orderBy("event_id")
+    }),
+
     // Tumbling 1h windows — batch twin of the streaming groupBy(window(...)).
     "stream_tumbling" -> ((s, d) => {
       events(s, d)
@@ -200,6 +221,12 @@ object Events {
         |  ON p.user_id = v.user_id AND p.ts > v.ts
         |ORDER BY event_id""".stripMargin,
     "join_asof_exec" ->
+      """SELECT p.event_id AS event_id, v.event_id AS prev_view
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts > v.ts
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_skew" ->
       """SELECT p.event_id AS event_id, v.event_id AS prev_view
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v

@@ -22,6 +22,14 @@ object PpdbQueries {
       Ppdb.parse(s).orderBy("phrase", "paraphrase")
     }),
 
+    // Multi-file release ingest: the same parse over a 4-part .gz pack.
+    // gzip is non-splittable, so the glob scan schedules one task per part —
+    // "parallelism = file count" (SURVEY §2.1), proven by the Round5Spec
+    // partition-count assertion. Identical rows to ppdb_parse_gz.
+    "ppdb_parse_multi" -> ((s, _) => {
+      Ppdb.parse(s, Ppdb.MultiFixtureDir).orderBy("phrase", "paraphrase")
+    }),
+
     // The reference's signature query: paraphrases of one phrase, ranked by
     // PPDB2.0Score. In engine terms: an equi-filter over the parsed frame —
     // at scale, a parquet-persisted frame partitioned by phrase makes this a
@@ -109,6 +117,10 @@ object PpdbQueries {
   val oracle: Map[String, String] = Map(
     "ppdb_parse_gz" ->
       s"""$cte
+         |SELECT lhs, phrase, paraphrase, features_raw, alignment, entailment, ppdb2score
+         |FROM ppdb ORDER BY phrase, paraphrase""".stripMargin,
+    "ppdb_parse_multi" ->
+      s"""${Ppdb.oracleCte(Ppdb.MultiFixtureDir + "/*.txt.gz")}
          |SELECT lhs, phrase, paraphrase, features_raw, alignment, entailment, ppdb2score
          |FROM ppdb ORDER BY phrase, paraphrase""".stripMargin,
     "ppdb_lookup" ->

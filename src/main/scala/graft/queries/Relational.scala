@@ -120,6 +120,33 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // 4-table star join (TPC-H Q10 shape): the most common real analytics
+    // shape — fact ⋈ fact-sized orders on the shuffle key, then
+    // progressively smaller dims. At 100 TB lineitem⋈orders is a sort-merge
+    // join on orderkey (both huge — left to Catalyst/AQE), customer stays an
+    // AQE decision (broadcast at small SF, shuffle at scale), and nation
+    // (25 rows at every SF) is explicitly broadcast. Filters on both fact
+    // inputs are pushed to the scans BEFORE the first shuffle. Ordering is
+    // on the ROUNDED revenue so the top-20 cut agrees with the oracle.
+    "join_star" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(
+          t(s, d, "orders").filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ── §2.4 aggregations ────────────────────────────────────────────────
     "agg_groupby" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -308,6 +335,20 @@ object Relational {
         | AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "join_star" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -168,6 +168,32 @@ object ScaleOps {
         .orderBy("l_returnflag")
     }),
 
+    // The same bloom-pruned semi join through Spark's NATIVE runtime filter
+    // (InjectRuntimeFilter): with runtime.bloomFilter.enabled the optimizer
+    // itself builds a bloom from the selective dim side and injects
+    // might_contain into the fact scan — the hand-built UDF variant above
+    // minus the closure (stays codegen-friendly). Confs live on a CLONED
+    // session (newSession: isolated SQL conf, shared context) so the
+    // thresholds (application-side floor dropped to 0 to fire at test SF;
+    // broadcast off so the runtime filter, not a broadcast, is the
+    // mitigation — the 100 TB regime) never leak into other queries' plans.
+    // Oracle identical to join_bloom: a runtime filter must not change a row.
+    "join_bloom_native" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sel = t(s, d, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"))
+      t(s, d, "lineitem")
+        .join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Z-order (Morton) clustering key: bit-interleave of two dimension keys,
     // so sorting by zval co-locates rows close in BOTH dimensions — the
     // multi-column data-clustering layout that makes min/max file skipping
@@ -253,6 +279,13 @@ object ScaleOps {
          |                  WHERE t2.shset = t.shset AND t2.doc_id < t.doc_id)
          |ORDER BY doc_id""".stripMargin,
     "join_bloom" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 450000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "join_bloom_native" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem

@@ -26,6 +26,24 @@ class PlanSpec extends SparkSpec {
     assert(plan("sort_multi_key").contains("TakeOrderedAndProject"))
   }
 
+  test("join_star: dim join broadcasts, fact join stays sort-merge when broadcast is off") {
+    // force Catalyst to treat every side as "too big to auto-broadcast" so
+    // the plan shows the 100 TB shape: only the explicit nation hint may
+    // broadcast, and lineitem⋈orders must be a shuffle (sort-merge) join
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = plan("join_star")
+      assert(p.contains("BroadcastHashJoin"), "nation dim must broadcast via the explicit hint")
+      assert(p.contains("SortMergeJoin"), "fact-side joins must shuffle, not broadcast")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", oldAqe)
+    }
+  }
+
   test("no query plans a CartesianProduct; nested-loop joins only where declared") {
     // text_tfidf / text_unigram_lm broadcast a single-row aggregate (the
     // corpus total) — a deliberate 1×N nested-loop, not a join-order accident

@@ -18,6 +18,99 @@ class Round5Spec extends SparkSpec {
     assert(e.getMessage.contains("maxBuildRows"))
   }
 
+  // ---- ANN recall harness ----
+
+  // recall@5 vs the exact brute-force baseline over the full 10-query set
+  // at sf0.01 (the driver's correctness scale). Mean across queries ≥ 0.8 —
+  // the declared quality bar for both approximate scale paths.
+  private def recallAt5(ann: String): Double = {
+    val sf = "/root/testdata/sf0.01"
+    def top5(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, a) => (q, a.map(_._2).toSet) }
+    val exact = top5("sim_knn_cosine")
+    val approx = top5(ann)
+    val recalls = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty[Long]).intersect(ex).size / ex.size.toDouble
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("sim_ann_lsh recall@5 >= 0.8 vs brute force over all 10 queries at sf0.01") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val r = recallAt5("sim_ann_lsh")
+    assert(r >= 0.8, f"LSH mean recall@5 = $r%.3f")
+  }
+
+  test("sim_ann_ivf recall@5 >= 0.8 vs brute force over all 10 queries at sf0.01") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val r = recallAt5("sim_ann_ivf")
+    assert(r >= 0.8, f"IVF mean recall@5 = $r%.3f")
+  }
+
+  // ---- native runtime bloom filter ----
+
+  test("join_bloom_native injects Spark's runtime bloom and matches the UDF variant row-for-row") {
+    val native = q("join_bloom_native")
+    val p = native.queryExecution.optimizedPlan.toString
+    assert(
+      p.contains("bloom_filter_agg") || p.contains("might_contain"),
+      s"runtime bloom filter was not injected:\n$p")
+    val a = native.collect().map(_.toString).toSeq
+    val b = q("join_bloom").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  // ---- multi-file gzip ingest ----
+
+  test("ppdb_parse_multi scans one task per .gz part (parallelism = file count)") {
+    // tiny parts would normally bin-pack into one split; raising the open
+    // cost forces per-file bins, modeling real release-sized parts where
+    // each unsplittable .gz necessarily fills its own task
+    val old = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    try {
+      spark.conf.set("spark.sql.files.openCostInBytes", s"${128L * 1024 * 1024}")
+      val scanned = spark.read.text(graft.ppdb.Ppdb.MultiFixtureDir)
+      assert(scanned.rdd.getNumPartitions === 4)
+    } finally spark.conf.set("spark.sql.files.openCostInBytes", old)
+    // and the parse over the pack is row-identical to the single-file parse
+    val multi = q("ppdb_parse_multi").collect().map(_.toString).sorted.toSeq
+    val single = q("ppdb_parse_gz").collect().map(_.toString).sorted.toSeq
+    assert(multi === single)
+  }
+
+  // ---- skew-salted as-of join ----
+
+  test("AsOfSkew is row-identical to AsOfJoinNative on a hot-key input and salts the shuffle") {
+    import org.apache.spark.sql.functions._
+    // one pathological user (0) holding 90% of rows across many hour buckets,
+    // plus cross-bucket-only matches for users 1..9
+    val probes = spark.range(0, 500)
+      .selectExpr("id as p_id", "if(id < 450, 0L, id % 10) as user_id",
+        "id * 600000000L + 1L as p_ts") // every 10 min → ~83 buckets
+    val quotes = spark.range(0, 300)
+      .selectExpr("id + 10000 as v_id", "if(id < 270, 0L, id % 10) as v_user",
+        "id * 990000000L as v_ts")
+    val salted = graft.operators.AsOfSkew.join(
+      probes, quotes, keys = Seq("user_id" -> "v_user"),
+      leftId = "p_id", leftTime = "p_ts", rightTime = "v_ts",
+      tiebreak = "v_id", bucketWidth = 3600L * 1000000L)
+    val plain = graft.plans.AsOfJoinNative.join(
+      probes, quotes, keys = Seq("user_id" -> "v_user"),
+      leftTime = "p_ts", rightTime = "v_ts", strict = true, tiebreak = Seq("v_id"))
+    val s1 = salted.select("p_id", "v_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val s2 = plain.select("p_id", "v_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(s1.nonEmpty && s1.toSeq === s2.toSeq)
+    // pass 1 must shuffle on the COMPOSITE (key, bucket) — the salt that
+    // splits the hot key into independent bucket-pair merges
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin ")) // AsOfJoinExec prints its nodeName as "AsOfJoin"
+    assert(
+      p.contains("hashpartitioning(user_id") && p.contains("__lb"),
+      "pass-1 distribution must include the bucket salt")
+  }
+
   // ---- real javax.imageio decode ----
 
   test("Binary.decodeImage recovers exact dims, format, and pixel sum from a hand-built PNG") {
