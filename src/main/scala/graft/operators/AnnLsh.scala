@@ -65,25 +65,32 @@ object AnnLsh {
       nPlanes: Int = 8,
       dim: Int = 64,
       nTables: Int = 1): DataFrame = {
-    // (table, bucket) packed into one equi-join key: table id in the bits
-    // above the bucket's nPlanes
-    def tbucket(vec: Column, t: Int): Column =
-      bucket(vec, nPlanes, dim, t) + lit(t.toLong << nPlanes)
+    // ALL tables' buckets in one native kernel call (plans.LshBuckets):
+    // nTables·nPlanes lambda folds per vector blew whole-stage codegen past
+    // Janino's 64 KB method limit and fell back to interpreted evaluation.
+    // (table, bucket) packs into one equi-join key: table id in the bits
+    // above the bucket's nPlanes.
+    val mat: Seq[Seq[Double]] = (0 until nTables).flatMap(t => planes(nPlanes, dim, t))
+    def tbuckets(vec: Column): Column = {
+      val all = org.apache.spark.sql.GraftSqlShim.column(
+        graft.plans.LshBuckets(
+          org.apache.spark.sql.GraftSqlShim.expression(vec), mat, nPlanes))
+      transform(all, (b, t) => b + (t.cast("long") * lit(1L << nPlanes)))
+    }
     // fan out: the corpus-side bucket hashes + candidate cosines are CPU
     // bound and a one-file scan arrives as a single partition. The explode
     // is the ×nTables index replication.
     val bucketed = emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
-      .withColumn("bucket", explode(array((0 until nTables).map(t => tbucket(col("vec"), t)): _*)))
+      .withColumn("bucket", explode(tbuckets(col("vec"))))
     // per table: query bucket + its nPlanes Hamming-1 probes
-    val probeCols = (0 until nTables).flatMap { t =>
-      val qb = tbucket(col("qvec"), t)
-      qb +: (0 until nPlanes).map(b => qb.bitwiseXOR(lit(1L << b)))
-    }
     val probes = queries
       .select(
         col("qid"), col("qvec"),
-        explode(array_distinct(array(probeCols: _*))).as("probe"))
+        explode(array_distinct(flatten(transform(
+          tbuckets(col("qvec")),
+          qb => array((qb +: (0 until nPlanes).map(b => qb.bitwiseXOR(lit(1L << b)))): _*)))))
+          .as("probe"))
 
     // native codegen'd kernels (graft.plans.VecExprs) — bit-identical to
     // the lambda fold, no per-element closure interpretation on candidates

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native vector-math expressions (SURVEY.md §4 tier (b): a custom Catalyst
   * `Expression` with `doGenCode`, above UDFs in the preference order).
@@ -93,6 +93,43 @@ object VecExprs {
     java.lang.Double.valueOf(math.sqrt(s))
   }
 
+  /** All LSH table buckets of one vector in ONE pass: planes is the
+    * flattened (nTables·nPlanes) × dim ±1 matrix; output bucket t packs
+    * bit k = sign(v · planes[t·nPlanes + k]) > 0. Replaces
+    * nTables·nPlanes separate zip_with/aggregate lambda folds — the form
+    * that blew whole-stage codegen past Janino's 64 KB method limit and
+    * fell back to interpreted evaluation.
+    */
+  def lshBuckets(a: ArrayData, planes: Array[Array[Double]], nPlanes: Int): ArrayData = {
+    val dim = planes(0).length
+    if (a.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"lsh_buckets: expected $dim-dim vector, got ${a.numElements()}")
+    val nTables = planes.length / nPlanes
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var k = 0
+      while (k < nPlanes) {
+        val p = planes(t * nPlanes + k)
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          if (a.isNullAt(i))
+            throw new IllegalArgumentException(s"lsh_buckets: null element at index $i")
+          s += a.getDouble(i) * p(i)
+          i += 1
+        }
+        if (s > 0) bucket |= 1L << k
+        k += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private[plans] def checkDoubleArray(name: String, e: Expression): TypeCheckResult =
     e.dataType match {
       case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -140,6 +177,39 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.plans.VecExprs.l2($a)")
 
   override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** `lsh_buckets(vec)` — every LSH table's bucket id for a vector as one
+  * codegen'd kernel call returning array<long> (index = table). `planes`
+  * is Seq-typed for structural equality (plan canonicalization dedups
+  * identical scans); the kernel sees a converted primitive matrix via a
+  * per-query reference object.
+  */
+case class LshBuckets(child: Expression, planes: Seq[Seq[Double]], nPlanes: Int)
+  extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.length % nPlanes == 0,
+    "planes must hold nTables complete plane sets")
+
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprs.checkDoubleArray(prettyName, child)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecExprs.lshBuckets(a.asInstanceOf[ArrayData], planesArr, nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planesArr, "double[][]")
+    defineCodeGen(ctx, ev, a => s"graft.plans.VecExprs.lshBuckets($a, $ref, $nPlanes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
     copy(child = newChild)
 }
 

@@ -17,4 +17,14 @@ object GraftSqlShim {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDataFrame].queryExecution.analyzed
+
+  /** Wrap a catalyst Expression as a Column (for expressions carrying
+    * non-SQL-expressible constructor state, e.g. a planes matrix).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The catalyst Expression behind a Column. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
