@@ -28,12 +28,17 @@ object StreamingJobs {
     * every window below. At scale the directory is a landing zone new files
     * roll into; each micro-batch picks up only unseen files.
     */
-  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsFileStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    // >0 throttles ingestion to N files per micro-batch — the lever that
+    // turns a landed directory into a genuinely incremental multi-batch run
+    val throttled =
+      if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    throttled
       .parquet(dir)
       .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
   }
