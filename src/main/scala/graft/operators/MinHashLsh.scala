@@ -53,15 +53,27 @@ object MinHashLsh {
       when(n >= shingleSize, joined).otherwise(typedLit(Array.empty[String])))
   }
 
-  /** MinHash signature (array of `numHashes` longs) of a shingle array.
-    *
-    * The shingle hashes are materialized ONCE via a named lambda variable
-    * (`aggregate` over the base array), not re-derived per hash function:
-    * `array(min(f_1(base)), …, min(f_k(base)))` would re-evaluate the
-    * xxhash64 base array k times — Catalyst does not CSE across array
-    * elements (measured ~2× on the sf0.1 dedup_minhash bench).
+  /** MinHash signature (array of `numHashes` longs) of a shingle array —
+    * ONE native kernel call (`plans.MinHashSig`): hash each shingle once,
+    * update all k minima in a tight loop. The higher-order-function form
+    * ([[signatureExpr]], kept as the parity reference) walks the array k+1
+    * times through interpreted lambda closures with an intermediate copy
+    * per walk; the kernel is bit-identical (same xxhash64 seed, same pmod
+    * arithmetic, same null/empty semantics — spec-asserted).
     */
   def signature(shingleCol: Column, numHashes: Int): Column = {
+    val (a, b) = hashParams(numHashes)
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.plans.MinHashSig(
+        org.apache.spark.sql.GraftSqlShim.expression(shingleCol), a, b, P))
+  }
+
+  /** The original pure-expression signature — parity reference for the
+    * native kernel (Catalyst caveat it works around: the shingle hashes
+    * must be materialized once via a named lambda variable because array
+    * elements do not CSE, measured ~2× on the sf0.1 dedup_minhash bench).
+    */
+  def signatureExpr(shingleCol: Column, numHashes: Int): Column = {
     val (a, b) = hashParams(numHashes)
     val perHash = (base: Column) => (0 until numHashes).map { i =>
       array_min(transform(base, h => pmod(h * lit(a(i)) + lit(b(i)), lit(P))))

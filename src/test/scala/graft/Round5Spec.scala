@@ -18,6 +18,30 @@ class Round5Spec extends SparkSpec {
     assert(e.getMessage.contains("maxBuildRows"))
   }
 
+  // ---- native MinHash signature kernel ----
+
+  test("native minhash_sig is bit-identical to the expression form, incl. empty/null edges") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 200)
+      .selectExpr("id",
+        // varied shingle sets, plus an empty array and a null-bearing one
+        """case
+           |  when id = 0 then array()
+           |  when id = 1 then array(cast(null as string), 'x y z')
+           |  else transform(sequence(0, cast(id % 7 as int)),
+           |                 j -> concat('tok', cast((id * 13 + j) % 97 as string)))
+           |end as sh""".stripMargin)
+    val both = docs.select(
+      col("id"),
+      graft.operators.MinHashLsh.signature(col("sh"), 27).as("native"),
+      graft.operators.MinHashLsh.signatureExpr(col("sh"), 27).as("expr"))
+    val rows = both.collect()
+    assert(rows.length === 200)
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) === r.getSeq[Any](2), s"signature mismatch for id=${r.getLong(0)}")
+    }
+  }
+
   // ---- true streaming vs batch twin ----
 
   // VERDICT r3/r4 "missing" item 5: the streaming jobs were only ever
