@@ -119,6 +119,29 @@ object Pipeline3 {
         .orderBy("train_id", "bench_id")
     }),
 
+    // Per-doc 3-gram NOVELTY: the fraction of a doc's distinct shingles
+    // first seen in that doc (min doc_id owns a shingle) — the standard
+    // incremental-dedup signal: near-duplicates of earlier docs score near
+    // 0, fresh content near 1. Shuffles only slim (doc_id, shingle-string)
+    // pairs; the first-seen table is vocabulary-sized. Scales like dedup.
+    "text_novelty" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("nt", size(col("tk")))
+        .filter(col("nt") >= 3)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), col("nt") - 3),
+            i => array_join(slice(col("tk"), i + 1, lit(3)), " "))).as("g3"))
+        .distinct()
+      val first = sh.groupBy("g3").agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "g3")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          round(avg((col("first_doc") === col("doc_id")).cast("double")), 4).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // The dataset-card aggregate: per (lang, source) corpus composition.
     "corpus_report" -> ((s, d) => {
       t(s, d, "documents")
@@ -212,6 +235,17 @@ object Pipeline3 {
   private val blSql = Blocklist.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "text_novelty" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(${normTextSql("text")}, ' ') AS tk
+         |             FROM documents),
+         |g AS (SELECT DISTINCT doc_id, array_to_string(tk[(i + 1):(i + 3)], ' ') AS g3
+         |      FROM tok, LATERAL (SELECT unnest(range(0, len(tk) - 2)) AS i)
+         |      WHERE len(tk) >= 3),
+         |f AS (SELECT g3, min(doc_id) AS first_doc FROM g GROUP BY g3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       round(avg(CASE WHEN first_doc = doc_id THEN 1.0 ELSE 0.0 END), 4) AS novelty
+         |FROM g JOIN f USING (g3)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pii_redact" ->
       s"""WITH m AS (SELECT doc_id,
          |                  concat(substr(${normTextSql("text")}, 1, 40),

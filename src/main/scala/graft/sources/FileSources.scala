@@ -19,6 +19,7 @@ object FileSources {
   val CsvPath = "/root/repo/fixtures/sample_orders.csv"
   val JsonlPath = "/root/repo/fixtures/sample_events.jsonl"
   val DocsPartPath = "/root/repo/fixtures/docs_part"
+  val LangDimPath = "/root/repo/fixtures/lang_dim.parquet"
 
   val csvSchema: StructType = StructType(Seq(
     StructField("id", LongType),
@@ -70,7 +71,26 @@ object FileSources {
         .filter(col("lang").isin("en", "de"))
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy("lang", "source"))
+        .orderBy("lang", "source")),
+
+    // DYNAMIC partition pruning: the filter lives on the dim's NON-join
+    // column (family), so no static predicate can reach the fact's `lang`
+    // partitions — the optimizer must inject a runtime subquery filter
+    // (`dynamicpruningexpression` in PartitionFilters, asserted in
+    // Round5Spec), and only the partitions whose langs survive the dim
+    // filter are ever listed or read. The second and cheapest form of data
+    // skipping after static pruning at 100 TB: star-join fact scans read
+    // only dim-selected partitions.
+    "scan_partitioned_dpp" -> ((s, _) => {
+      val dim = s.read.parquet(LangDimPath).filter(col("family") === "germanic")
+      s.read
+        .option("basePath", DocsPartPath)
+        .parquet(DocsPartPath)
+        .join(dim, Seq("lang"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "source")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,6 +109,13 @@ object FileSources {
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM read_parquet('$DocsPartPath/*/*.parquet', hive_partitioning=true)
          |WHERE lang IN ('en', 'de')
-         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "scan_partitioned_dpp" ->
+      s"""SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+         |FROM read_parquet('$DocsPartPath/*/*.parquet', hive_partitioning=true) d
+         |JOIN read_parquet('$LangDimPath') l ON d.lang = l.lang
+         |WHERE l.family = 'germanic'
+         |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
   )
 }

@@ -18,6 +18,18 @@ class Round5Spec extends SparkSpec {
     assert(e.getMessage.contains("maxBuildRows"))
   }
 
+  // ---- dynamic partition pruning ----
+
+  test("scan_partitioned_dpp injects a runtime partition filter and reads only germanic langs") {
+    val df = q("scan_partitioned_dpp")
+    val p = df.queryExecution.executedPlan.toString
+    assert(
+      p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${p.take(2000)}")
+    val langs = df.collect().map(_.getString(0)).toSet
+    assert(langs === Set("de", "en"))
+  }
+
   // ---- native MinHash signature kernel ----
 
   test("native minhash_sig is bit-identical to the expression form, incl. empty/null edges") {
