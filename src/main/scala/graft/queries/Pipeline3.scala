@@ -125,16 +125,22 @@ object Pipeline3 {
     // 0, fresh content near 1. Shuffles only slim (doc_id, shingle-string)
     // pairs; the first-seen table is vocabulary-sized. Scales like dedup.
     "text_novelty" -> ((s, d) => {
-      val sh = t(s, d, "documents")
+      // dedup via aggregate (one shuffle), first-seen via an unordered
+      // window over the same g3 key, final per-doc aggregate — 3 shuffles
+      // total; a join-back formulation costs a 4th exchange plus the hash
+      // build (measured 1.47 s vs 0.9 s at sf0.1)
+      val g = t(s, d, "documents")
         .select(col("doc_id"), toks(col("text")).as("tk"))
         .withColumn("nt", size(col("tk")))
         .filter(col("nt") >= 3)
         .select(col("doc_id"), explode(
           transform(sequence(lit(0), col("nt") - 3),
             i => array_join(slice(col("tk"), i + 1, lit(3)), " "))).as("g3"))
-        .distinct()
-      val first = sh.groupBy("g3").agg(min(col("doc_id")).as("first_doc"))
-      sh.join(first, "g3")
+        .groupBy("g3", "doc_id").agg(lit(1))
+      g.withColumn(
+          "first_doc",
+          min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("g3")))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_shingles"),
