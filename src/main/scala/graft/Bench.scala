@@ -32,26 +32,34 @@ object Bench {
       .map { case (name, fn) =>
         val times = new Array[Double](reps)
         var r = 0
+        var ok = 0
         var broken = false
         while (r < reps && !broken) {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case e: Throwable =>
+          try {
+            fn(spark, sfDir).count()
+            // only SUCCESSFUL reps count toward the median — a fast
+            // AnalysisException would otherwise masquerade as a
+            // normal-looking (and misleadingly small) timing
+            times(ok) = (System.nanoTime() - t0) / 1e9
+            ok += 1
+          } catch { case e: Throwable =>
             // a broken query must be visible, not a normal-looking timing —
             // record once and stop re-running it
             failed ::= name
             broken = true
             System.err.println(s"[bench] $name FAILED: $e")
           }
-          times(r) = (System.nanoTime() - t0) / 1e9
           r += 1
         }
-        val median = times.take(r).sorted.apply((r - 1) / 2)
+        // -1.0 marks "no successful rep" (valid JSON, unlike NaN, and never
+        // confusable with a real duration); `failed` carries the reason
+        val median = if (ok == 0) -1.0 else times.take(ok).sorted.apply((ok - 1) / 2)
         name -> median
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum // exclude -1.0 failure markers
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -75,7 +75,13 @@ object AnnLsh {
       val all = org.apache.spark.sql.GraftSqlShim.column(
         graft.plans.LshBuckets(
           org.apache.spark.sql.GraftSqlShim.expression(vec), mat, nPlanes))
-      transform(all, (b, t) => b + (t.cast("long") * lit(1L << nPlanes)))
+      // a NULL vector must fail loudly, same as bucket(): LshBuckets is a
+      // UnaryExpression whose nullSafeEval propagates NULL, and
+      // explode(transform(NULL)) then silently DROPS the row from the index
+      // or probe set — at scale that is invisible recall loss, not an error
+      val guarded = when(vec.isNotNull, all)
+        .otherwise(raise_error(lit(s"AnnLsh: null vector (expected array<double>[$dim])")))
+      transform(guarded, (b, t) => b + (t.cast("long") * lit(1L << nPlanes)))
     }
     // fan out: the corpus-side bucket hashes + candidate cosines are CPU
     // bound and a one-file scan arrives as a single partition. The explode

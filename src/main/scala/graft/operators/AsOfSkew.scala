@@ -32,7 +32,6 @@ object AsOfSkew {
       left: DataFrame,
       right: DataFrame,
       keys: Seq[(String, String)],
-      leftId: String,
       leftTime: String,
       rightTime: String,
       tiebreak: String,
@@ -40,6 +39,10 @@ object AsOfSkew {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq
+    // the salt columns are internal; withColumn would silently OVERWRITE a
+    // pre-existing column of the same name and corrupt the caller's data
+    require(!leftCols.contains("__lb") && !rightCols.contains("__rb"),
+      "AsOfSkew: __lb/__rb are reserved salt column names")
     val outCols = (leftCols ++ rightCols).map(col)
 
     val lb = left.withColumn("__lb", expr(s"$leftTime DIV $bucketWidth"))
@@ -52,7 +55,18 @@ object AsOfSkew {
       leftTime = leftTime, rightTime = rightTime,
       strict = true, tiebreak = Seq(tiebreak))
 
-    val unmatched = lb.join(m1.select(col(leftId)), Seq(leftId), "left_anti")
+    // pass-1 leftovers via a NULL-SAFE anti-join on ALL left columns: no
+    // uniqueness assumption on any id column (identical duplicate left rows
+    // behave identically in pass 1, so all copies stay or all go), and <=>
+    // keeps rows with NULL attributes removable (plain = would resurrect a
+    // matched row whose non-key column is NULL). EqualNullSafe is still an
+    // equi-join key, so this plans as a hash/SMJ anti-join, not a loop.
+    // rename the probe side up front: m1 derives from lb, so referring to
+    // both sides' columns by name would lean on Spark's self-join
+    // disambiguation (and its "trivially true predicate" warning)
+    val m1Left = m1.select(leftCols.map(c => col(c).as(s"__m1_$c")): _*)
+    val unmatched = lb
+      .join(m1Left, leftCols.map(c => col(c) <=> col(s"__m1_$c")).reduce(_ && _), "left_anti")
 
     // pass 2: one running-latest right ROW per (key, bucket) — (ts, tiebreak)
     // lead the struct so max() picks exactly the row the unsalted join would

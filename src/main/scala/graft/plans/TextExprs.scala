@@ -25,7 +25,9 @@ object TextExprs {
     * overflow under ANSI), null shingles hash to the SEED exactly as the
     * builtin `xxhash64(null)` does (hash expressions skip null inputs and
     * return the running seed), empty input → all-null signature exactly as
-    * `array_min(empty) = null`.
+    * `array_min(empty) = null`, and a NULL input ARRAY → all-null signature
+    * (handled in [[MinHashSig.eval]]: `transform(NULL)` nulls each slot but
+    * the outer `array(...)` constructor never returns SQL NULL).
     */
   def minhashSig(arr: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
     val k = a.length
@@ -49,6 +51,12 @@ object TextExprs {
     if (n == 0) new GenericArrayData(new Array[Any](k)) // all-null, as array_min(empty)
     else new GenericArrayData(mins)
   }
+
+  /** Signature for a NULL input array: k nulls — what the expression form
+    * produces (`transform(NULL)` is NULL, so each `array_min` slot is NULL,
+    * but the outer `array(...)` constructor is not).
+    */
+  def allNullSig(k: Int): ArrayData = new GenericArrayData(new Array[Any](k))
 }
 
 /** `minhash_sig(shingles)` — the k-hash MinHash signature as one codegen'd
@@ -73,14 +81,34 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], prime: Long
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig"
 
-  override protected def nullSafeEval(v: Any): Any =
-    TextExprs.minhashSig(v.asInstanceOf[ArrayData], aArr, bArr, prime)
+  // NULL-input parity with the expression form it replaces: a NULL shingle
+  // array yields an array of k NULLs (the outer array(...) constructor never
+  // returns SQL NULL), so the kernel must not NULL-propagate. The result is
+  // therefore never null.
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextExprs.allNullSig(aArr.length)
+    else TextExprs.minhashSig(v.asInstanceOf[ArrayData], aArr, bArr, prime)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
     val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
     val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
-    defineCodeGen(ctx, ev, v =>
-      s"graft.plans.TextExprs.minhashSig($v, $aRef, $bRef, ${prime}L)")
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("mhsig")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData $out = ${c.isNull}
+          ? graft.plans.TextExprs.allNullSig(${aArr.length})
+          : graft.plans.TextExprs.minhashSig(${c.value}, $aRef, $bRef, ${prime}L);
+      """,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(out, dataType))
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

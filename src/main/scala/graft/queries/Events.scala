@@ -120,7 +120,7 @@ object Events {
       graft.operators.AsOfSkew
         .join(p, v,
           keys = Seq("user_id" -> "v_user"),
-          leftId = "p_id", leftTime = "p_ts", rightTime = "v_ts",
+          leftTime = "p_ts", rightTime = "v_ts",
           tiebreak = "v_id", bucketWidth = 3600L * 1000000L)
         .select(col("p_id").as("event_id"), col("v_id").as("prev_view"))
         .orderBy("event_id")

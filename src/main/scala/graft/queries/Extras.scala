@@ -191,11 +191,18 @@ object Extras {
     // tools.GenMediaFixture) → true width/height/format + a checksum over
     // every decoded RGB sample, per-partition with no shuffle. The oracle
     // reads the fixture's round-trip-precomputed exp_* columns, so a
-    // hash-match proves the pixels were actually decoded.
+    // hash-match proves the pixels were actually decoded. JPEG is lossy and
+    // its decoded samples are decoder-version-specific (the committed
+    // exp_pixsum is pinned to the fixture-generation JDK), so the
+    // cross-engine gate masks pix_sum on jpeg rows IN BOTH ENGINES — the
+    // pixel-level proof rides the bit-exact png/bmp rows, jpeg still proves
+    // the real decode via dims + sniffed format.
     "multimodal_binary" -> ((s, _) => {
       graft.multimodal.Binary
         .decodeImages(s, s.read.parquet(graft.multimodal.Binary.MediaFixturePath))
         .toDF()
+        .withColumn("pix_sum",
+          when(col("format") === "jpeg", lit(null).cast("long")).otherwise(col("pix_sum")))
         .orderBy("doc_id")
     })
   )
@@ -303,7 +310,8 @@ object Extras {
     "multimodal_binary" ->
       s"""SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS byte_len,
          |       exp_width AS width, exp_height AS height,
-         |       exp_format AS format, exp_pixsum AS pix_sum
+         |       exp_format AS format,
+         |       CASE WHEN exp_format = 'jpeg' THEN NULL ELSE exp_pixsum END AS pix_sum
          |FROM read_parquet('${graft.multimodal.Binary.MediaFixturePath}/*.parquet')
          |ORDER BY doc_id""".stripMargin
   )

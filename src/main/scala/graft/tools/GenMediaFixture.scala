@@ -22,6 +22,14 @@ import graft.multimodal.Binary
   *
   * Deterministic by construction (no clock, no RNG): re-running it
   * reproduces byte-identical payloads on the same JDK.
+  *
+  * JDK PIN (jpeg only): the committed `exp_pixsum` for jpeg rows is the
+  * output of THIS JDK's lossy jpeg decoder; a different JDK/ImageIO version
+  * may decode slightly different RGB samples. The cross-engine oracle
+  * therefore masks pix_sum on jpeg rows in both engines (see the
+  * `multimodal_binary` query), and jpeg exp_pixsum is only asserted by the
+  * same-JVM round-trip in BinarySpec. png/bmp are lossless and their
+  * pixel sums are portable.
   */
 object GenMediaFixture {
 

@@ -204,7 +204,7 @@ class Round5Spec extends SparkSpec {
         "id * 990000000L as v_ts")
     val salted = graft.operators.AsOfSkew.join(
       probes, quotes, keys = Seq("user_id" -> "v_user"),
-      leftId = "p_id", leftTime = "p_ts", rightTime = "v_ts",
+      leftTime = "p_ts", rightTime = "v_ts",
       tiebreak = "v_id", bucketWidth = 3600L * 1000000L)
     val plain = graft.plans.AsOfJoinNative.join(
       probes, quotes, keys = Seq("user_id" -> "v_user"),
