@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * (no label changed) or `maxIter`. Converges in graph-diameter rounds —
   * near-dup graphs are dense clique-ish clusters, so 2–4 in practice.
   *
-  * Scale notes (100 TB): per round = one shuffle of (edge endpoints ×
-  * labels) + one aggregate — both partition by vertex id, and AQE coalesces
-  * as labels stabilize. `localCheckpoint` after every round truncates the
+  * Scale notes (100 TB): the iteration runs over the EDGE-INDUCED subgraph
+  * only — vertices with no edge are singletons by definition and join back
+  * in one final pass, so a corpus where 2% of docs have a near-dup pays
+  * per-round cost on 2% of ids, not all of them. Per round = one shuffle of
+  * (edge endpoints × labels) + one aggregate — both partition by vertex id,
+  * and AQE coalesces as labels stabilize. `localCheckpoint` after every round truncates the
   * lineage (an unbounded iterative plan otherwise re-derives round k from
   * round 0 and overwhelms the optimizer). The driver-side action per round
   * is a COUNT of changed labels only — the convergence test every iterative
@@ -26,11 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** @param vertices single-column frame of vertex ids (column `id`)
-    * @param edges    two-column frame (src, dst), undirected, any direction
+  /** @param vertices   single-column frame of vertex ids (column `id`)
+    * @param edges      two-column frame (src, dst), undirected, any direction
+    * @param iterateAll iterate over ALL vertices instead of just the
+    *                   edge-induced subgraph — only sensible when nearly
+    *                   every vertex has an edge (the restriction then buys
+    *                   nothing and costs a distinct). Kept as the A/B
+    *                   reference form for tools.AbBench.
     * @return (id, component) where component = min id reachable
     */
-  def labels(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def labels(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 20,
+      iterateAll: Boolean = false): DataFrame = {
     // symmetrize once; checkpoint so every round reuses the materialized
     // edge list instead of re-deriving it (it never changes)
     val sym = edges.select(col("src"), col("dst"))
@@ -38,7 +50,18 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
-    var labels = vertices.select(col("id"), col("id").as("comp")).localCheckpoint()
+    // iterate over edge-TOUCHED vertices only: an isolated vertex can never
+    // change its label, so it has no business inside the per-round join +
+    // checkpoint. For a near-dup graph over a corpus this shrinks every
+    // round from |V| (all docs) to |V_edges| (docs with at least one
+    // near-duplicate — typically a small fraction); singletons rejoin once
+    // at the end with comp = id. sym carries both directions, so its src
+    // column alone covers every endpoint.
+    var labels = (
+      if (iterateAll) vertices.select(col("id"))
+      else sym.select(col("src").as("id")).distinct())
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
     // labels only ever DECREASE (least of self and neighbors), so Σcomp is
     // a fixpoint witness: unchanged sum ⇔ no label moved. One scalar
     // aggregate per round replaces a join + filter + count.
@@ -64,6 +87,9 @@ object ConnectedComponents {
       prevSum = newSum
       round += 1
     }
-    labels
+    // singletons (no edges) keep their own id as the component label
+    vertices
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }

@@ -29,12 +29,17 @@ object CorpusClean {
     *                       run must be EXHAUSTIVE — a duplicate cluster
     *                       larger than the guard would otherwise have its
     *                       buckets dropped and survive dedup entirely
+    * @param forceLsh       run the banded-LSH path even at threshold 1.0
+    *                       (the set-fingerprint fast path is the default
+    *                       there); kept as the A/B reference — tools.AbBench
+    *                       compares the two forms in one session
     */
   case class Config(
       minTokens: Int = 5,
       maxPunctRatio: Double = 0.3,
       nearDupJaccard: Double = 0.8,
-      maxBucketSize: Int = 1000)
+      maxBucketSize: Int = 1000,
+      forceLsh: Boolean = false)
 
   /** docs: (doc_id, text, ...) → surviving rows plus `norm` and `n_tok`.
     * Drop order: quality gate, then exact duplicates (keep min doc_id),
@@ -71,16 +76,42 @@ object CorpusClean {
       .drop("h")
       .localCheckpoint()
 
-    // near-dup dedup over the survivors: drop any doc paired with a
-    // smaller-id near-duplicate (pairs are emitted with a_id < b_id);
-    // shingles recompute from the checkpoint instead of pinning a cache
-    val pairs = MinHashLsh.nearDupPairs(
-      keepers.select(col("doc_id"), split(col("norm"), " ").as("tokens")),
-      "doc_id", "tokens", threshold = cfg.nearDupJaccard,
-      maxBucketSize = cfg.maxBucketSize,
-      persistShingles = false)
-    val dropIds = pairs.select(col("b_id").as("doc_id")).distinct()
+    if (cfg.nearDupJaccard >= 1.0 && !cfg.forceLsh) {
+      // FAST PATH — Jaccard 1.0 is shingle-SET IDENTITY, so "near"-dup
+      // degenerates to exact dedup on a canonical set fingerprint: the
+      // whole signature → banding → bucket self-join → candidate-verify
+      // cascade collapses to ONE slim groupBy, with the same keep-min-id
+      // resolution (J=1 pairs are exactly the docs sharing a fingerprint,
+      // so min-id-per-group ≡ drop-everything-paired-with-a-smaller-id).
+      // Also exhaustive BY CONSTRUCTION: no bucket-size guard to disable,
+      // no banding probability to reason about.
+      val sh = keepers.select(
+        col("doc_id"),
+        MinHashLsh.shingles(split(col("norm"), " "), shingleSize = 3).as("sh"))
+      // canonical fingerprint: sorted distinct shingles (shingles() already
+      // distincts) joined with a double space — unambiguous because tokens
+      // come from splitting whitespace-collapsed norm on single spaces, so
+      // no shingle can contain two adjacent spaces
+      val fp = sh
+        .filter(size(col("sh")) > 0) // shingle-less docs never pair; always kept
+        .select(col("doc_id"), md5(concat_ws("  ", array_sort(col("sh")))).as("fp"))
+      // slim shuffle, same discipline as the exact-dedup stage above:
+      // only (16-byte fingerprint, id) pairs enter the exchange
+      val keepIds = fp.groupBy("fp").agg(min(col("doc_id")).as("doc_id")).drop("fp")
+      val shingleless = sh.filter(size(col("sh")) === 0).select(col("doc_id"))
+      keepers.join(keepIds.union(shingleless), Seq("doc_id"), "left_semi")
+    } else {
+      // near-dup dedup over the survivors: drop any doc paired with a
+      // smaller-id near-duplicate (pairs are emitted with a_id < b_id);
+      // shingles recompute from the checkpoint instead of pinning a cache
+      val pairs = MinHashLsh.nearDupPairs(
+        keepers.select(col("doc_id"), split(col("norm"), " ").as("tokens")),
+        "doc_id", "tokens", threshold = cfg.nearDupJaccard,
+        maxBucketSize = cfg.maxBucketSize,
+        persistShingles = false)
+      val dropIds = pairs.select(col("b_id").as("doc_id")).distinct()
 
-    keepers.join(dropIds, Seq("doc_id"), "left_anti")
+      keepers.join(dropIds, Seq("doc_id"), "left_anti")
+    }
   }
 }

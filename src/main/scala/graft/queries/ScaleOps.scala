@@ -80,27 +80,7 @@ object ScaleOps {
     // duplicate cluster. The oracle computes the same fixpoint with a
     // recursive CTE — two entirely different evaluation strategies must
     // meet at the same labels.
-    "dedup_components" -> ((s, d) => {
-      val base = t(s, d, "documents")
-        .filter(col("doc_id") < 500)
-        .select(col("doc_id"), col("lang"),
-          array_distinct(split(graft.Tables.normText(col("text")), " ")).as("toks"))
-      // fan the pair-generating side out: a one-file scan is one partition,
-      // which would run every intersect on a single core
-      val a = base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id").as("src"), col("lang"), col("toks").as("ta"))
-      val b = base.select(col("doc_id").as("dst"), col("lang").as("lang_b"), col("toks").as("tb"))
-      val isect = size(array_intersect(col("ta"), col("tb"))).cast("double")
-      val edges = a
-        .join(b, col("lang") === col("lang_b") && col("src") < col("dst"))
-        .withColumn("jac", isect / (size(col("ta")) + size(col("tb")) - isect))
-        .filter(col("jac") >= 0.7)
-        .select(col("src"), col("dst"))
-      graft.operators.ConnectedComponents
-        .labels(base.select(col("doc_id").as("id")), edges)
-        .select(col("id").as("doc_id"), col("comp").as("component"))
-        .orderBy("doc_id")
-    }),
+    "dedup_components" -> ((s, d) => dedupComponents(s, d, iterateAll = false)),
 
     // Recursive CTE (Spark 4 WITH RECURSIVE): a month spine over the full
     // order-date domain, LEFT-joined to per-month order stats so empty
@@ -215,6 +195,31 @@ object ScaleOps {
   )
 
   private val norm = normTextSql("text")
+
+  /** Shared body of `dedup_components` — `iterateAll = true` is the
+    * all-vertices iteration kept as the tools.AbBench reference form.
+    */
+  private[graft] def dedupComponents(s: SparkSession, d: String, iterateAll: Boolean): DataFrame = {
+    val base = t(s, d, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(graft.Tables.normText(col("text")), " ")).as("toks"))
+    // fan the pair-generating side out: a one-file scan is one partition,
+    // which would run every intersect on a single core
+    val a = base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("src"), col("lang"), col("toks").as("ta"))
+    val b = base.select(col("doc_id").as("dst"), col("lang").as("lang_b"), col("toks").as("tb"))
+    val isect = size(array_intersect(col("ta"), col("tb"))).cast("double")
+    val edges = a
+      .join(b, col("lang") === col("lang_b") && col("src") < col("dst"))
+      .withColumn("jac", isect / (size(col("ta")) + size(col("tb")) - isect))
+      .filter(col("jac") >= 0.7)
+      .select(col("src"), col("dst"))
+    graft.operators.ConnectedComponents
+      .labels(base.select(col("doc_id").as("id")), edges, iterateAll = iterateAll)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
 
   val oracle: Map[String, String] = Map(
     "join_salted" ->

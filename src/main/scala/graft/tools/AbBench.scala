@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SparkEntry
+
+/** Interleaved A/B benchmark — the only timing protocol on this host whose
+  * deltas survive scrutiny: single-shot (and even per-run median) numbers
+  * swing ±30%+ with ZERO code change (documented across rounds 3–5), so a
+  * perf claim needs both forms measured in ONE session, ALTERNATING, so
+  * drift hits both sides equally. Reports per-side medians + the ratio.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.AbBench <a> <b> [reps]"
+  *
+  * Names resolve from SparkEntry.queries plus [[variants]] — reference
+  * forms of optimized operators that are deliberately NOT part of the
+  * declared surface (e.g. the banded-LSH corpus clean the set-fingerprint
+  * fast path replaced). Row counts of both sides are asserted equal first:
+  * a "speedup" that changes the answer is a bug, not a win.
+  */
+object AbBench {
+
+  val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pipeline_corpus_clean before the Jaccard-1.0 set-fingerprint fast
+    // path: full MinHash signature + banding + bucket join + verify
+    "pipeline_corpus_clean_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.pipeline.CorpusClean
+        .clean(
+          graft.Tables.t(s, d, "documents").select(col("doc_id"), col("text")),
+          graft.pipeline.CorpusClean.Config(
+            minTokens = 5, maxPunctRatio = 0.3, nearDupJaccard = 1.0,
+            maxBucketSize = Int.MaxValue, forceLsh = true))
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
+        .orderBy("doc_id")
+    }),
+    // dedup_components before the edge-induced-subgraph restriction:
+    // every round iterates ALL vertices, not just docs with a near-dup
+    "dedup_components_allv" -> ((s, d) =>
+      graft.queries.ScaleOps.dedupComponents(s, d, iterateAll = true))
+  )
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: AbBench <queryA> <queryB> [reps]")
+    val Seq(nameA, nameB) = args.take(2).toSeq
+    val reps = if (args.length > 2) args(2).toInt else 7
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val all = SparkEntry.queries ++ variants
+    val fa = all.getOrElse(nameA, sys.error(s"unknown query $nameA"))
+    val fb = all.getOrElse(nameB, sys.error(s"unknown query $nameB"))
+
+    def time(f: (SparkSession, String) => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // warmup both sides once (codegen + scan caches), equally
+    val (_, na) = time(fa)
+    val (_, nb) = time(fb)
+    require(na == nb, s"row-count mismatch: $nameA=$na vs $nameB=$nb — not comparable")
+
+    val ta = new Array[Double](reps)
+    val tb = new Array[Double](reps)
+    var r = 0
+    while (r < reps) {
+      ta(r) = time(fa)._1
+      tb(r) = time(fb)._1
+      r += 1
+    }
+    def med(xs: Array[Double]) = xs.sorted.apply((xs.length - 1) / 2)
+    val (ma, mb) = (med(ta), med(tb))
+    def fmt(xs: Array[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    println(s"""{"a":"$nameA","b":"$nameB","rows":$na,"reps":$reps,""" +
+      s""""median_a":$ma,"median_b":$mb,"ratio_a_over_b":${ma / mb},""" +
+      s""""times_a":${fmt(ta)},"times_b":${fmt(tb)},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
