@@ -55,13 +55,21 @@ object Bench {
         // -1.0 marks "no successful rep" (valid JSON, unlike NaN, and never
         // confusable with a real duration); `failed` carries the reason
         val median = if (ok == 0) -1.0 else times.take(ok).sorted.apply((ok - 1) / 2)
-        name -> median
+        (name, median, ok)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum // exclude -1.0 failure markers
+    // per-query successful-rep counts: a query that failed after k good reps
+    // still shows its k-rep median above, but reps_ok < reps flags it
+    val repsOk = results.map { case (k, _, ok) => s"\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    // `total` sums FULLY-successful queries only — a query in `failed` is
+    // excluded even when it has a partial-rep median, so totals stay
+    // comparable across runs whose failure sets differ mid-query
+    val failedSet = failed.toSet
+    val total = results.collect { case (k, v, _) if v >= 0 && !failedSet(k) => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"reps_ok":$repsOk,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,6 +25,19 @@ import graft.plans.AsOfJoinNative
   * Semantics matched to AsOfJoinExec: backward inner, `strict` (<, not ≤),
   * greatest `tiebreak` among equal timestamps. Times must be non-negative
   * integral (µs here) — `DIV` truncates toward zero.
+  *
+  * Pass-1 leftover detection has two modes:
+  *   - default (`leftIdCol = None`): a null-safe anti-join keyed on EVERY
+  *     left column. No uniqueness assumption, but two limitations follow
+  *     from the join keys being the whole row: (a) a left frame containing
+  *     a map-typed column throws (`EqualNullSafe` join keys don't support
+  *     `MapType`); (b) wide left columns (full document text) travel
+  *     through the shuffle as join keys, against the slim-shuffle
+  *     discipline used elsewhere in this repo.
+  *   - `leftIdCol = Some(id)`: the probe keys on `id` alone — slim shuffle,
+  *     any column types elsewhere. Only valid when the caller guarantees
+  *     `id` is UNIQUE and NON-NULL per left row; a duplicated id would drop
+  *     every copy of a row when any one copy matched in pass 1.
   */
 object AsOfSkew {
 
@@ -35,7 +48,8 @@ object AsOfSkew {
       leftTime: String,
       rightTime: String,
       tiebreak: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      leftIdCol: Option[String] = None): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq
@@ -55,18 +69,26 @@ object AsOfSkew {
       leftTime = leftTime, rightTime = rightTime,
       strict = true, tiebreak = Seq(tiebreak))
 
-    // pass-1 leftovers via a NULL-SAFE anti-join on ALL left columns: no
-    // uniqueness assumption on any id column (identical duplicate left rows
-    // behave identically in pass 1, so all copies stay or all go), and <=>
-    // keeps rows with NULL attributes removable (plain = would resurrect a
-    // matched row whose non-key column is NULL). EqualNullSafe is still an
-    // equi-join key, so this plans as a hash/SMJ anti-join, not a loop.
+    // pass-1 leftovers. Default: NULL-SAFE anti-join on ALL left columns —
+    // no uniqueness assumption on any id column (identical duplicate left
+    // rows behave identically in pass 1, so all copies stay or all go), and
+    // <=> keeps rows with NULL attributes removable (plain = would
+    // resurrect a matched row whose non-key column is NULL). EqualNullSafe
+    // is still an equi-join key, so this plans as a hash/SMJ anti-join, not
+    // a loop. With `leftIdCol`, the probe keys on the caller-guaranteed
+    // unique id only (slim shuffle; see object scaladoc for the contract).
     // rename the probe side up front: m1 derives from lb, so referring to
     // both sides' columns by name would lean on Spark's self-join
     // disambiguation (and its "trivially true predicate" warning)
-    val m1Left = m1.select(leftCols.map(c => col(c).as(s"__m1_$c")): _*)
+    val probeCols = leftIdCol match {
+      case Some(id) =>
+        require(leftCols.contains(id), s"AsOfSkew: leftIdCol '$id' not in left columns")
+        Seq(id)
+      case None => leftCols
+    }
+    val m1Left = m1.select(probeCols.map(c => col(c).as(s"__m1_$c")): _*)
     val unmatched = lb
-      .join(m1Left, leftCols.map(c => col(c) <=> col(s"__m1_$c")).reduce(_ && _), "left_anti")
+      .join(m1Left, probeCols.map(c => col(c) <=> col(s"__m1_$c")).reduce(_ && _), "left_anti")
 
     // pass 2: one running-latest right ROW per (key, bucket) — (ts, tiebreak)
     // lead the struct so max() picks exactly the row the unsalted join would

@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param vertices   single-column frame of vertex ids (column `id`)
-    * @param edges      two-column frame (src, dst), undirected, any direction
+    * @param edges      two-column frame (src, dst), undirected, any
+    *                   direction. Edges with an endpoint NOT in `vertices`
+    *                   are ignored (semi-join filtered) — components are
+    *                   defined by reachability within the vertex set only
     * @param iterateAll iterate over ALL vertices instead of just the
     *                   edge-induced subgraph — only sensible when nearly
     *                   every vertex has an edge (the restriction then buys
@@ -44,9 +47,19 @@ object ConnectedComponents {
       maxIter: Int = 20,
       iterateAll: Boolean = false): DataFrame = {
     // symmetrize once; checkpoint so every round reuses the materialized
-    // edge list instead of re-deriving it (it never changes)
+    // edge list instead of re-deriving it (it never changes).
+    // Edges referencing ids absent from `vertices` are dropped up front:
+    // otherwise an out-of-set endpoint would receive a label, propagate it,
+    // and two vertex components could merge through a non-vertex id — the
+    // result frame must be exactly `vertices` labeled by reachability
+    // WITHIN `vertices`. Two semi-joins on the slim (src, dst) pairs, paid
+    // once before the checkpoint, not per round.
+    val vids = vertices.select(col("id"))
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .join(vids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(vids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
       .distinct()
       .localCheckpoint()
 

@@ -46,6 +46,12 @@ object CorpusClean {
     * then near-duplicates (keep min doc_id of each pair).
     */
   def clean(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // thresholds above 1.0 are unsatisfiable: the LSH path would drop
+    // nothing (no pair passes the Jaccard verify) while the ==1.0 fast path
+    // would still dedup identical shingle sets — reject instead of letting
+    // the two paths diverge on an impossible input
+    require(cfg.nearDupJaccard > 0.0 && cfg.nearDupJaccard <= 1.0,
+      s"nearDupJaccard must be in (0, 1], got ${cfg.nearDupJaccard}")
     val normalized = docs
       .withColumn("norm", normText(col("text")))
       .withColumn("n_tok", size(split(col("norm"), " ")))
@@ -76,7 +82,7 @@ object CorpusClean {
       .drop("h")
       .localCheckpoint()
 
-    if (cfg.nearDupJaccard >= 1.0 && !cfg.forceLsh) {
+    if (cfg.nearDupJaccard == 1.0 && !cfg.forceLsh) {
       // FAST PATH — Jaccard 1.0 is shingle-SET IDENTITY, so "near"-dup
       // degenerates to exact dedup on a canonical set fingerprint: the
       // whole signature → banding → bucket self-join → candidate-verify

@@ -44,10 +44,12 @@ class Round6Spec extends SparkSpec {
   // ---- AsOfSkew: duplicate ids + reserved salt columns (ADVICE r5) ----
 
   test("AsOfSkew handles duplicate left rows (no id-uniqueness assumption)") {
-    // p_id 5 appears TWICE with identical attributes — the old anti-join on
-    // p_id alone would have dropped a legitimate pass-2 row
+    // p_id 5 appears TWICE, identical in EVERY column (user_id and p_ts
+    // both derive from the mapped id) — exactly the case the all-column
+    // anti-join's "all copies stay or all go" contract covers; the old
+    // anti-join on p_id alone would have dropped a legitimate pass-2 row
     val probes = spark.range(0, 40)
-      .selectExpr("if(id = 39, 5L, id) as p_id", "id % 3 as user_id",
+      .selectExpr("if(id = 39, 5L, id) as p_id", "if(id = 39, 5L, id) % 3 as user_id",
         "if(id = 39, 5L, id) * 600000000L + 1L as p_ts")
     val quotes = spark.range(0, 20)
       .selectExpr("id + 10000 as v_id", "id % 3 as v_user", "id * 990000000L as v_ts")
