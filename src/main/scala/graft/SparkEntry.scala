@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Analytics2, Events, Extras, Functions3, Pipeline3, PpdbQueries, Quality, Relational, Scalars, ScaleOps, TextPipeline, Windows}
+import graft.queries.{Analytics, Analytics2, Events, Extras, Functions3, Graphs, Pipeline3, PpdbQueries, Quality, Relational, Scalars, ScaleOps, TextPipeline, TextSim, Windows, WindowOps}
 import graft.sources.FileSources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +26,8 @@ object SparkEntry {
       Scalars.queries ++ Events.queries ++ TextPipeline.queries ++
       Extras.queries ++ Analytics.queries ++ Quality.queries ++
       FileSources.queries ++ ScaleOps.queries ++ Analytics2.queries ++
-      Functions3.queries ++ Pipeline3.queries
+      Functions3.queries ++ Pipeline3.queries ++ WindowOps.queries ++
+      Graphs.queries ++ TextSim.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted on purpose for the eight approximate
@@ -41,5 +42,6 @@ object SparkEntry {
       Scalars.oracle ++ Events.oracle ++ TextPipeline.oracle ++
       Extras.oracle ++ Analytics.oracle ++ Quality.oracle ++
       FileSources.oracle ++ ScaleOps.oracle ++ Analytics2.oracle ++
-      Functions3.oracle ++ Pipeline3.oracle
+      Functions3.oracle ++ Pipeline3.oracle ++ WindowOps.oracle ++
+      Graphs.oracle ++ TextSim.oracle
 }

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Round-7 graph analytics (SURVEY.md §2.16) over the part co-purchase
+  * graph: nodes are parts, an undirected edge connects two parts that
+  * appear in the SAME order in ≥ 2 distinct orders (market-basket support
+  * threshold — keeps the graph sparse and its density stable across scale
+  * factors, unlike the raw co-occurrence graph whose edge count explodes
+  * with basket count).
+  *
+  * Scale notes (100 TB):
+  * - Edge building is the classic basket self-join: distinct (order, part)
+  *   pairs joined per order. Fan-out per order is C(basket, 2) — bounded by
+  *   basket size, not corpus size; a pathological mega-basket would be
+  *   capped by a per-order item limit upstream (same guard family as
+  *   MinHashLsh.maxBucketSize).
+  * - Triangle counting runs on the ORIENTED edge list (a < b), so each
+  *   triangle is generated exactly once and wedge fan-out is bounded by
+  *   oriented out-degree. The standard refinement at extreme scale —
+  *   orient by (degree, id) instead of id so hubs get low out-degree
+  *   (Schank–Wagner) — drops in without changing the join shape.
+  * - PageRank materializes per-round (rank/degree) contributions through
+  *   one shuffle keyed by neighbor, exactly the ConnectedComponents
+  *   skeleton: localCheckpoint per round truncates the iterative lineage,
+  *   and the damping term needs only the node count (one scalar).
+  */
+object Graphs {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Minimum co-purchase support for an edge. */
+  private val MinSupport = 2
+
+  /** Oriented (a_id < b_id) support-thresholded co-purchase edges. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val op = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val b = op.select(col("ok").as("ok2"), col("pk").as("pk2"))
+    op.join(b, col("ok") === col("ok2") && col("pk") < col("pk2"))
+      .groupBy(col("pk").as("a_id"), col("pk2").as("b_id"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Triangle census + global clustering coefficient. e1(a,b) ⋈ e2(b,c)
+    // builds oriented wedges a<b<c; closing edge e3(a,c) confirms the
+    // triangle once. Wedge count Σ C(deg, 2) comes from the degree frame —
+    // no second join.
+    "graph_triangles" -> ((s, d) => {
+      val e = edges(s, d).localCheckpoint()
+      val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      val deg = sym.groupBy(col("a_id").as("node")).agg(count(lit(1)).as("dg"))
+      val wedges = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("dg") * (col("dg") - 1) / 2), lit(0L)).cast("long").as("n_wedges"))
+      val e2 = e.select(col("a_id").as("x_id"), col("b_id").as("c_id"))
+      val e3 = e.select(col("a_id").as("t_a"), col("b_id").as("t_c"))
+      val tri = e
+        .join(e2, col("b_id") === col("x_id"))
+        .join(e3, col("a_id") === col("t_a") && col("c_id") === col("t_c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      wedges.crossJoin(nEdges).crossJoin(tri)
+        .select(
+          col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          // explicit empty-graph guard: ANSI mode makes 0/0 an error, not NULL
+          when(col("n_wedges") > 0,
+            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)).as("clustering"))
+    }),
+
+    // Damped PageRank, 5 synchronous iterations, on the symmetrized graph.
+    // Output is rank scaled by node count (≈1.0 for an average node),
+    // rounded to 6 dp — the summation-order tolerance all cross-engine
+    // aggregate comparisons here use.
+    "graph_pagerank" -> ((s, d) => {
+      val e = edges(s, d)
+      val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .localCheckpoint()
+      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint()
+      val n = deg.count()
+      var pr = deg.select(col("node"), col("dg"), lit(1.0 / n).as("pr"))
+      var i = 0
+      while (i < 5) {
+        val contrib = sym
+          .join(pr, col("node") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("pr") / col("dg")).as("cs"))
+        pr = deg
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(
+            col("node"), col("dg"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("cs"), lit(0.0))).as("pr"))
+          .localCheckpoint()
+        i += 1
+      }
+      pr.select(col("node").as("part_id"), round(col("pr") * n, 6).as("pr_scaled"))
+        .orderBy("part_id")
+    }))
+
+  private def edgeCte: String =
+    s"""op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (SELECT a.pk AS a_id, b.pk AS b_id
+       |      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+       |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH $edgeCte,
+         |sym AS (SELECT a_id, b_id FROM e UNION ALL SELECT b_id, a_id FROM e),
+         |deg AS (SELECT a_id AS node, count(*) AS dg FROM sym GROUP BY 1),
+         |w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |             CAST(coalesce(sum(dg * (dg - 1) / 2), 0) AS BIGINT) AS n_wedges
+         |      FROM deg),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |        FROM e e1
+         |        JOIN e e2 ON e1.b_id = e2.a_id
+         |        JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |       CASE WHEN n_wedges > 0 THEN round(3.0 * n_triangles / n_wedges, 6) END AS clustering
+         |FROM w, ne, tri""".stripMargin,
+    "graph_pagerank" -> {
+      val iters = (0 until 5).map { i =>
+        s"""it${i + 1} AS (
+           |  SELECT g.node, g.dg, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.cs, 0) AS pr
+           |  FROM deg g LEFT JOIN (
+           |    SELECT s.dst AS node, sum(p.pr / p.dg) AS cs
+           |    FROM sym s JOIN it$i p ON p.node = s.src GROUP BY 1) c ON c.node = g.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCte,
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM e
+         |        UNION ALL SELECT b_id, a_id FROM e),
+         |deg AS (SELECT src AS node, count(*) AS dg FROM sym GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |it0 AS (SELECT node, dg, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+         |$iters
+         |SELECT node AS part_id, round(pr * (SELECT n FROM nn), 6) AS pr_scaled
+         |FROM it5 ORDER BY part_id""".stripMargin
+    })
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{events, t}
+
+/** Round-7 window-driven operators (SURVEY.md §2.16): watermark/late-data
+  * semantics as a checkable batch query, interval merging (gaps-and-islands),
+  * SCD type-2 history building, distribution window functions, and the
+  * window-form 2-D skyline.
+  *
+  * Scale notes (100 TB):
+  * - `stream_late_drop` aggregates rows to per-BATCH maxima first, so the
+  *   only global window runs over batch cardinality (rows/batchSize), not
+  *   row cardinality — the watermark log every streaming engine keeps,
+  *   computed as one tiny running max.
+  * - `interval_merge` / `scd2_history` partition every window by user — the
+  *   shuffle key is the entity, per-partition state is O(1) (running max /
+  *   lag), the textbook distributed gaps-and-islands shape.
+  * - `skyline_pareto` uses the price-sorted prefix-max trick to replace the
+  *   O(n²) dominance anti-join with O(n log n) windows. The unpartitioned
+  *   prefix window serializes on one task as written; the distributed form
+  *   range-partitions by price, computes local prefix maxima, and merges
+  *   per-partition max offsets (a two-pass prefix scan) — same algebra,
+  *   noted here because Spark's single global window is the only piece that
+  *   would need the two-pass rewrite at 100 TB.
+  */
+object WindowOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Allowed lateness for the watermark simulation (1 h in µs). */
+  private val LatenessUs = 3600000000L
+
+  /** Presence-interval half-width for interval_merge (30 min in µs). */
+  private val IntervalUs = 1800000000L
+
+  val queries: Map[String, Q] = Map(
+    // Watermark/late-data semantics, deterministically checkable in batch:
+    // events arrive in event_id order except ~1% (event_id % 100 == 7) are
+    // displaced 1500 positions late; micro-batch = arrival-position DIV
+    // 1000; the watermark entering a batch is the running max event-time of
+    // all PRIOR batches minus the allowed lateness — exactly
+    // MicroBatchExecution's between-batch watermark update. A row is late
+    // iff its event time is below its batch's watermark. Output: per-batch
+    // arrival/late counts + the watermark.
+    "stream_late_drop" -> ((s, d) => {
+      val e = events(s, d).select(
+        col("event_id"), col("ts_us"),
+        expr("(event_id + if(event_id % 100 = 7, 1500, 0)) div 1000").as("b"))
+      val batchMax = e.groupBy("b").agg(max(col("ts_us")).as("bmax"))
+      // running max over BATCHES: cardinality = rows/1000, the watermark log
+      val wmW = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+      val wm = batchMax.select(
+        col("b"), (max(col("bmax")).over(wmW) - LatenessUs).as("w"))
+      e.join(wm, "b")
+        .groupBy(col("b").as("batch"), col("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("w").isNotNull && col("ts_us") < col("w"), 1)).as("n_late"))
+        .select(col("batch"), col("n_events"), col("n_late"),
+          coalesce(col("w"), lit(-1L)).as("watermark_us"))
+        .orderBy("batch")
+    }),
+
+    // Gaps-and-islands: each event opens a 30-min presence interval;
+    // overlapping intervals per user merge into sessions. new-island flag =
+    // start beyond the running max end of all prior intervals; island id =
+    // running sum of flags. Per-user aggregate output.
+    "interval_merge" -> ((s, d) => {
+      val iv = events(s, d).select(
+        col("user_id"), col("ts_us").as("st"), (col("ts_us") + IntervalUs).as("en"))
+      val prevW = Window.partitionBy("user_id").orderBy("st", "en")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val runW = Window.partitionBy("user_id").orderBy("st", "en")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val islands = iv
+        .withColumn("nw",
+          when(col("st") > coalesce(max(col("en")).over(prevW), lit(-1L)), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("nw")).over(runW))
+        .groupBy("user_id", "island")
+        .agg(min(col("st")).as("s0"), max(col("en")).as("e1"), count(lit(1)).as("nev"))
+      islands.groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("e1") - col("s0")).as("covered_us"),
+          max(col("e1") - col("s0")).as("longest_us"),
+          max(col("nev")).as("max_events"))
+        .orderBy("user_id")
+    }),
+
+    // SCD type-2 history: per user, collapse consecutive same-state events
+    // to change rows, then [valid_from, valid_to) from the change sequence;
+    // the open row is current. -1 sentinel (not NULL) for the open end so
+    // the total ORDER BY stays engine-independent.
+    "scd2_history" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val changes = events(s, d)
+        .filter(col("user_id") < 100)
+        .select(col("user_id"), col("ts_us"), col("event_type"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val byChange = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      changes
+        .withColumn("nxt", lead(col("ts_us"), 1).over(byChange))
+        .select(
+          col("user_id"),
+          col("event_type").as("state"),
+          col("ts_us").as("valid_from"),
+          coalesce(col("nxt"), lit(-1L)).as("valid_to"),
+          col("nxt").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "state")
+    }),
+
+    // Distribution window functions: cume_dist + percent_rank — both exact
+    // integer-ratio doubles, so bit-identical across engines without
+    // rounding.
+    "window_cume_dist" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 300)
+        .select(
+          col("l_returnflag"), col("l_orderkey"), col("l_quantity"),
+          cume_dist().over(w).as("cd"),
+          percent_rank().over(w).as("pr"))
+        .orderBy("l_returnflag", "l_quantity", "l_orderkey", "cd", "pr")
+    }),
+
+    // 2-D skyline (Pareto frontier) on (min p_retailprice, max p_size),
+    // window form: sorted by (price asc, size desc), a part is dominated
+    // iff a prefix row has strictly larger size (cond1), or an equal-size
+    // row has strictly smaller price (cond2). Identical points are mutually
+    // non-dominating and all survive. The oracle states the same semantics
+    // as the quadratic NOT EXISTS — two independent formulations.
+    "skyline_pareto" -> ((s, d) => {
+      val w1 = Window.orderBy(col("p_retailprice").asc, col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val w2 = Window.partitionBy("p_size").orderBy(col("p_retailprice").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .withColumn("m1", max(col("p_size")).over(w1))
+        .withColumn("m2", min(col("p_retailprice")).over(w2))
+        .filter(!(coalesce(col("m1") > col("p_size"), lit(false)) ||
+          coalesce(col("m2") < col("p_retailprice"), lit(false))))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_partkey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "stream_late_drop" ->
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
+         |                  (event_id + CASE WHEN event_id % 100 = 7 THEN 1500 ELSE 0 END) // 1000 AS b
+         |           FROM events),
+         |bm AS (SELECT b, max(ts_us) AS bmax FROM e GROUP BY b),
+         |wm AS (SELECT b, max(bmax) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+         |                                 AND 1 PRECEDING) - $LatenessUs AS w FROM bm)
+         |SELECT e.b AS batch, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(count(CASE WHEN wm.w IS NOT NULL AND e.ts_us < wm.w THEN 1 END) AS BIGINT) AS n_late,
+         |       coalesce(wm.w, -1) AS watermark_us
+         |FROM e JOIN wm ON e.b = wm.b
+         |GROUP BY e.b, wm.w ORDER BY batch""".stripMargin,
+    "interval_merge" ->
+      s"""WITH iv AS (SELECT user_id, epoch_us(ts) AS st, epoch_us(ts) + $IntervalUs AS en
+         |            FROM events),
+         |f AS (SELECT user_id, st, en,
+         |             CASE WHEN st > coalesce(max(en) OVER (PARTITION BY user_id ORDER BY st, en
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |                  THEN 1 ELSE 0 END AS nw
+         |      FROM iv),
+         |g AS (SELECT user_id, st, en,
+         |             sum(nw) OVER (PARTITION BY user_id ORDER BY st, en
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |      FROM f),
+         |m AS (SELECT user_id, island, min(st) AS s0, max(en) AS e1, count(*) AS nev
+         |      FROM g GROUP BY 1, 2)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+         |       CAST(sum(e1 - s0) AS BIGINT) AS covered_us,
+         |       CAST(max(e1 - s0) AS BIGINT) AS longest_us,
+         |       CAST(max(nev) AS BIGINT) AS max_events
+         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "scd2_history" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id
+        |           FROM events WHERE user_id < 100),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |      FROM e),
+        |ch AS (SELECT user_id, event_type, ts_us, event_id FROM c
+        |       WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state, ts_us AS valid_from,
+        |       coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), -1) AS valid_to,
+        |       CASE WHEN lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+        |            THEN true ELSE false END AS is_current
+        |FROM ch ORDER BY user_id, valid_from, state""".stripMargin,
+    "window_cume_dist" ->
+      """SELECT l_returnflag, l_orderkey, l_quantity,
+        |       cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd,
+        |       percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pr
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_returnflag, l_quantity, l_orderkey, cd, pr""".stripMargin,
+    "skyline_pareto" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin)
+}

@@ -47,14 +47,17 @@ class PlanSpec extends SparkSpec {
   test("no query plans a CartesianProduct; nested-loop joins only where declared") {
     // text_tfidf / text_unigram_lm broadcast a single-row aggregate (the
     // corpus total) — a deliberate 1×N nested-loop, not a join-order accident
+    // graph_triangles cross-joins three SINGLE-ROW aggregates into its
+    // one-row census — 1×1 nested loops, not a join-order accident
     val bnljAllowed = Set("join_cross", "sim_knn_cosine", "text_tfidf",
-      "text_unigram_lm")
+      "text_unigram_lm", "graph_triangles")
     // these run real jobs at construction time (quantizer-sample collect,
     // iterative label rounds), and for the localCheckpoint-based ones the
     // executedPlan is a truncated checkpoint scan this test couldn't see
     // joins through anyway — their shapes are asserted by their operator
     // specs instead
-    val checkpointed = Set("dedup_components", "pipeline_corpus_clean", "sim_ann_ivf")
+    val checkpointed = Set("dedup_components", "pipeline_corpus_clean", "sim_ann_ivf",
+      "graph_pagerank")
     for ((name, fn) <- SparkEntry.queries if !checkpointed(name)) {
       val p = fn(spark, d).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

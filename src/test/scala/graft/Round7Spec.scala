@@ -77,6 +77,84 @@ class Round7Spec extends SparkSpec {
     assert(e.getMessage.contains("leftIdCol"))
   }
 
+  // ---- §2.16 round-7 operators over the tiny literal tables ----
+
+  private lazy val d = TestTables.dir(spark)
+  private def q(name: String) = SparkEntry.queries(name)(spark, d)
+
+  test("interval_merge merges user 7's overlapping 30-min intervals into 2 sessions") {
+    // events at 0/10/50/55 min → intervals [0,40] and [50,85] minutes
+    val rows = q("interval_merge").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val min = 60L * 1000000L
+    assert(rows === Seq((7L, 2L, (40L + 35L) * min), (8L, 1L, 30L * min)))
+  }
+
+  test("scd2_history builds the alternating state chain for user 7") {
+    val rows = q("scd2_history").collect()
+      .filter(_.getLong(0) == 7L)
+      .map(r => (r.getString(1), r.getBoolean(4))).toSeq
+    assert(rows === Seq(("view", false), ("purchase", false), ("view", false),
+      ("purchase", true)))
+  }
+
+  test("stream_late_drop: single tiny batch has no watermark and drops nothing") {
+    val rows = q("stream_late_drop").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(1) === 5L && rows.head.getLong(2) === 0L)
+    assert(rows.head.getLong(3) === -1L) // no prior batch → no watermark
+  }
+
+  test("skyline_pareto window form matches the quadratic NOT EXISTS on a literal frame") {
+    // craft a frame with a duplicate point, a same-size cheaper row and a
+    // same-price bigger row — every dominance edge case
+    val parts = spark.createDataFrame(Seq(
+      (1L, 10.0, 5), (2L, 10.0, 5), (3L, 10.0, 7), (4L, 9.0, 5),
+      (5L, 12.0, 9), (6L, 12.0, 8), (7L, 8.0, 2), (8L, 15.0, 9)))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    val tmp = java.nio.file.Files.createTempDirectory("skyline").toString
+    parts.write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val got = SparkEntry.queries("skyline_pareto")(spark, tmp)
+      .collect().map(_.getLong(0)).toSeq
+    parts.createOrReplaceTempView("sk_part")
+    val want = spark.sql(
+      """SELECT p.p_partkey FROM sk_part p WHERE NOT EXISTS (
+        |  SELECT 1 FROM sk_part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+    assert(got === Seq(3L, 4L, 5L, 7L)) // dup 1/2 dominated by cheaper 4
+  }
+
+  test("dedup_token_sort groups bag-of-words-identical docs") {
+    val rows = q("dedup_token_sort").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("text_ngram_containment emits both directions of the identical-shingle pair") {
+    val rows = q("text_ngram_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((0L, 1L, 1.0), (1L, 0L, 1.0)))
+  }
+
+  test("graph queries survive an empty support-thresholded edge set") {
+    // the tiny lineitem has no part pair co-purchased twice
+    val tri = q("graph_triangles").collect()
+    assert(tri.length === 1 && tri.head.getLong(3) === 0L)
+    assert(q("graph_pagerank").collect().isEmpty)
+  }
+
+  test("window_cume_dist ratios are exact rational doubles") {
+    val rows = q("window_cume_dist").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   // ---- CorpusClean: unsatisfiable threshold rejected (ADVICE r6) ----
 
   test("CorpusClean rejects a near-dup threshold above 1.0") {
