@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{normText, normTextSql, rd, rdSql, t}
@@ -42,20 +43,29 @@ object TextSim {
     // block (declared semantics, same block as dedup_jaccard): pairs where
     // most of A's shingles occur in B — subset/quotation detection.
     "text_ngram_containment" -> ((s, d) => {
+      // DIAGONAL form: the shingle self-join keeps a = b pairs, so the
+      // (a, a) count IS |A| — each doc intersected with itself — and one
+      // window over a_id replays it onto that doc's pair rows. This
+      // collapses the naive three-consumer shape (two join sides + a
+      // per-doc count branch, i.e. three scan+shingle pipelines or a
+      // materialization) to two, with no extra job. Hot-shingle join
+      // fan-out is quadratic in shingle document-frequency — at corpus
+      // scale a df cap drops stop-shingles first, the same guard family as
+      // MinHashLsh.maxBucketSize.
       val sh = t(s, d, "documents")
         .filter(col("doc_id") < 500)
         .select(col("doc_id"),
           explode(MinHashLsh.shingles(split(normText(col("text")), " "), 3)).as("g3"))
-      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
       val b = sh.select(col("doc_id").as("b_id"), col("g3"))
-      val inter = sh
+      val agg = sh
         .join(b, Seq("g3"))
-        .filter(col("doc_id") =!= col("b_id"))
         .groupBy(col("doc_id").as("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("isect"))
-      inter
-        .join(n.withColumnRenamed("doc_id", "a_id"), "a_id")
-        .withColumn("c", col("isect").cast("double") / col("ns"))
+        .agg(count(lit(1)).as("cnt"))
+      val byA = Window.partitionBy("a_id")
+      agg
+        .withColumn("ns", max(when(col("a_id") === col("b_id"), col("cnt"))).over(byA))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("c", col("cnt").cast("double") / col("ns"))
         .filter(col("c") >= 0.3)
         .select(col("a_id"), col("b_id"), rd(col("c"), 4).as("containment"))
         .orderBy("a_id", "b_id")
