@@ -71,6 +71,56 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermark drops late rows exactly as stream_late_drop's batch formula") {
+    // TRUE streaming twin of the declared stream_late_drop semantics: the
+    // batch query defines watermark(batch b) = max event-time of batches
+    // < b minus the allowed lateness — precisely MicroBatchExecution's
+    // between-batch watermark update. Feed three explicit micro-batches
+    // and check the engine keeps exactly the rows the formula keeps.
+    // Data stays ≥5 min away from every watermark boundary so the
+    // assertion is insensitive to < vs ≤ edge conventions.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[StreamEv]
+    // 30-min lateness, 1-min windows, per-window counts in Update mode:
+    // a window's count only grows, so its final value is the max update
+    val agg = in.toDF()
+      .withWatermark("tsx", "30 minutes")
+      .groupBy(window(col("tsx"), "1 minute"))
+      .count()
+    val query = agg.writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: t = 0, 10, 40 → max 40, watermark entering batch 2 = 10
+      in.addData(
+        StreamEv(ts(0), "view", 1.0, 7, 1),
+        StreamEv(ts(10), "view", 1.0, 7, 2),
+        StreamEv(ts(40), "view", 1.0, 7, 3))
+      query.processAllAvailable()
+      // batch 2: t=5 late (< 10), t=15 and t=50 kept → max 50, wm = 20
+      in.addData(
+        StreamEv(ts(5), "view", 1.0, 7, 4),
+        StreamEv(ts(15), "view", 1.0, 7, 5),
+        StreamEv(ts(50), "view", 1.0, 7, 6))
+      query.processAllAvailable()
+      // batch 3: t=12 late (< 20), t=25 and t=60 kept
+      in.addData(
+        StreamEv(ts(12), "view", 1.0, 7, 7),
+        StreamEv(ts(25), "view", 1.0, 7, 8),
+        StreamEv(ts(60), "view", 1.0, 7, 9))
+      query.processAllAvailable()
+      // final per-window count = max over its updates; batch formula keeps
+      // 3 + 2 + 2 = 7 rows (drops t=5 and t=12)
+      val kept = spark.table("late")
+        .groupBy(col("window")).agg(max(col("count")).as("n"))
+        .agg(sum(col("n"))).head().getLong(0)
+      assert(kept === 7L)
+      val windows = spark.table("late").select("window").distinct().count()
+      assert(windows === 7L) // each kept row lands in its own 1-min window
+    } finally query.stop()
+  }
+
   test("file-source stream drives the tumbling window end-to-end") {
     val dir = TestTables.dir(spark)
     val query = StreamingJobs.tumbling(StreamingJobs.eventsFileStream(spark, s"$dir/events.parquet"))
