@@ -105,6 +105,30 @@ object Events {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of — each purchase matched to the EARLIEST view strictly
+    // after it — through the SAME native backward exec, by negating both
+    // time columns: backward-strict on (−t) is exactly forward-strict on t,
+    // and "latest −t" is "earliest t". Direction needs no second physical
+    // operator, just this algebraic composition; the µs longs stay exact
+    // under negation. The oracle is DuckDB's own forward ASOF (p.ts < v.ts)
+    // — two independent formulations of the direction flip.
+    "join_asof_forward" -> ((s, d) => {
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts_us").as("p_ts"), (-col("ts_us")).as("p_neg"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+          col("ts_us").as("v_ts"), (-col("ts_us")).as("v_neg"))
+      graft.plans.AsOfJoinNative
+        .join(p, v,
+          keys = Seq("user_id" -> "v_user"),
+          leftTime = "p_neg", rightTime = "v_neg",
+          strict = true, tiebreak = Seq("v_id"))
+        .select(col("p_id").as("event_id"), col("v_id").as("next_view"))
+        .orderBy("event_id")
+    }),
+
     // The same as-of semantics again, under the declared SKEW mitigation:
     // time-bucket salting (1h buckets) composed over AsOfJoinExec
     // (operators.AsOfSkew). A hot user's rows spread across one partition
@@ -225,6 +249,12 @@ object Events {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts > v.ts
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT p.event_id AS event_id, v.event_id AS next_view
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts < v.ts
         |ORDER BY event_id""".stripMargin,
     "join_asof_skew" ->
       """SELECT p.event_id AS event_id, v.event_id AS prev_view

@@ -129,6 +129,53 @@ object WindowOps {
         .orderBy("l_returnflag", "l_quantity", "l_orderkey", "cd", "pr")
     }),
 
+    // Cohort retention matrix: cohort = the user's first-event week; a
+    // cohort's week-N retention = distinct users active in week
+    // (cohort + N) over cohort size. Two hash aggregates + one slim join —
+    // the first-event frame carries (user, ts) only, cohort sizes are a
+    // tiny dim joined back.
+    "cohort_retention" -> ((s, d) => {
+      val weekUs = 86400000000L // day in µs; weeks = day-bucket DIV 7
+      val ev = events(s, d).select(col("user_id"), col("ts_us"))
+      val firstEv = ev.groupBy("user_id").agg(min(col("ts_us")).as("first_ts"))
+      val act = ev.join(firstEv, "user_id")
+        .select(
+          col("user_id"),
+          expr(s"(first_ts div $weekUs) div 7").as("cw"),
+          (expr(s"(ts_us div $weekUs) div 7") -
+            expr(s"(first_ts div $weekUs) div 7")).as("week_n"))
+        .distinct()
+      val sizes = act.filter(col("week_n") === 0)
+        .groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+      act.join(sizes, "cw")
+        .groupBy(col("cw").as("cohort_week"), col("week_n"))
+        .agg(
+          count(lit(1)).as("active_users"),
+          round(count(lit(1)).cast("double") / first(col("cohort_size")), 4)
+            .as("retention"))
+        .orderBy("cohort_week", "week_n")
+    }),
+
+    // Trailing-window z-score anomaly flags: each event scored against the
+    // mean/stddev of its user's previous ≤20 events; |z| > 2 is an anomaly.
+    // Per-user windows — entity-keyed shuffle, bounded window state.
+    "anomaly_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-20, -1)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .withColumn("nprev", count(lit(1)).over(w))
+        .filter(col("nprev") >= 5 && col("sd") > 0)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_scored"),
+          count(when(abs((col("value") - col("mu")) / col("sd")) > 2.0, 1))
+            .as("n_anomalies"))
+        .orderBy("user_id")
+    }),
+
     // 2-D skyline (Pareto frontier) on (min p_retailprice, max p_size),
     // window form: sorted by (price asc, size desc), a part is dominated
     // iff a prefix row has strictly larger size (cond1), or an equal-size
@@ -194,6 +241,33 @@ object WindowOps {
         |       CASE WHEN lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
         |            THEN true ELSE false END AS is_current
         |FROM ch ORDER BY user_id, valid_from, state""".stripMargin,
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_ts FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id,
+        |             (f.first_ts // 86400000000) // 7 AS cw,
+        |             ((epoch_us(e.ts) // 86400000000) // 7)
+        |               - ((f.first_ts // 86400000000) // 7) AS week_n
+        |      FROM events e JOIN f ON e.user_id = f.user_id),
+        |c AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+        |      FROM a WHERE week_n = 0 GROUP BY cw)
+        |SELECT a.cw AS cohort_week, a.week_n, CAST(count(*) AS BIGINT) AS active_users,
+        |       round(CAST(count(*) AS DOUBLE) / any_value(c.cohort_size), 4) AS retention
+        |FROM a JOIN c ON a.cw = c.cw
+        |GROUP BY a.cw, a.week_n
+        |ORDER BY cohort_week, week_n""".stripMargin,
+    "anomaly_zscore" ->
+      """WITH w AS (SELECT event_id, user_id, value,
+        |                  avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+        |                  stddev_samp(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
+        |                  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS nprev
+        |           FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_scored,
+        |       CAST(count(CASE WHEN abs((value - mu) / sd) > 2.0 THEN 1 END) AS BIGINT) AS n_anomalies
+        |FROM w WHERE nprev >= 5 AND sd > 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_cume_dist" ->
       """SELECT l_returnflag, l_orderkey, l_quantity,
         |       cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd,
