@@ -45,4 +45,21 @@ object SqlSurface {
          |  FROM ${orders(d)})
          |WHERE rn <= 3
          |ORDER BY o_custkey, rn""".stripMargin)
+
+  def part(d: String) = s"parquet.`$d/part.parquet`"
+
+  /** SQL twin of `skyline_pareto` (round 7) — the window-form prefix-max
+    * dominance filter expressed purely in SQL.
+    */
+  def skylineParetoSql(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      s"""SELECT p_partkey, p_retailprice, p_size FROM (
+         |  SELECT p_partkey, p_retailprice, p_size,
+         |         max(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+         |         min(p_retailprice) OVER (PARTITION BY p_size ORDER BY p_retailprice ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2
+         |  FROM ${part(d)})
+         |WHERE NOT (coalesce(m1 > p_size, false) OR coalesce(m2 < p_retailprice, false))
+         |ORDER BY p_partkey""".stripMargin)
 }

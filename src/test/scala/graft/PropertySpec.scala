@@ -102,4 +102,65 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("interval_merge equals the brute-force per-user merge on random events") {
+    import spark.implicits._
+    val evGen = for {
+      user <- Gen.choose(0L, 3L)
+      min <- Gen.choose(0L, 600L) // minutes; 30-min intervals force overlaps
+    } yield (user, min)
+    var id = 0L
+    forAllN(Gen.listOfN(40, evGen), 3) { evs =>
+      if (evs.nonEmpty) {
+        val d = Files.createTempDirectory("iv-prop").toString
+        val base = 1704067200L * 1000000000L
+        val rows = evs.map { case (u, m) =>
+          id += 1
+          (id, base + m * 60L * 1000000000L, u, "view", 1.0, "{}")
+        }
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.parquet(s"$d/events.parquet")
+        val got = SparkEntry.queries("interval_merge")(spark, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        // reference: sort starts per user, sweep-merge [s, s+30min) intervals
+        val iv = 1800000000L
+        val want = rows.groupBy(_._3).toSeq.map { case (u, rs) =>
+          val starts = rs.map(_._2 / 1000).sorted
+          val merged = starts.foldLeft(List.empty[(Long, Long)]) {
+            case (acc, s) => acc match {
+              case (s0, e0) :: rest if s <= e0 => (s0, math.max(e0, s + iv)) :: rest
+              case _ => (s, s + iv) :: acc
+            }
+          }
+          (u, merged.length.toLong, merged.map(p => p._2 - p._1).sum)
+        }.sortBy(_._1)
+        assert(got === want)
+      }
+    }
+  }
+
+  test("skyline_pareto equals the brute-force dominance filter on random parts") {
+    import spark.implicits._
+    val pGen = for {
+      price <- Gen.choose(1, 20).map(_ * 0.5)
+      size <- Gen.choose(1, 10)
+    } yield (price, size)
+    var key = 0L
+    forAllN(Gen.listOfN(30, pGen), 3) { ps =>
+      if (ps.nonEmpty) {
+        val d = Files.createTempDirectory("sk-prop").toString
+        val rows = ps.map { case (pr, sz) => key += 1; (key, pr, sz) }
+        rows.toDF("p_partkey", "p_retailprice", "p_size")
+          .write.parquet(s"$d/part.parquet")
+        val got = SparkEntry.queries("skyline_pareto")(spark, d).collect()
+          .map(_.getLong(0)).toSeq
+        val want = rows.filter { case (_, pr, sz) =>
+          !rows.exists { case (_, qr, qz) =>
+            qr <= pr && qz >= sz && (qr < pr || qz > sz)
+          }
+        }.map(_._1).sorted
+        assert(got === want)
+      }
+    }
+  }
 }

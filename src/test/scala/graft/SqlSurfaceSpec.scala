@@ -26,4 +26,8 @@ class SqlSurfaceSpec extends SparkSpec {
   test("topk_per_group: SQL twin equals DataFrame result") {
     same(SqlSurface.topkPerGroupSql(spark, d), "topk_per_group")
   }
+
+  test("skyline_pareto: SQL twin equals DataFrame result") {
+    same(SqlSurface.skylineParetoSql(spark, d), "skyline_pareto")
+  }
 }
