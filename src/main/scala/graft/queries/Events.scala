@@ -145,7 +145,11 @@ object Events {
         .join(p, v,
           keys = Seq("user_id" -> "v_user"),
           leftTime = "p_ts", rightTime = "v_ts",
-          tiebreak = "v_id", bucketWidth = 3600L * 1000000L)
+          tiebreak = "v_id", bucketWidth = 3600L * 1000000L,
+          // event_id is unique per purchase row, so the pass-1 leftover
+          // probe can key on the id alone — slim shuffle instead of
+          // all-column join keys (see AsOfSkew scaladoc for the contract)
+          leftIdCol = Some("p_id"))
         .select(col("p_id").as("event_id"), col("v_id").as("prev_view"))
         .orderBy("event_id")
     }),
