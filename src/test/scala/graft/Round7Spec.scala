@@ -139,6 +139,27 @@ class Round7Spec extends SparkSpec {
     assert(rows === Seq((0L, 1L, 1.0), (1L, 0L, 1.0)))
   }
 
+  test("graph queries on a hand-computable co-purchase graph") {
+    import spark.implicits._
+    // parts (1,2), (2,3), (1,3) each co-purchased in 2 orders → triangle
+    // 1-2-3 with support 2 on every edge; all degrees 2
+    val rows = for {
+      (a, b, o) <- Seq((1L, 2L, 10L), (2L, 3L, 20L), (1L, 3L, 30L))
+      rep <- 0 to 1
+      pk <- Seq(a, b)
+    } yield (o + rep, pk)
+    val d = java.nio.file.Files.createTempDirectory("graph7").toString
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$d/lineitem.parquet")
+    val tri = SparkEntry.queries("graph_triangles")(spark, d).collect().head
+    assert((tri.getLong(0), tri.getLong(1), tri.getLong(2), tri.getLong(3)) ===
+      ((3L, 3L, 3L, 1L)))
+    assert(tri.getDouble(4) === 1.0) // 3·tri/wedges — a perfect triangle
+    // symmetric 3-cycle: uniform rank is the exact fixed point → scaled 1.0
+    val pr = SparkEntry.queries("graph_pagerank")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pr === Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)))
+  }
+
   test("graph queries survive an empty support-thresholded edge set") {
     // the tiny lineitem has no part pair co-purchased twice
     val tri = q("graph_triangles").collect()
