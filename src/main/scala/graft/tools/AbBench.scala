@@ -38,7 +38,31 @@ object AbBench {
     // dedup_components before the edge-induced-subgraph restriction:
     // every round iterates ALL vertices, not just docs with a near-dup
     "dedup_components_allv" -> ((s, d) =>
-      graft.queries.ScaleOps.dedupComponents(s, d, iterateAll = true))
+      graft.queries.ScaleOps.dedupComponents(s, d, iterateAll = true)),
+    // text_ngram_containment before the diagonal rewrite: three consumers
+    // of the shingle frame (both join sides + the per-doc count branch),
+    // each re-running scan+normalize+explode — the form that grew 8.6× on
+    // the 10× proxy while the diagonal stays flat
+    "text_ngram_containment_naive" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, rd, t}
+      val sh = t(s, d, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          explode(graft.operators.MinHashLsh
+            .shingles(split(normText(col("text")), " "), 3)).as("g3"))
+      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val b = sh.select(col("doc_id").as("b_id"), col("g3"))
+      sh.join(b, Seq("g3"))
+        .filter(col("doc_id") =!= col("b_id"))
+        .groupBy(col("doc_id").as("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("isect"))
+        .join(n.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .withColumn("c", col("isect").cast("double") / col("ns"))
+        .filter(col("c") >= 0.3)
+        .select(col("a_id"), col("b_id"), rd(col("c"), 4).as("containment"))
+        .orderBy("a_id", "b_id")
+    })
   )
 
   def main(args: Array[String]): Unit = {

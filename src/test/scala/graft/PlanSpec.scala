@@ -44,6 +44,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-7 filtered scans push their predicates down") {
+    // each declared block/filter must reach the parquet scan, not run post-read
+    val cases = Seq(
+      "window_cume_dist" -> "LessThan(l_orderkey,300)",
+      "scd2_history" -> "LessThan(user_id,100)",
+      "text_ngram_containment" -> "LessThan(doc_id,500)")
+    for ((name, pushed) <- cases) {
+      val p = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      assert(p.contains(pushed), s"$name: expected $pushed in PushedFilters")
+    }
+  }
+
+  test("cohort_retention broadcasts the first-event and cohort-size frames") {
+    val p = SparkEntry.queries("cohort_retention")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("no query plans a CartesianProduct; nested-loop joins only where declared") {
     // text_tfidf / text_unigram_lm broadcast a single-row aggregate (the
     // corpus total) — a deliberate 1×N nested-loop, not a join-order accident
