@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{events, rd, t}
+import graft.Tables.{events, rd, rdSql, t}
 
 /** Round-3 analytic-SQL widening (SURVEY.md §2.14): statistical and bitwise
   * aggregates, deterministic mode/median, struct-ordering argmax, grouping
@@ -164,6 +164,38 @@ object Analytics2 {
     // key instead of a sort-window: partial aggregation compacts each map
     // partition to ≤1 row per key BEFORE the shuffle — at 100 TB the
     // shuffle carries keys, not the log.
+    // CDC MERGE/upsert: apply an (op, key, payload) change set to a base
+    // snapshot — updates override, inserts append, deletes drop, untouched
+    // keys keep their base row. One full-outer equi-join on the key; at
+    // scale both sides bucket/partition by the key so the merge is
+    // co-located, and the op column makes the apply idempotent (re-running
+    // the same change set yields the same snapshot).
+    "merge_upsert" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val changes = orders.filter(col("o_orderkey") % 10 <= 3)
+        .select(
+          col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 10 <= 2, "U").otherwise("D").as("op"),
+          rd(col("o_totalprice") * 1.1, 2).as("new_price"))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 4)
+          .select(
+            (col("o_orderkey") + 10000000L).as("k"),
+            lit("I").as("op"),
+            rd(col("o_totalprice") * 0.5, 2).as("new_price")))
+      val base = orders.select(
+        col("o_orderkey").as("bk"), col("o_custkey"),
+        rd(col("o_totalprice"), 2).as("price"))
+      base.join(changes, col("bk") === col("k"), "full_outer")
+        .select(
+          coalesce(col("bk"), col("k")).as("o_orderkey"),
+          coalesce(col("o_custkey"), lit(-1L)).as("o_custkey"),
+          when(col("op").isin("U", "I"), col("new_price"))
+            .otherwise(col("price")).as("price"),
+          coalesce(col("op"), lit("K")).as("op"))
+        .filter(col("op") =!= "D")
+        .orderBy("o_orderkey")
+    }),
+
     "cdc_latest" -> ((s, d) => {
       val payload = struct(col("event_id"), col("event_type"), col("value"),
         col("ts_us"))
@@ -234,6 +266,27 @@ object Analytics2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "merge_upsert" ->
+      s"""WITH chg AS (
+         |  SELECT o_orderkey AS k,
+         |         CASE WHEN o_orderkey % 10 <= 2 THEN 'U' ELSE 'D' END AS op,
+         |         ${rdSql("o_totalprice * 1.1", 2)} AS new_price
+         |  FROM orders WHERE o_orderkey % 10 <= 3
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000 AS k, 'I' AS op,
+         |         ${rdSql("o_totalprice * 0.5", 2)} AS new_price
+         |  FROM orders WHERE o_orderkey % 10 = 4),
+         |base AS (SELECT o_orderkey AS bk, o_custkey,
+         |                ${rdSql("o_totalprice", 2)} AS price FROM orders),
+         |m AS (SELECT coalesce(b.bk, c.k) AS o_orderkey,
+         |             coalesce(b.o_custkey, -1) AS o_custkey,
+         |             CASE WHEN c.op IN ('U', 'I') THEN c.new_price
+         |                  ELSE b.price END AS price,
+         |             coalesce(c.op, 'K') AS op
+         |      FROM base b FULL OUTER JOIN chg c ON b.bk = c.k)
+         |SELECT o_orderkey, o_custkey, price, op
+         |FROM m WHERE op <> 'D'
+         |ORDER BY o_orderkey""".stripMargin,
     "agg_mode_median" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
         |           FROM lineitem GROUP BY 1, 2),
