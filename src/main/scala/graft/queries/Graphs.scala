@@ -45,7 +45,7 @@ object Graphs {
     * mega-basket would be capped by a per-order item limit upstream (same
     * guard family as MinHashLsh.maxBucketSize).
     */
-  private def edges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val baskets = t(s, d, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("pks"))
@@ -65,7 +65,7 @@ object Graphs {
     // triangle once. Wedge count Σ C(deg, 2) comes from the degree frame —
     // no second join.
     "graph_triangles" -> ((s, d) => {
-      val e = edges(s, d).localCheckpoint()
+      val e = copurchaseEdges(s, d).localCheckpoint()
       val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       val deg = sym.groupBy(col("a_id").as("node")).agg(count(lit(1)).as("dg"))
       val wedges = deg.agg(
@@ -91,7 +91,7 @@ object Graphs {
     // rounded to 6 dp — the summation-order tolerance all cross-engine
     // aggregate comparisons here use.
     "graph_pagerank" -> ((s, d) => {
-      val e = edges(s, d)
+      val e = copurchaseEdges(s, d)
       val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .select(col("a_id").as("src"), col("b_id").as("dst"))
         .localCheckpoint() // eager: the edge list feeds every round AND the count

@@ -39,6 +39,39 @@ object AbBench {
     // every round iterates ALL vertices, not just docs with a near-dup
     "dedup_components_allv" -> ((s, d) =>
       graft.queries.ScaleOps.dedupComponents(s, d, iterateAll = true)),
+    // graph_triangles with DEGREE-ordered orientation (Schank–Wagner):
+    // edges point from the (degree, id)-smaller endpoint, so wedge fan-out
+    // is bounded by oriented out-degree ≤ O(√E) even with hub nodes; the
+    // closing probe canonicalizes back to the id-oriented edge list
+    "graph_triangles_degree" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = graft.queries.Graphs.copurchaseEdges(s, d).localCheckpoint()
+      val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      val deg = sym.groupBy(col("a_id").as("node")).agg(count(lit(1)).as("dg"))
+      val withDeg = e
+        .join(deg.select(col("node").as("a_id"), col("dg").as("da")), "a_id")
+        .join(deg.select(col("node").as("b_id"), col("dg").as("db")), "b_id")
+      // orient by (deg, id): src is the smaller endpoint under that order
+      def key(dg: String, id: String) =
+        struct(col(dg).as("d"), col(id).as("i"))
+      val o = withDeg.select(
+        when(key("da", "a_id") < key("db", "b_id"),
+          struct(col("a_id").as("s"), col("b_id").as("t"), key("db", "b_id").as("tk")))
+          .otherwise(
+            struct(col("b_id").as("s"), col("a_id").as("t"), key("da", "a_id").as("tk"))).as("x"))
+        .select(col("x.s").as("s"), col("x.t").as("t"), col("x.tk").as("tk"))
+        .localCheckpoint()
+      val o2 = o.select(col("s").as("s2"), col("t").as("t2"), col("tk").as("tk2"))
+      val wedges = o.join(o2, col("s") === col("s2") && col("tk") < col("tk2"))
+      val closing = e.select(
+        least(col("a_id"), col("b_id")).as("ca"),
+        greatest(col("a_id"), col("b_id")).as("cb"))
+      wedges
+        .join(closing,
+          least(col("t"), col("t2")) === col("ca") &&
+            greatest(col("t"), col("t2")) === col("cb"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
     // text_ngram_containment before the diagonal rewrite: three consumers
     // of the shingle frame (both join sides + the per-doc count branch),
     // each re-running scan+normalize+explode — the form that grew 8.6× on

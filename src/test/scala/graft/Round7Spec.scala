@@ -160,6 +160,24 @@ class Round7Spec extends SparkSpec {
     assert(pr === Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)))
   }
 
+  test("degree-oriented triangle count equals the declared id-oriented census") {
+    import spark.implicits._
+    // same doubled 3-cycle as above plus a pendant edge (4-5) that can
+    // never close a triangle — both orientations must count exactly 1
+    val rows = for {
+      (a, b, o) <- Seq((1L, 2L, 10L), (2L, 3L, 20L), (1L, 3L, 30L), (4L, 5L, 40L))
+      rep <- 0 to 1
+      pk <- Seq(a, b)
+    } yield (o + rep, pk)
+    val d = java.nio.file.Files.createTempDirectory("graph7b").toString
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$d/lineitem.parquet")
+    val declared = SparkEntry.queries("graph_triangles")(spark, d)
+      .collect().head.getLong(3)
+    val degree = graft.tools.AbBench.variants("graph_triangles_degree")(spark, d)
+      .collect().head.getLong(0)
+    assert(declared === 1L && degree === 1L)
+  }
+
   test("graph queries survive an empty support-thresholded edge set") {
     // the tiny lineitem has no part pair co-purchased twice
     val tri = q("graph_triangles").collect()
