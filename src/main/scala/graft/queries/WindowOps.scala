@@ -176,6 +176,25 @@ object WindowOps {
         .orderBy("user_id")
     }),
 
+    // Time-weighted average (TWAP): each value weighted by the µs until
+    // the user's next event (the duration it was "current"); the open last
+    // span is excluded. One lead() per user then a plain aggregate —
+    // the metric/financial averaging that plain avg() gets wrong when
+    // sampling is irregular (compare the plain_avg column).
+    "time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .withColumn("dur", (lead(col("ts_us"), 1).over(w) - col("ts_us")).cast("double"))
+        .filter(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(col("dur")).as("n_spans"),
+          round(sum(col("value") * col("dur")) / sum(col("dur")), 4).as("twap"),
+          round(avg(col("value")), 4).as("plain_avg"))
+        .orderBy("user_id")
+    }),
+
     // 2-D skyline (Pareto frontier) on (min p_retailprice, max p_size),
     // window form: sorted by (price asc, size desc), a part is dominated
     // iff a prefix row has strictly larger size (cond1), or an equal-size
@@ -267,6 +286,17 @@ object WindowOps {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_scored,
         |       CAST(count(CASE WHEN abs((value - mu) / sd) > 2.0 THEN 1 END) AS BIGINT) AS n_anomalies
         |FROM w WHERE nprev >= 5 AND sd > 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |w AS (SELECT user_id, value,
+        |             CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |                  - ts_us AS DOUBLE) AS dur
+        |      FROM e)
+        |SELECT user_id, CAST(count(dur) AS BIGINT) AS n_spans,
+        |       round(sum(value * dur) / sum(dur), 4) AS twap,
+        |       round(avg(value), 4) AS plain_avg
+        |FROM w WHERE dur IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_cume_dist" ->
       """SELECT l_returnflag, l_orderkey, l_quantity,
