@@ -159,11 +159,6 @@ object Analytics2 {
            |ORDER BY n.n_name, c.c_custkey""".stripMargin)
     }),
 
-    // CDC latest-snapshot compaction: one row per key = the change-log
-    // entry with the greatest (ts, event_id). max_by over a struct ordering
-    // key instead of a sort-window: partial aggregation compacts each map
-    // partition to ≤1 row per key BEFORE the shuffle — at 100 TB the
-    // shuffle carries keys, not the log.
     // CDC MERGE/upsert: apply an (op, key, payload) change set to a base
     // snapshot — updates override, inserts append, deletes drop, untouched
     // keys keep their base row. One full-outer equi-join on the key; at
@@ -179,7 +174,11 @@ object Analytics2 {
           rd(col("o_totalprice") * 1.1, 2).as("new_price"))
         .unionByName(orders.filter(col("o_orderkey") % 10 === 4)
           .select(
-            (col("o_orderkey") + 10000000L).as("k"),
+            // synthesized insert keys live in the NEGATIVE key space —
+            // base orderkeys are non-negative at every scale factor, so an
+            // insert can never silently collide with (and "update") a real
+            // base row the way a fixed positive offset would at sf ≥ 2
+            (-col("o_orderkey") - 1L).as("k"),
             lit("I").as("op"),
             rd(col("o_totalprice") * 0.5, 2).as("new_price")))
       val base = orders.select(
@@ -196,6 +195,11 @@ object Analytics2 {
         .orderBy("o_orderkey")
     }),
 
+    // CDC latest-snapshot compaction: one row per key = the change-log
+    // entry with the greatest (ts, event_id). max_by over a struct ordering
+    // key instead of a sort-window: partial aggregation compacts each map
+    // partition to ≤1 row per key BEFORE the shuffle — at 100 TB the
+    // shuffle carries keys, not the log.
     "cdc_latest" -> ((s, d) => {
       val payload = struct(col("event_id"), col("event_type"), col("value"),
         col("ts_us"))
@@ -273,7 +277,7 @@ object Analytics2 {
          |         ${rdSql("o_totalprice * 1.1", 2)} AS new_price
          |  FROM orders WHERE o_orderkey % 10 <= 3
          |  UNION ALL
-         |  SELECT o_orderkey + 10000000 AS k, 'I' AS op,
+         |  SELECT -o_orderkey - 1 AS k, 'I' AS op,
          |         ${rdSql("o_totalprice * 0.5", 2)} AS new_price
          |  FROM orders WHERE o_orderkey % 10 = 4),
          |base AS (SELECT o_orderkey AS bk, o_custkey,

@@ -114,12 +114,14 @@ object Events {
     // — two independent formulations of the direction flip.
     "join_asof_forward" -> ((s, d) => {
       val ev = events(s, d)
+      // only the negated times enter the join — the positive columns would
+      // ride the exchange+sort as dead weight (slim-shuffle discipline)
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
-          col("ts_us").as("p_ts"), (-col("ts_us")).as("p_neg"))
+          (-col("ts_us")).as("p_neg"))
       val v = ev.filter(col("event_type") === "view")
         .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
-          col("ts_us").as("v_ts"), (-col("ts_us")).as("v_neg"))
+          (-col("ts_us")).as("v_neg"))
       graft.plans.AsOfJoinNative
         .join(p, v,
           keys = Seq("user_id" -> "v_user"),

@@ -190,7 +190,12 @@ object WindowOps {
         .groupBy(col("user_id"))
         .agg(
           count(col("dur")).as("n_spans"),
-          round(sum(col("value") * col("dur")) / sum(col("dur")), 4).as("twap"),
+          // a user whose spans are all zero-length (every event at one
+          // timestamp) has sum(dur) = 0 — ANSI mode makes that division a
+          // hard error, not NULL, so guard explicitly (same family as the
+          // n_wedges/sd/mx guards elsewhere this round)
+          when(sum(col("dur")) > 0,
+            round(sum(col("value") * col("dur")) / sum(col("dur")), 4)).as("twap"),
           round(avg(col("value")), 4).as("plain_avg"))
         .orderBy("user_id")
     }),
@@ -294,7 +299,8 @@ object WindowOps {
         |                  - ts_us AS DOUBLE) AS dur
         |      FROM e)
         |SELECT user_id, CAST(count(dur) AS BIGINT) AS n_spans,
-        |       round(sum(value * dur) / sum(dur), 4) AS twap,
+        |       CASE WHEN sum(dur) > 0
+        |            THEN round(sum(value * dur) / sum(dur), 4) END AS twap,
         |       round(avg(value), 4) AS plain_avg
         |FROM w WHERE dur IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
