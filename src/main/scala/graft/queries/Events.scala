@@ -131,6 +131,37 @@ object Events {
         .orderBy("event_id")
     }),
 
+    // POINT-IN-TIME feature join (feature-store leakage safety): each
+    // purchase joined to the user's STATE AS OF one hour before the
+    // purchase — never the state at (or after) the event itself. The state
+    // chain is the SCD2 change sequence (consecutive same-type events
+    // collapsed); the PIT lookup is the native as-of exec with
+    // leftTime = ts − 1h + 1µs, turning the non-strict `valid_from ≤ ts−1h`
+    // bound into the exec's strict < on exact integer µs. Purchases with
+    // no state yet at the lagged instant drop (inner as-of) — exactly the
+    // rows a leakage-safe training join must exclude.
+    "join_pit_state" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val states = ev
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id").as("s_user"), col("event_type").as("s_type"),
+          col("ts_us").as("s_from"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (col("ts_us") - 3600000000L + 1L).as("lag_ts"))
+      graft.plans.AsOfJoinNative
+        .join(probes, states,
+          keys = Seq("user_id" -> "s_user"),
+          leftTime = "lag_ts", rightTime = "s_from",
+          strict = true, tiebreak = Nil)
+        .select(col("event_id"), col("user_id"),
+          col("s_type").as("state_1h_ago"), col("s_from").as("state_from"))
+        .orderBy("event_id")
+    }),
+
     // The same as-of semantics again, under the declared SKEW mitigation:
     // time-bucket salting (1h buckets) composed over AsOfJoinExec
     // (operators.AsOfSkew). A hot user's rows spread across one partition
@@ -261,6 +292,16 @@ object Events {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts < v.ts
+        |ORDER BY event_id""".stripMargin,
+    "join_pit_state" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |      FROM e),
+        |ch AS (SELECT user_id, event_type, ts_us FROM c WHERE prev IS NULL OR prev <> event_type),
+        |p AS (SELECT event_id, user_id, ts_us - 3600000000 + 1 AS lag_ts
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, s.event_type AS state_1h_ago, s.ts_us AS state_from
+        |FROM p ASOF JOIN ch s ON p.user_id = s.user_id AND p.lag_ts > s.ts_us
         |ORDER BY event_id""".stripMargin,
     "join_asof_skew" ->
       """SELECT p.event_id AS event_id, v.event_id AS prev_view

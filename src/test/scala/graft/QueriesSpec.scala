@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 161 declared queries (53 SURVEY §2 + 108 extras), 153 with oracles") {
-    assert(SparkEntry.queries.size === 161)
-    assert(SparkEntry.oracleSql.size === 153)
+  test("inventory: 162 declared queries (53 SURVEY §2 + 109 extras), 154 with oracles") {
+    assert(SparkEntry.queries.size === 162)
+    assert(SparkEntry.oracleSql.size === 154)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
