@@ -194,9 +194,13 @@ object WindowOps {
           // timestamp) has sum(dur) = 0 — ANSI mode makes that division a
           // hard error, not NULL, so guard explicitly (same family as the
           // n_wedges/sd/mx guards elsewhere this round)
+          // 2dp, not 4: at sf0.1 a user's avg landed within the engines'
+          // summation-order delta of a 4dp boundary (44.94875) and the
+          // hash compare flipped — wider rounding is the aggregate
+          // tolerance, and ~45-valued averages keep full meaning at 2dp
           when(sum(col("dur")) > 0,
-            round(sum(col("value") * col("dur")) / sum(col("dur")), 4)).as("twap"),
-          round(avg(col("value")), 4).as("plain_avg"))
+            round(sum(col("value") * col("dur")) / sum(col("dur")), 2)).as("twap"),
+          round(avg(col("value")), 2).as("plain_avg"))
         .orderBy("user_id")
     }),
 
@@ -300,8 +304,8 @@ object WindowOps {
         |      FROM e)
         |SELECT user_id, CAST(count(dur) AS BIGINT) AS n_spans,
         |       CASE WHEN sum(dur) > 0
-        |            THEN round(sum(value * dur) / sum(dur), 4) END AS twap,
-        |       round(avg(value), 4) AS plain_avg
+        |            THEN round(sum(value * dur) / sum(dur), 2) END AS twap,
+        |       round(avg(value), 2) AS plain_avg
         |FROM w WHERE dur IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_cume_dist" ->
