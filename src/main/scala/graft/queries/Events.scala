@@ -143,12 +143,12 @@ object Events {
     "join_pit_state" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
-      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val states = ev
-        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      // shared chain definition (WindowOps.stateChain — same rows
+      // scd2_history builds); s_eid is the deterministic tiebreak should
+      // two state changes ever share a (user, µs) instant
+      val states = WindowOps.stateChain(ev)
         .select(col("user_id").as("s_user"), col("event_type").as("s_type"),
-          col("ts_us").as("s_from"))
+          col("ts_us").as("s_from"), col("event_id").as("s_eid"))
       val probes = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
           (col("ts_us") - 3600000000L + 1L).as("lag_ts"))
@@ -156,7 +156,7 @@ object Events {
         .join(probes, states,
           keys = Seq("user_id" -> "s_user"),
           leftTime = "lag_ts", rightTime = "s_from",
-          strict = true, tiebreak = Nil)
+          strict = true, tiebreak = Seq("s_eid"))
         .select(col("event_id"), col("user_id"),
           col("s_type").as("state_1h_ago"), col("s_from").as("state_from"))
         .orderBy("event_id")

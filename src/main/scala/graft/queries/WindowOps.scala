@@ -37,6 +37,20 @@ object WindowOps {
   /** Presence-interval half-width for interval_merge (30 min in µs). */
   private val IntervalUs = 1800000000L
 
+  /** THE single definition of the SCD2 state-change chain: consecutive
+    * same-state events per user collapse to their first row. Input needs
+    * (user_id, ts_us, event_type, event_id); event_id rides through both as
+    * the ordering tiebreak and so downstream as-of consumers can break
+    * equal-timestamp state ties deterministically (join_pit_state).
+    */
+  private[queries] def stateChain(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev.select(col("user_id"), col("ts_us"), col("event_type"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .drop("prev")
+  }
+
   val queries: Map[String, Q] = Map(
     // Watermark/late-data semantics, deterministically checkable in batch:
     // events arrive in event_id order except ~1% (event_id % 100 == 7) are
@@ -97,12 +111,7 @@ object WindowOps {
     // the open row is current. -1 sentinel (not NULL) for the open end so
     // the total ORDER BY stays engine-independent.
     "scd2_history" -> ((s, d) => {
-      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val changes = events(s, d)
-        .filter(col("user_id") < 100)
-        .select(col("user_id"), col("ts_us"), col("event_type"), col("event_id"))
-        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val changes = stateChain(events(s, d).filter(col("user_id") < 100))
       val byChange = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       changes
         .withColumn("nxt", lead(col("ts_us"), 1).over(byChange))

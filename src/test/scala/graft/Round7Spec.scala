@@ -194,6 +194,34 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  // ---- join_pit_state: non-vacuous PIT fixture (TestTables' 55-min
+  // event span means every probe there predates its user's 1h-lagged
+  // state, so the declared query is empty on it by construction) ----
+
+  test("join_pit_state picks the state in effect one hour before each purchase") {
+    import spark.implicits._
+    val base = 1704067200L * 1000000000L // ns epoch, like TestTables
+    def ns(min: Long): Long = base + min * 60L * 1000000000L
+    // user 1: signup@0 → view@30 → purchase@100 (1h before = minute 40 →
+    // state 'view' from minute 30) → purchase@65 (minute 5 → 'signup')
+    // user 2: only a purchase@10 — no state an hour back → dropped
+    val d = java.nio.file.Files.createTempDirectory("pit7").toString
+    Seq(
+      (1L, ns(0), 1L, "signup", 1.0, "{}"),
+      (2L, ns(30), 1L, "view", 1.0, "{}"),
+      (3L, ns(65), 1L, "purchase", 1.0, "{}"),
+      (4L, ns(100), 1L, "purchase", 1.0, "{}"),
+      (5L, ns(10), 2L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("join_pit_state")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+    val min = 60L * 1000000L
+    assert(got === Seq(
+      (3L, "signup", 0L * min + base / 1000),
+      (4L, "view", 30L * min + base / 1000)))
+  }
+
   // ---- CorpusClean: unsatisfiable threshold rejected (ADVICE r6) ----
 
   test("CorpusClean rejects a near-dup threshold above 1.0") {
