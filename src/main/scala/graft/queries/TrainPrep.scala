@@ -123,7 +123,7 @@ object TrainPrep {
          |             coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
          |      FROM d)
-         |SELECT lang, cum0 // $PackCapacity AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |SELECT lang, CAST(cum0 // $PackCapacity AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "sample_split" ->

@@ -20,6 +20,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
 
 
+def dtype_family(dt) -> str:
+    """Collapse a pandas dtype to the family the driver's hash is sensitive
+    to: int vs float vs bool vs time vs object. An int/float disagreement
+    (e.g. a DuckDB HUGEINT materializing as float64 against Spark's int64)
+    flips the driver hash even when every value compares equal, so the local
+    gate must reject it too."""
+    k = dt.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "time"
+    return "obj"
+
+
 def cell_eq(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -62,6 +80,19 @@ def main() -> None:
             continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+            n_fail += 1
+            continue
+        dtype_bad = None
+        for c in spark_df.columns:
+            sf, df_ = dtype_family(spark_df[c].dtype), dtype_family(duck_df[c].dtype)
+            # 'obj' stays permissive: nullable ints, decimals and strings all
+            # land there depending on the loader; values still compare below.
+            if sf != df_ and "obj" not in (sf, df_):
+                dtype_bad = (c, spark_df[c].dtype, duck_df[c].dtype)
+                break
+        if dtype_bad:
+            c, sd, dd = dtype_bad
+            print(f"FAIL {name}: dtype col={c}: spark={sd} duck={dd}")
             n_fail += 1
             continue
         bad = None
