@@ -69,7 +69,18 @@ object Bench {
     val failedSet = failed.toSet
     val total = results.collect { case (k, v, _) if v >= 0 && !failedSet(k) => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"reps_ok":$repsOk,"failed":$failedJson,"sf":"$sfDir"}""")
+    // schema 2: `value` sums FULLY-successful queries only (schema 1 — rounds
+    // ≤6 — included partial-rep medians of queries that later failed), so
+    // cross-round total comparisons can detect the semantics change
+    println(s"""{"metric":"total","value":$total,"unit":"sec","schema":2,"queries":$qs,"reps":$reps,"reps_ok":$repsOk,"failed":$failedJson,"sf":"$sfDir"}""")
+    // compact summary LAST: the driver keeps only the tail of stdout (round-7
+    // BENCH lost every per-query timing to the 2 KB cut), so the headline
+    // numbers must survive on their own final line
+    def ms3(v: Double): Double = math.rint(v * 1000) / 1000 // locale-safe 3dp
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => s"\"" + k + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","total_sec":${ms3(total)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"schema":2,"reps":$reps,"sf":"$sfDir","top10_slowest":$top}""")
     spark.stop()
   }
 }

@@ -270,45 +270,63 @@ object Events {
     })
   )
 
+  /** Backward as-of oracle shared by the three physical variants (operator /
+    * native exec / salted). Matching runs on µs — the engine's time domain —
+    * and tied view timestamps collapse to the max-event_id row, which is the
+    * engine's declared tiebreak, so DuckDB's arbitrary-among-equal-timestamps
+    * ASOF choice can never flake the compare (two same-µs views of one user
+    * after ns→µs truncation would otherwise be a latent, data-dependent
+    * hash flip).
+    */
+  private val AsofBackwardSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |           WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'view'
+      |      QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+      |                                 ORDER BY event_id DESC) = 1)
+      |SELECT p.event_id AS event_id, v.event_id AS prev_view
+      |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts_us > v.ts_us
+      |ORDER BY event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "func_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
-    // DuckDB native ASOF JOIN: match on max v.ts strictly below p.ts.
-    "join_asof" ->
-      """SELECT p.event_id AS event_id, v.event_id AS prev_view
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON p.user_id = v.user_id AND p.ts > v.ts
-        |ORDER BY event_id""".stripMargin,
-    "join_asof_exec" ->
-      """SELECT p.event_id AS event_id, v.event_id AS prev_view
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON p.user_id = v.user_id AND p.ts > v.ts
-        |ORDER BY event_id""".stripMargin,
+    // DuckDB native ASOF JOIN: match on max v.ts_us strictly below p.ts_us,
+    // ties pre-collapsed to the engine's tiebreak (see AsofBackwardSql).
+    "join_asof" -> AsofBackwardSql,
+    "join_asof_exec" -> AsofBackwardSql,
+    // Forward flip of AsofBackwardSql: earliest view strictly after the
+    // purchase; same µs domain + same max-event_id tie collapse (the engine
+    // negates time into the backward exec, keeping tiebreak = max v_id).
     "join_asof_forward" ->
-      """SELECT p.event_id AS event_id, v.event_id AS next_view
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON p.user_id = v.user_id AND p.ts < v.ts
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'view'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+        |                                 ORDER BY event_id DESC) = 1)
+        |SELECT p.event_id AS event_id, v.event_id AS next_view
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts_us < v.ts_us
         |ORDER BY event_id""".stripMargin,
+    // Chain rows that share (user_id, µs) — same-µs events of different
+    // types both surviving the lag chain — collapse to the max-event_id row,
+    // the engine's s_eid tiebreak, so both formulations agree by construction.
     "join_pit_state" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
         |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
         |      FROM e),
-        |ch AS (SELECT user_id, event_type, ts_us FROM c WHERE prev IS NULL OR prev <> event_type),
+        |ch AS (SELECT user_id, event_type, ts_us, event_id FROM c
+        |       WHERE prev IS NULL OR prev <> event_type
+        |       QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+        |                                  ORDER BY event_id DESC) = 1),
         |p AS (SELECT event_id, user_id, ts_us - 3600000000 + 1 AS lag_ts
         |      FROM e WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, s.event_type AS state_1h_ago, s.ts_us AS state_from
         |FROM p ASOF JOIN ch s ON p.user_id = s.user_id AND p.lag_ts > s.ts_us
-        |ORDER BY event_id""".stripMargin,
-    "join_asof_skew" ->
-      """SELECT p.event_id AS event_id, v.event_id AS prev_view
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON p.user_id = v.user_id AND p.ts > v.ts
-        |ORDER BY event_id""".stripMargin,
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_skew" -> AsofBackwardSql,
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_v

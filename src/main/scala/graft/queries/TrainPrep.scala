@@ -94,8 +94,10 @@ object TrainPrep {
     // Embedding int8 quantization: per-dimension min/max learned from the
     // (dim, value) pivot, q = floor((v-min)/scale + 0.5) — integer-exact
     // cross-engine because scale derives from order-independent min/max;
-    // per-vector mean-absolute reconstruction error rounded 4dp (aggregate
-    // tolerance).
+    // per-vector mean-absolute reconstruction error rounded 2dp — the
+    // widened margin for summed-double aggregates (the TWAP discipline:
+    // a cross-engine summation-order delta must not straddle a rounding
+    // boundary).
     "embedding_quantize" -> ((s, d) => {
       val x = t(s, d, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
@@ -108,7 +110,7 @@ object TrainPrep {
             floor((col("v") - col("mn")) / col("sc") + 0.5)).otherwise(0L))
         .groupBy(col("vec_id"))
         .agg(
-          round(sum(abs(col("v") - (col("mn") + col("qi") * col("sc")))), 4).as("mae"),
+          round(sum(abs(col("v") - (col("mn") + col("qi") * col("sc")))), 2).as("mae"),
           max(col("qi")).as("max_q"))
         .orderBy("vec_id")
     }))
@@ -161,7 +163,7 @@ object TrainPrep {
         |                  THEN floor((v - mn) / ((mx - mn) / 255.0) + 0.5)
         |                  ELSE 0 END AS qi
         |      FROM x JOIN mm ON x.i = mm.i)
-        |SELECT vec_id, round(sum(abs(v - (mn + qi * sc))), 4) AS mae,
+        |SELECT vec_id, round(sum(abs(v - (mn + qi * sc))), 2) AS mae,
         |       CAST(max(qi) AS BIGINT) AS max_q
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin)
 }

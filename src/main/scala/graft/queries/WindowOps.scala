@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{events, t}
+import graft.Tables.{events, rd, rdSql, t}
 
 /** Round-7 window-driven operators (SURVEY.md §2.16): watermark/late-data
   * semantics as a checkable batch query, interval merging (gaps-and-islands),
@@ -156,11 +156,18 @@ object WindowOps {
         .distinct()
       val sizes = act.filter(col("week_n") === 0)
         .groupBy("cw").agg(count(lit(1)).as("cohort_size"))
-      act.join(sizes, "cw")
+      // explicit hint: cohort sizes are one row per cohort WEEK — a dim that
+      // stays tiny at any corpus scale, the declared broadcast side (the
+      // per-user firstEv join above is entity-sized and must stay a shuffle)
+      act.join(broadcast(sizes), "cw")
         .groupBy(col("cw").as("cohort_week"), col("week_n"))
         .agg(
           count(lit(1)).as("active_users"),
-          round(count(lit(1)).cast("double") / first(col("cohort_size")), 4)
+          // rd (floor-formula), not round: the ratio is an exact integer
+          // division evaluated identically on both engines, so rd makes the
+          // compare bit-exact instead of exposed to round()'s decimal-repr
+          // vs binary tie handling
+          rd(count(lit(1)).cast("double") / first(col("cohort_size")), 4)
             .as("retention"))
         .orderBy("cohort_week", "week_n")
     }),
@@ -279,7 +286,7 @@ object WindowOps {
         |            THEN true ELSE false END AS is_current
         |FROM ch ORDER BY user_id, valid_from, state""".stripMargin,
     "cohort_retention" ->
-      """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_ts FROM events GROUP BY user_id),
+      s"""WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_ts FROM events GROUP BY user_id),
         |a AS (SELECT DISTINCT e.user_id,
         |             (f.first_ts // 86400000000) // 7 AS cw,
         |             ((epoch_us(e.ts) // 86400000000) // 7)
@@ -288,7 +295,7 @@ object WindowOps {
         |c AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
         |      FROM a WHERE week_n = 0 GROUP BY cw)
         |SELECT a.cw AS cohort_week, a.week_n, CAST(count(*) AS BIGINT) AS active_users,
-        |       round(CAST(count(*) AS DOUBLE) / any_value(c.cohort_size), 4) AS retention
+         |       ${rdSql("CAST(count(*) AS DOUBLE) / any_value(c.cohort_size)", 4)} AS retention
         |FROM a JOIN c ON a.cw = c.cw
         |GROUP BY a.cw, a.week_n
         |ORDER BY cohort_week, week_n""".stripMargin,

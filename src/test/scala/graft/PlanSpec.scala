@@ -56,7 +56,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("cohort_retention broadcasts the first-event and cohort-size frames") {
+  test("cohort_retention broadcasts the cohort-size dim (explicit hint)") {
+    // the query carries an explicit broadcast() hint on the cohort-size
+    // frame (a per-cohort-week dim, tiny at any scale), so this asserts
+    // declared intent — not whatever autoBroadcastJoinThreshold/AQE happen
+    // to pick for tiny test data
     val p = SparkEntry.queries("cohort_retention")(spark, d)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"))
