@@ -11,12 +11,16 @@ import graft.Tables.{normText, normTextSql, t}
   * embedding int8 quantization.
   *
   * Scale notes (100 TB):
-  * - `doc_pack_sequences` packs per LANGUAGE partition (training shards are
-  *   language-grouped anyway), so the running token sum is a per-partition
-  *   window, not a global scan — the bin id is a prefix-sum bucket, the
-  *   deterministic distributed packing (true greedy bin packing is
-  *   inherently sequential; the prefix form wastes at most one doc's
-  *   tokens per boundary).
+  * - `doc_pack_sequences` packs per LANGUAGE, and the per-language running
+  *   token sum is the distributed two-pass prefix scan
+  *   (operators.PrefixScan over doc_id-range blocks) — with a handful of
+  *   languages a per-lang window would serialize each language onto one
+  *   task; blockwise local sums + a broadcast-merged per-block offset frame
+  *   keep every stage partition-parallel. The bin id is a prefix-sum
+  *   bucket, the deterministic distributed packing (true greedy bin packing
+  *   is inherently sequential; the prefix form wastes at most one doc's
+  *   tokens per boundary). [[packWindow]] keeps the single-window form as
+  *   the AbBench reference / A/B twin.
   * - `sample_split` is the md5-coin split: stable under reruns, insertions
   *   and repartitioning, no global state — the only split discipline that
   *   survives distributed regeneration.
@@ -34,21 +38,53 @@ object TrainPrep {
   /** Context-window capacity (tokens) for sequence packing. */
   private val PackCapacity = 512
 
+  /** doc_id-range block width for the packing prefix scan (PrefixScan
+    * contract: monotone in the doc_id order, unique ids → trivially
+    * order-aligned). 256 keeps several blocks live even at sf0.001 so the
+    * cross-block merge path is always exercised; production sizing is
+    * ~2^20 so the per-language offset frame stays a few thousand rows.
+    */
+  private val PackBlock = 256L
+
+  /** Per-(lang, doc_id) token counts — the shared packing input. */
+  private def packTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(normText(col("text")), " ")).cast("long").as("n_tok"))
+
+  private def packReport(withCum: DataFrame): DataFrame =
+    withCum
+      .withColumn("bin", expr(s"cum0 div $PackCapacity"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("lang", "bin")
+
+  /** The single-window packing form — one window per language serializes
+    * each language onto one task. AbBench reference / A/B twin of the
+    * declared two-pass query; not the declared query.
+    */
+  private[graft] def packWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packReport(packTokens(s, d)
+      .withColumn("cum0", coalesce(sum(col("n_tok")).over(w), lit(0L))))
+  }
+
   val queries: Map[String, Q] = Map(
     // Sequence packing: docs in doc_id order per language, bin = exclusive
-    // prefix token sum DIV capacity. Per-(lang, bin) occupancy report.
-    "doc_pack_sequences" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(split(normText(col("text")), " ")).cast("long").as("n_tok"))
-        .withColumn("cum0", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .withColumn("bin", expr(s"cum0 div $PackCapacity"))
-        .groupBy(col("lang"), col("bin"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-        .orderBy("lang", "bin")
-    }),
+    // prefix token sum DIV capacity, computed via the distributed two-pass
+    // prefix scan (local sums per (lang, doc_id-block), broadcast-merged
+    // per-block offsets). Per-(lang, bin) occupancy report.
+    "doc_pack_sequences" -> ((s, d) => packReport(
+      graft.operators.PrefixScan.exclusive(
+        packTokens(s, d),
+        partitionCols = Seq("lang"),
+        block = expr(s"doc_id div $PackBlock"),
+        order = Seq(col("doc_id")),
+        value = col("n_tok"),
+        agg = c => sum(c),
+        merge = (l, o) => coalesce(l, lit(0L)) + coalesce(o, lit(0L)),
+        out = "cum0"))),
 
     // Deterministic 75/12.5/12.5 corpus split on the md5 coin (same
     // portable-coin family as sample_hash): first hex nibble 0-b → train,

@@ -72,6 +72,19 @@ object AbBench {
             greatest(col("t"), col("t2")) === col("cb"), "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
     }),
+    // skyline_pareto before the two-pass rewrite: the single global prefix
+    // window — one task sorts and scans the whole part table
+    "skyline_pareto_window" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.queries.WindowOps.skylineWindow(
+        graft.Tables.t(s, d, "part")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+        .orderBy("p_partkey")
+    }),
+    // doc_pack_sequences before the two-pass rewrite: one prefix-sum window
+    // per language — each language serializes onto one task
+    "doc_pack_sequences_window" -> ((s, d) =>
+      graft.queries.TrainPrep.packWindow(s, d)),
     // text_ngram_containment before the diagonal rewrite: three consumers
     // of the shingle frame (both join sides + the per-doc count branch),
     // each re-running scan+normalize+explode — the form that grew 8.6× on

@@ -71,8 +71,10 @@ class PlanSpec extends SparkSpec {
     // corpus total) — a deliberate 1×N nested-loop, not a join-order accident
     // graph_triangles cross-joins three SINGLE-ROW aggregates into its
     // one-row census — 1×1 nested loops, not a join-order accident
+    // skyline_pareto broadcasts the single-row price min/max that seeds its
+    // deterministic block ids — a deliberate 1×N, not a join-order accident
     val bnljAllowed = Set("join_cross", "sim_knn_cosine", "text_tfidf",
-      "text_unigram_lm", "graph_triangles")
+      "text_unigram_lm", "graph_triangles", "skyline_pareto")
     // these run real jobs at construction time (quantizer-sample collect,
     // iterative label rounds), and for the localCheckpoint-based ones the
     // executedPlan is a truncated checkpoint scan this test couldn't see
