@@ -30,6 +30,37 @@ object Pipeline3 {
 
   private def toks(c: Column): Column = split(normText(c), " ")
 
+  /** Benchmark-contamination core: distinct-8-gram equi-join of the train
+    * slice against the broadcast bench slice. The bench side is tiny by
+    * construction (benchmark suites ≪ training corpus); the TRAIN side gets
+    * the TextSim.MaxShingleDf document-frequency cap, so a boilerplate
+    * 8-gram shared by the whole corpus cannot fan the probe out — per-gram
+    * join work is bounded at dfCap × |bench docs with that gram|. The cap
+    * is non-binding at the gate's data (max observed train-side 8-gram df
+    * is 1). Exposed with the cap as a parameter for the binding-case spec.
+    */
+  private[graft] def contamination(
+      benchDocs: DataFrame, trainDocs: DataFrame, dfCap: Int): DataFrame = {
+    def grams(df: DataFrame, idCol: String): DataFrame = df
+      .select(col("doc_id").as(idCol), toks(col("text")).as("tk"))
+      .withColumn("nt", size(col("tk")))
+      .filter(col("nt") >= 8)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), col("nt") - 8),
+          i => array_join(slice(col("tk"), i + 1, lit(8)), " "))).as("g8"))
+      .distinct()
+    val bench = grams(benchDocs, "bench_id")
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("g8")
+    val train = grams(trainDocs, "train_id")
+      .withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    train.join(broadcast(bench), "g8")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_id", "bench_id")
+  }
+
   /** Blocklist used by the masking op (tiny literal; at scale a broadcast). */
   private val Blocklist = Seq("the", "of", "and", "is", "not")
 
@@ -102,21 +133,11 @@ object Pipeline3 {
     // (doc_id < 50) and the "training" slice (50 ≤ doc_id < 300). Reports
     // every (train, bench) pair sharing ≥ 1 distinct 8-gram.
     "text_contamination" -> ((s, d) => {
-      def grams(df: DataFrame, idCol: String): DataFrame = df
-        .select(col("doc_id").as(idCol), toks(col("text")).as("tk"))
-        .withColumn("nt", size(col("tk")))
-        .filter(col("nt") >= 8)
-        .select(col(idCol), explode(
-          transform(sequence(lit(0), col("nt") - 8),
-            i => array_join(slice(col("tk"), i + 1, lit(8)), " "))).as("g8"))
-        .distinct()
       val docs = t(s, d, "documents")
-      val bench = grams(docs.filter(col("doc_id") < 50), "bench_id")
-      val train = grams(docs.filter(col("doc_id") >= 50 && col("doc_id") < 300), "train_id")
-      train.join(broadcast(bench), "g8")
-        .groupBy("train_id", "bench_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .orderBy("train_id", "bench_id")
+      contamination(
+        docs.filter(col("doc_id") < 50),
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 300),
+        dfCap = graft.queries.TextSim.MaxShingleDf)
     }),
 
     // Per-doc 3-gram NOVELTY: the fraction of a doc's distinct shingles

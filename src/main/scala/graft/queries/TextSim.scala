@@ -16,13 +16,62 @@ import graft.operators.MinHashLsh
   * - Token-sort dedup is the exact-dedup skeleton with a canonicalized
   *   fingerprint: only (16-byte md5, id) pairs shuffle, text never moves.
   * - Containment uses the shingle equi-join (blocking key = the shingle
-  *   itself), the same discipline as text_contamination; at corpus scale,
-  *   stop-shingles (document-frequency caps) bound the hot-shingle fan-out
-  *   exactly like MinHashLsh.maxBucketSize bounds degenerate buckets.
+  *   itself), the same discipline as text_contamination; stop-shingles are
+  *   dropped by the declared [[MaxShingleDf]] document-frequency cap, so
+  *   hot-shingle fan-out is bounded exactly like MinHashLsh.maxBucketSize
+  *   bounds degenerate buckets.
   */
 object TextSim {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Document-frequency cap for join shingles (declared-constant guard,
+    * same family as MinHashLsh.maxBucketSize): a shingle occurring in more
+    * than this many documents is a STOP-shingle — boilerplate, not signal —
+    * and leaves the shingle universe entirely (intersection counts AND the
+    * |A| denominator) before the equi-join, bounding per-shingle join
+    * fan-out at df² ≤ MaxShingleDf². Non-binding on the gate's data (max
+    * observed 3-gram df in the sf0.1 doc_id<500 block is 7, 8-gram df is 1),
+    * so oracle rows are unchanged; at corpus scale it is what keeps the
+    * shingle equi-join from going quadratic on boilerplate.
+    */
+  private[graft] val MaxShingleDf = 64
+
+  /** Directed n-gram containment over `docs` (doc_id, text): |A∩B| / |A| ≥
+    * minC pairs via the diagonal shingle self-join, with shingles above
+    * `dfCap` dropped first (see [[MaxShingleDf]]). Exposed with the cap as
+    * a parameter so the spec can exercise the binding case.
+    */
+  private[graft] def ngramContainment(
+      docs: DataFrame, n: Int, minC: Double, dfCap: Int): DataFrame = {
+    // DIAGONAL form: the shingle self-join keeps a = b pairs, so the
+    // (a, a) count IS |A| — each doc intersected with itself — and one
+    // window over a_id replays it onto that doc's pair rows. This
+    // collapses the naive three-consumer shape (two join sides + a
+    // per-doc count branch, i.e. three scan+shingle pipelines or a
+    // materialization) to two, with no extra job. The df window keys on
+    // the shingle — the join key — so the join reuses its exchange.
+    val wDf = Window.partitionBy("g")
+    val sh = docs
+      .select(col("doc_id"),
+        explode(MinHashLsh.shingles(split(normText(col("text")), " "), n)).as("g"))
+      .withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    val b = sh.select(col("doc_id").as("b_id"), col("g"))
+    val agg = sh
+      .join(b, Seq("g"))
+      .groupBy(col("doc_id").as("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val byA = Window.partitionBy("a_id")
+    agg
+      .withColumn("ns", max(when(col("a_id") === col("b_id"), col("cnt"))).over(byA))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("c", col("cnt").cast("double") / col("ns"))
+      .filter(col("c") >= minC)
+      .select(col("a_id"), col("b_id"), rd(col("c"), 4).as("containment"))
+      .orderBy("a_id", "b_id")
+  }
 
   val queries: Map[String, Q] = Map(
     // Bag-of-words identity: docs whose normalized token MULTISET matches
@@ -42,34 +91,11 @@ object TextSim {
     // Directed 3-gram containment |A∩B| / |A| ≥ 0.3 within the doc_id<500
     // block (declared semantics, same block as dedup_jaccard): pairs where
     // most of A's shingles occur in B — subset/quotation detection.
-    "text_ngram_containment" -> ((s, d) => {
-      // DIAGONAL form: the shingle self-join keeps a = b pairs, so the
-      // (a, a) count IS |A| — each doc intersected with itself — and one
-      // window over a_id replays it onto that doc's pair rows. This
-      // collapses the naive three-consumer shape (two join sides + a
-      // per-doc count branch, i.e. three scan+shingle pipelines or a
-      // materialization) to two, with no extra job. Hot-shingle join
-      // fan-out is quadratic in shingle document-frequency — at corpus
-      // scale a df cap drops stop-shingles first, the same guard family as
-      // MinHashLsh.maxBucketSize.
-      val sh = t(s, d, "documents")
-        .filter(col("doc_id") < 500)
-        .select(col("doc_id"),
-          explode(MinHashLsh.shingles(split(normText(col("text")), " "), 3)).as("g3"))
-      val b = sh.select(col("doc_id").as("b_id"), col("g3"))
-      val agg = sh
-        .join(b, Seq("g3"))
-        .groupBy(col("doc_id").as("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("cnt"))
-      val byA = Window.partitionBy("a_id")
-      agg
-        .withColumn("ns", max(when(col("a_id") === col("b_id"), col("cnt"))).over(byA))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("c", col("cnt").cast("double") / col("ns"))
-        .filter(col("c") >= 0.3)
-        .select(col("a_id"), col("b_id"), rd(col("c"), 4).as("containment"))
-        .orderBy("a_id", "b_id")
-    }))
+    // Stop-shingles above MaxShingleDf leave the universe first (non-binding
+    // at the gate's data — see the constant's scaladoc).
+    "text_ngram_containment" -> ((s, d) => ngramContainment(
+      t(s, d, "documents").filter(col("doc_id") < 500).select(col("doc_id"), col("text")),
+      n = 3, minC = 0.3, dfCap = MaxShingleDf)))
 
   private val norm = normTextSql("text")
 

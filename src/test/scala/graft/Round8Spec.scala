@@ -70,6 +70,43 @@ class Round8Spec extends SparkSpec {
     assert(got.size > 10 && got === want)
   }
 
+  // ---- shingle document-frequency caps (stop-shingle guards) ----
+
+  test("ngramContainment drops stop-shingles above the df cap, keeps informative ones") {
+    import spark.implicits._
+    // 3-token docs carry exactly one 3-gram each: docs 0-3 share a shingle
+    // with df=4 (a stop-shingle at cap 2), docs 4-5 share one with df=2
+    val docs = Seq(
+      (0L, "s s s"), (1L, "s s s"), (2L, "s s s"), (3L, "s s s"),
+      (4L, "u u u"), (5L, "u u u")).toDF("doc_id", "text")
+    val capped = graft.queries.TextSim
+      .ngramContainment(docs, n = 3, minC = 0.3, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the stop-shingle pairs (12 directed pairs among 0-3) are gone; the
+    // informative pair survives in both directions
+    assert(capped === Seq((4L, 5L, 1.0), (5L, 4L, 1.0)))
+    // with the cap not binding, all 14 directed pairs appear
+    val uncapped = graft.queries.TextSim
+      .ngramContainment(docs, n = 3, minC = 0.3, dfCap = 64)
+    assert(uncapped.count() === 14L)
+  }
+
+  test("contamination caps train-side 8-gram fan-out at the df cap") {
+    import spark.implicits._
+    val eight = (1 to 8).map(i => s"w$i").mkString(" ")
+    val other = (1 to 8).map(i => s"v$i").mkString(" ")
+    val bench = Seq((0L, eight), (1L, other)).toDF("doc_id", "text")
+    // 3 train docs carry the 'w' gram (df=3 > cap 2) → dropped; 2 carry the
+    // 'v' gram (df=2 ≤ cap) → kept
+    val train = Seq((50L, eight), (51L, eight), (52L, eight),
+      (60L, other), (61L, other)).toDF("doc_id", "text")
+    val capped = graft.queries.Pipeline3.contamination(bench, train, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped === Seq((60L, 1L, 1L), (61L, 1L, 1L)))
+    val uncapped = graft.queries.Pipeline3.contamination(bench, train, dfCap = 64)
+    assert(uncapped.count() === 5L)
+  }
+
   test("doc_pack_sequences bins are contiguous and respect capacity arithmetic") {
     val d = TestTables.dir(spark)
     val got = SparkEntry.queries("doc_pack_sequences")(spark, d).collect()
