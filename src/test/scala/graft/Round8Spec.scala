@@ -107,6 +107,39 @@ class Round8Spec extends SparkSpec {
     assert(uncapped.count() === 5L)
   }
 
+  // ---- ANN recall at the driver's BENCH scale (sf0.1) ----
+
+  // Round5Spec pins recall@5 ≥ 0.8 at sf0.01 (the correctness-gate scale);
+  // recall at 10× the corpus is the number that predicts 100 TB behavior —
+  // LSH/IVF bucket occupancy grows with corpus size, so small-scale recall
+  // can flatter. Same harness, bench scale.
+  private def recallAt5(ann: String, sf: String): Double = {
+    def top5(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, a) => (q, a.map(_._2).toSet) }
+    val exact = top5("sim_knn_cosine")
+    val approx = top5(ann)
+    val recalls = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty[Long]).intersect(ex).size / ex.size.toDouble
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("sim_ann_lsh recall@5 >= 0.8 vs brute force at sf0.1 (bench scale)") {
+    assume(new java.io.File("/root/testdata/sf0.1").isDirectory)
+    val r = recallAt5("sim_ann_lsh", "/root/testdata/sf0.1")
+    info(f"LSH mean recall@5 at sf0.1 = $r%.3f")
+    assert(r >= 0.8, f"LSH mean recall@5 at sf0.1 = $r%.3f")
+  }
+
+  test("sim_ann_ivf recall@5 >= 0.8 vs brute force at sf0.1 (bench scale)") {
+    assume(new java.io.File("/root/testdata/sf0.1").isDirectory)
+    val r = recallAt5("sim_ann_ivf", "/root/testdata/sf0.1")
+    info(f"IVF mean recall@5 at sf0.1 = $r%.3f")
+    assert(r >= 0.8, f"IVF mean recall@5 at sf0.1 = $r%.3f")
+  }
+
   test("doc_pack_sequences bins are contiguous and respect capacity arithmetic") {
     val d = TestTables.dir(spark)
     val got = SparkEntry.queries("doc_pack_sequences")(spark, d).collect()
