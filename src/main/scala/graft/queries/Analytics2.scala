@@ -200,6 +200,46 @@ object Analytics2 {
     // key instead of a sort-window: partial aggregation compacts each map
     // partition to ≤1 row per key BEFORE the shuffle — at 100 TB the
     // shuffle carries keys, not the log.
+    // Bitmap-based EXACT distinct count (§2.17): keys bucket into 32k-bit
+    // bitmaps (bitmap_bucket_number / bitmap_bit_position), partial
+    // aggregation ORs bitmaps map-side, and the final count sums popcounts.
+    // The shuffle carries compressed bitmaps instead of raw key values —
+    // the exact-distinct path that survives 100 TB where count(distinct)
+    // shuffles every key (and approx_count_distinct is inexact). Oracle is
+    // the plain COUNT(DISTINCT): same number, two formulations.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"))
+        .groupBy(col("l_returnflag"), expr("bitmap_bucket_number(l_partkey)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_distinct"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Snapshot diff (§2.17, the CDC/reconciliation op): two per-user latest-
+    // state snapshots (deterministic event_id slices of the stream) full-
+    // outer-joined on the entity key and classified added / removed /
+    // changed; unchanged rows drop. Both snapshots are max_by hash
+    // aggregates — two slim entity-keyed shuffles plus one join, no sort.
+    "join_snapshot_diff" -> ((s, d) => {
+      def snap(cond: org.apache.spark.sql.Column, alias: String) =
+        events(s, d).filter(cond)
+          .groupBy("user_id")
+          .agg(max_by(col("event_type"), struct(col("ts_us"), col("event_id"))).as(alias))
+      val a = snap(col("event_id") % 2 === 0, "old_state")
+      val b = snap(col("event_id") % 3 > 0, "new_state")
+      a.join(b, Seq("user_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_state").isNull, "added")
+            .when(col("new_state").isNull, "removed")
+            .when(col("old_state") =!= col("new_state"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("status") =!= "unchanged")
+        .select(col("user_id"), col("old_state"), col("new_state"), col("status"))
+        .orderBy("user_id")
+    }),
+
     "cdc_latest" -> ((s, d) => {
       val payload = struct(col("event_id"), col("event_type"), col("value"),
         col("ts_us"))
@@ -381,6 +421,24 @@ object Analytics2 {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_v
         |FROM s LEFT JOIN a ON s.user_id = a.user_id AND s.hr = a.hr
         |ORDER BY s.user_id, s.hr""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "join_snapshot_diff" ->
+      """WITH a AS (SELECT user_id, event_type AS old_state FROM events WHERE event_id % 2 = 0
+        |           QUALIFY row_number() OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+        |b AS (SELECT user_id, event_type AS new_state FROM events WHERE event_id % 3 > 0
+        |      QUALIFY row_number() OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts) DESC, event_id DESC) = 1)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id, a.old_state, b.new_state,
+        |       CASE WHEN a.user_id IS NULL THEN 'added'
+        |            WHEN b.user_id IS NULL THEN 'removed'
+        |            WHEN a.old_state <> b.new_state THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM a FULL JOIN b ON a.user_id = b.user_id
+        |WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.old_state <> b.new_state
+        |ORDER BY user_id""".stripMargin,
     "cdc_latest" ->
       """SELECT user_id, event_id AS last_event, event_type AS last_type,
         |       floor(value * 10000.0 + 0.5) / 10000.0 AS last_value,

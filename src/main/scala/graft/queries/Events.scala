@@ -187,6 +187,87 @@ object Events {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of (§2.17): each purchase matched to the view closest in
+    // time in EITHER direction, ties broken toward the past. Composed from
+    // two runs of the native backward exec (the forward leg via time
+    // negation, as join_asof_forward) — each returns at most one candidate
+    // per probe, so the union is ≤ 2 rows per purchase and the final pick
+    // is a tiny per-probe window, not a re-sort of the corpus.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts_us").as("v_ts"))
+      val bwd = graft.plans.AsOfJoinNative
+        .join(p, v, keys = Seq("user_id" -> "v_user"),
+          leftTime = "p_ts", rightTime = "v_ts", strict = true, tiebreak = Seq("v_id"))
+        .select(col("p_id"), col("v_id"), (col("v_ts") - col("p_ts")).as("dt"))
+      val pn = p.select(col("p_id"), col("user_id"), (-col("p_ts")).as("p_neg"))
+      val vn = v.select(col("v_id"), col("v_user"), (-col("v_ts")).as("v_neg"))
+      val fwd = graft.plans.AsOfJoinNative
+        .join(pn, vn, keys = Seq("user_id" -> "v_user"),
+          leftTime = "p_neg", rightTime = "v_neg", strict = true, tiebreak = Seq("v_id"))
+        .select(col("p_id"), col("v_id"), (col("p_neg") - col("v_neg")).as("dt"))
+      // ≤ 2 candidates per purchase; abs-then-signed order prefers the past
+      // on an exact |Δt| tie, mirroring the oracle's QUALIFY
+      val pick = Window.partitionBy("p_id").orderBy(abs(col("dt")).asc, col("dt").asc)
+      bwd.union(fwd)
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("p_id").as("event_id"), col("v_id").as("nearest_view"),
+          col("dt").as("dt_us"))
+        .orderBy("event_id")
+    }),
+
+    // Sequential pattern detection (§2.17, the MATCH_RECOGNIZE primitive):
+    // strictly-consecutive view → view → purchase runs per user, via two
+    // lead()s over the user's event sequence — one entity-keyed shuffle,
+    // O(1) window state, no self-join.
+    "window_pattern_match" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+        .withColumn("t1", lead(col("event_type"), 1).over(w))
+        .withColumn("t2", lead(col("event_type"), 2).over(w))
+        .filter(col("event_type") === "view" && col("t1") === "view" &&
+          col("t2") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("ts_us")).as("first_match_ts"))
+        .orderBy("user_id")
+    }),
+
+    // Windowed top-k (§2.17, "trending items"): top-2 event types per 1h
+    // tumbling window. Hash-aggregate to (window, type) counts first —
+    // the rank window then runs over #windows × #types rows, not events.
+    "stream_topk_windowed" -> ((s, d) => {
+      val c = events(s, d)
+        .withColumn("tsx", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("tsx"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("window").orderBy(col("n").desc, col("event_type"))
+      c.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2)
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("rnk"))
+        .orderBy("ws", "rnk")
+    }),
+
+    // Spark 4 VARIANT surface (§2.17): parse_json once, typed path reads
+    // via variant_get / try_variant_get — the modern semi-structured
+    // column (binary variant beats per-read JSON string parsing; the cast
+    // contract is explicit per path). Oracle reads the same paths with
+    // DuckDB's JSON functions.
+    "func_variant" -> ((s, d) => {
+      events(s, d)
+        .select(
+          col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_long"),
+          expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+          expr("try_variant_get(parse_json(props), '$.zzz', 'bigint')").as("missing"))
+        .orderBy("event_id")
+        .limit(500)
+    }),
+
     // Tumbling 1h windows — batch twin of the streaming groupBy(window(...)).
     "stream_tumbling" -> ((s, d) => {
       events(s, d)
@@ -327,6 +408,47 @@ object Events {
         |FROM p ASOF JOIN ch s ON p.user_id = s.user_id AND p.lag_ts > s.ts_us
         |ORDER BY p.event_id""".stripMargin,
     "join_asof_skew" -> AsofBackwardSql,
+    // Nearest = min |Δt| over the union of the backward and forward ASOF
+    // candidates; the (abs(dt), dt) order prefers the past on exact ties.
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'view'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+        |                                 ORDER BY event_id DESC) = 1),
+        |b AS (SELECT p.event_id AS eid, v.event_id AS vid, v.ts_us AS vts FROM p
+        |      ASOF JOIN v ON p.user_id = v.user_id AND p.ts_us > v.ts_us),
+        |f AS (SELECT p.event_id AS eid, v.event_id AS vid, v.ts_us AS vts FROM p
+        |      ASOF JOIN v ON p.user_id = v.user_id AND p.ts_us < v.ts_us),
+        |u AS (SELECT * FROM b UNION ALL SELECT * FROM f),
+        |j AS (SELECT u.eid AS event_id, u.vid, u.vts - p.ts_us AS dt
+        |      FROM u JOIN p ON u.eid = p.event_id)
+        |SELECT event_id, vid AS nearest_view, CAST(dt AS BIGINT) AS dt_us FROM j
+        |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY abs(dt), dt) = 1
+        |ORDER BY event_id""".stripMargin,
+    "window_pattern_match" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT user_id, ts_us, event_type,
+        |             lead(event_type, 1) OVER win AS t1,
+        |             lead(event_type, 2) OVER win AS t2
+        |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |m AS (SELECT user_id, ts_us FROM w
+        |      WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'purchase')
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches, min(ts_us) AS first_match_ts
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_topk_windowed" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT ws, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type) AS rnk
+        |  FROM c)
+        |WHERE rnk <= 2 ORDER BY ws, rnk""".stripMargin,
+    "func_variant" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract(props, '$.zzz') AS BIGINT) AS missing
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_v

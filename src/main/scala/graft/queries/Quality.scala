@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{normText, normTextSql, rd, rdSql, t}
@@ -53,6 +54,33 @@ object Quality {
         .select(col("doc_id"), col("token"), col("tfidf"))
         .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
         .limit(20)
+    }),
+
+    // Keyword extraction (§2.17): top-3 TF-IDF terms per doc in the
+    // doc_id<100 block — text_tfidf's corpus statistics turned per-doc.
+    // Ranking runs on the ROUNDED score with a token tiebreak (the same
+    // quantize-first discipline text_tfidf documents) so the per-doc order
+    // is total and engine-stable.
+    "text_keyword_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val terms = docs
+        .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
+      val tf = terms.groupBy("doc_id", "token", "len").agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val byDoc = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn(
+          "tfidf",
+          rd((col("cnt").cast("double") / col("len")) *
+            log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rnk", row_number().over(byDoc).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("token"), col("tfidf"), col("rnk"))
+        .orderBy("doc_id", "rnk")
     }),
 
     // Repetition ratio: 1 − distinct/total token-trigrams (the Gopher/MassiveText
@@ -189,6 +217,20 @@ object Quality {
          |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
          |ORDER BY tfidf DESC, doc_id, tf.token
          |LIMIT 20""".stripMargin,
+    "text_keyword_topk" ->
+      s"""WITH docs AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents
+         |              WHERE doc_id < 100),
+         |n AS (SELECT count(*)::DOUBLE AS n_docs FROM docs),
+         |terms AS (SELECT doc_id, len(tk) AS len, unnest(tk) AS token FROM docs),
+         |tf AS (SELECT doc_id, token, len, count(*) AS cnt FROM terms GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id, tf.token,
+         |              ${rdSql("(cnt::DOUBLE / len) * ln(n_docs / df)", 6)} AS tfidf
+         |       FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
+         |SELECT doc_id, token, tfidf,
+         |       CAST(row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+         |FROM sc QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_repetition" ->
       s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents),
          |t AS (SELECT doc_id, len(tk) AS nt,

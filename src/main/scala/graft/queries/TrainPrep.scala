@@ -86,6 +86,22 @@ object TrainPrep {
         merge = (l, o) => coalesce(l, lit(0L)) + coalesce(o, lit(0L)),
         out = "cum0"))),
 
+    // Deterministic per-group reservoir (§2.17): exactly k docs per
+    // language, chosen by md5-rank — the distributed, reproducible
+    // "reservoir sample" (hash order is stable under reruns, insertions
+    // elsewhere, and repartitioning, unlike RNG-based TABLESAMPLE). One
+    // entity-keyed window over slim (lang, doc_id) pairs.
+    "sample_reservoir" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(concat(lit("rsv|"), col("doc_id").cast("string"))), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .drop("rn")
+        .orderBy("lang", "doc_id")
+    }),
+
     // Deterministic 75/12.5/12.5 corpus split on the md5 coin (same
     // portable-coin family as sample_hash): first hex nibble 0-b → train,
     // c-d → val, e-f → test.
@@ -164,6 +180,11 @@ object TrainPrep {
          |SELECT lang, CAST(cum0 // $PackCapacity AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "sample_reservoir" ->
+      """SELECT lang, doc_id FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5(concat('rsv|', CAST(doc_id AS VARCHAR))), doc_id) <= 10
+        |ORDER BY lang, doc_id""".stripMargin,
     "sample_split" ->
       """WITH d AS (SELECT doc_id, n_chars,
         |                  substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 1) AS h

@@ -140,6 +140,85 @@ class Round8Spec extends SparkSpec {
     assert(r >= 0.8, f"IVF mean recall@5 at sf0.1 = $r%.3f")
   }
 
+  // ---- §2.17 operators over literal frames ----
+
+  private def writeEvents(d: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+    import spark.implicits._
+    val base = 1704067200L * 1000000000L // ns epoch, like TestTables
+    rows.map { case (eid, min, uid, typ) =>
+      (eid, base + min * 60L * 1000000000L, uid, typ, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+  }
+
+  test("join_asof_nearest picks min |dt| and prefers the past on exact ties") {
+    val d = java.nio.file.Files.createTempDirectory("near8").toString
+    writeEvents(d, Seq(
+      // user 1: views at minutes 0 and 20, purchase at 8 → past view (dt −8)
+      // beats future view (dt +12)
+      (1L, 0L, 1L, "view"), (2L, 20L, 1L, "view"), (3L, 8L, 1L, "purchase"),
+      // user 2: views at 0 and 10, purchase at 5 → exact |dt| tie, past wins
+      (4L, 0L, 2L, "view"), (5L, 10L, 2L, "view"), (6L, 5L, 2L, "purchase"),
+      // user 3: only a FUTURE view → forward leg must still match
+      (7L, 30L, 3L, "view"), (8L, 10L, 3L, "purchase"),
+      // user 4: purchase with no views at all → dropped
+      (9L, 10L, 4L, "purchase")))
+    val min = 60L * 1000000L
+    val got = SparkEntry.queries("join_asof_nearest")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((3L, 1L, -8L * min), (6L, 4L, -5L * min), (8L, 7L, 20L * min)))
+  }
+
+  test("window_pattern_match counts strictly-consecutive view,view,purchase runs") {
+    val d = java.nio.file.Files.createTempDirectory("pat8").toString
+    writeEvents(d, Seq(
+      // user 1: view,view,purchase → 1 match starting at minute 0
+      (1L, 0L, 1L, "view"), (2L, 1L, 1L, "view"), (3L, 2L, 1L, "purchase"),
+      // user 2: view,CLICK,view,purchase → interrupted, no match
+      (4L, 0L, 2L, "view"), (5L, 1L, 2L, "click"),
+      (6L, 2L, 2L, "view"), (7L, 3L, 2L, "purchase")))
+    val got = SparkEntry.queries("window_pattern_match")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 1L)))
+  }
+
+  test("join_snapshot_diff classifies added, removed and changed users") {
+    val d = java.nio.file.Files.createTempDirectory("diff8").toString
+    writeEvents(d, Seq(
+      // user 1: even event 2 (view) then odd id%3>0 event 7 (purchase) → changed
+      (2L, 0L, 1L, "view"), (7L, 5L, 1L, "purchase"),
+      // user 2: only event_id 5 (odd, %3>0) → absent from snapshot A → added
+      (5L, 0L, 2L, "view"),
+      // user 3: only event_id 6 (even, %3==0) → absent from snapshot B → removed
+      (6L, 0L, 3L, "view"),
+      // user 4: event 4 (even AND %3>0) in both snapshots, same state → dropped
+      (4L, 0L, 4L, "click")))
+    val got = SparkEntry.queries("join_snapshot_diff")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(got === Seq((1L, "changed"), (2L, "added"), (3L, "removed")))
+  }
+
+  test("agg_bitmap_distinct equals countDistinct on the test lineitem") {
+    val d = TestTables.dir(spark)
+    val got = SparkEntry.queries("agg_bitmap_distinct")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = graft.Tables.t(spark, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("l_partkey")).as("n"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("sample_reservoir returns at most k rows per language, deterministically") {
+    val d = TestTables.dir(spark)
+    val a = SparkEntry.queries("sample_reservoir")(spark, d).collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("sample_reservoir")(spark, d).collect().map(_.toSeq).toSeq
+    assert(a === b && a.nonEmpty)
+    a.groupBy(_.head).foreach { case (_, rs) => assert(rs.size <= 10) }
+  }
+
   test("doc_pack_sequences bins are contiguous and respect capacity arithmetic") {
     val d = TestTables.dir(spark)
     val got = SparkEntry.queries("doc_pack_sequences")(spark, d).collect()
