@@ -77,7 +77,12 @@ object Bench {
     // BENCH lost every per-query timing to the 2 KB cut), so the headline
     // numbers must survive on their own final line
     def ms3(v: Double): Double = math.rint(v * 1000) / 1000 // locale-safe 3dp
-    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    // exclude failed queries' partial-rep medians here too — the summary is
+    // the line most likely to be read, and a broken query must be visible
+    // in `failed`, not dressed as a normal top-10 timing
+    val top = results
+      .filter { case (k, v, _) => v >= 0 && !failedSet(k) }
+      .sortBy(-_._2).take(10)
       .map { case (k, v, _) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"summary","total_sec":${ms3(total)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"schema":2,"reps":$reps,"sf":"$sfDir","top10_slowest":$top}""")

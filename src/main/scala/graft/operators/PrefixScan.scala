@@ -62,13 +62,19 @@ object PrefixScan {
     // tiny block-summary frame (per partition key, ordered by block id)
     val wOff = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(blk))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the merge join is NULL-SAFE (<=>): window partitioning groups NULL
+    // keys into their own partition, so a NULL partition/block key must
+    // match its offset row too — a plain equi-join would silently drop
+    // those rows and diverge from the single-window form
+    val joinKeys = partitionCols :+ blk
     val offsets = keyed.groupBy(grpCols: _*).agg(agg(value).as("__ps_tot"))
       .withColumn("__ps_off", agg(col("__ps_tot")).over(wOff))
-      .select(grpCols :+ col("__ps_off"): _*)
+      .select(joinKeys.map(k => col(k).as(s"__ps_r_$k")) :+ col("__ps_off"): _*)
+    val cond = joinKeys.map(k => col(k) <=> col(s"__ps_r_$k")).reduce(_ && _)
     keyed
       .withColumn("__ps_loc", agg(value).over(wLocal))
-      .join(broadcast(offsets), partitionCols :+ blk)
+      .join(broadcast(offsets), cond)
       .withColumn(out, merge(col("__ps_loc"), col("__ps_off")))
-      .drop(blk, "__ps_loc", "__ps_off")
+      .drop(joinKeys.map(k => s"__ps_r_$k") ++ Seq(blk, "__ps_loc", "__ps_off"): _*)
   }
 }

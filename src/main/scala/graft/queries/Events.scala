@@ -259,11 +259,12 @@ object Events {
     // DuckDB's JSON functions.
     "func_variant" -> ((s, d) => {
       events(s, d)
+        .select(col("event_id"), expr("parse_json(props)").as("v"))
         .select(
           col("event_id"),
-          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_long"),
-          expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
-          expr("try_variant_get(parse_json(props), '$.zzz', 'bigint')").as("missing"))
+          expr("variant_get(v, '$.k', 'bigint')").as("k_long"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("try_variant_get(v, '$.zzz', 'bigint')").as("missing"))
         .orderBy("event_id")
         .limit(500)
     }),

@@ -316,8 +316,13 @@ object Pipeline3 {
          |          FROM tok, LATERAL (SELECT unnest(range(0, len(tk) - 7)) AS i)
          |          WHERE len(tk) >= 8),
          |bench AS (SELECT DISTINCT doc_id AS bench_id, g8 FROM grams WHERE doc_id < 50),
-         |train AS (SELECT DISTINCT doc_id AS train_id, g8 FROM grams
-         |          WHERE doc_id >= 50 AND doc_id < 300)
+         |-- train-side stop-gram df cap, mirroring the engine's MaxShingleDf
+         |-- guard; the inner DISTINCT runs first so df counts documents,
+         |-- not raw gram occurrences
+         |train AS (SELECT train_id, g8 FROM (
+         |            SELECT DISTINCT doc_id AS train_id, g8 FROM grams
+         |            WHERE doc_id >= 50 AND doc_id < 300)
+         |          QUALIFY count(*) OVER (PARTITION BY g8) <= ${graft.queries.TextSim.MaxShingleDf})
          |SELECT train_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM train JOIN bench USING (g8)
          |GROUP BY train_id, bench_id

@@ -28,55 +28,46 @@ object Quality {
 
   private def toks(c: Column): Column = split(normText(c), " ")
 
+  /** Shared TF-IDF score pipeline: (doc_id, token, tfidf) over `docs0`
+    * (doc_id, text), corpus statistics (df, N) computed over exactly the
+    * docs passed in. Two hash aggregates (term-per-doc, doc-freq) + one
+    * broadcast scalar — no sort. Scores are QUANTIZED to 6 digits (rd):
+    * the raw double depends on each engine's libm ln() to the last ulp, so
+    * mathematically-equal scores computed from different (cnt, len, df)
+    * triples could order differently across engines; rounding first makes
+    * ties exact and any downstream (tfidf, tiebreak) order total and
+    * engine-stable. Both text_tfidf and text_keyword_topk rank THIS frame.
+    */
+  private def tfidfScores(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), toks(col("text")).as("tk"))
+    val terms = docs
+      .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
+    val tf = terms.groupBy("doc_id", "token", "len").agg(count(lit(1)).as("cnt"))
+    val dfreq = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "tfidf",
+        rd((col("cnt").cast("double") / col("len")) *
+          log(col("n_docs").cast("double") / col("df")), 6))
+      .select(col("doc_id"), col("token"), col("tfidf"))
+  }
+
   val queries: Map[String, Q] = Map(
-    // TF-IDF: tf = cnt/len, idf = ln(N/df); global top-20 weighted terms.
-    // Two hash aggregates (term-per-doc, doc-freq) + one broadcast scalar —
+    // TF-IDF: tf = cnt/len, idf = ln(N/df); global top-20 weighted terms —
     // no sort until the final top-k (TakeOrderedAndProject).
-    "text_tfidf" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-      val terms = docs
-        .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
-      val tf = terms.groupBy("doc_id", "token", "len").agg(count(lit(1)).as("cnt"))
-      val dfreq = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      // rank by the ROUNDED score: the raw double depends on each engine's
-      // libm ln() to the last ulp, so mathematically-equal scores computed
-      // from different (cnt, len, df) triples could order differently
-      // across engines; quantizing to 6 digits first makes ties exact and
-      // the (tfidf, doc_id, token) order total and engine-stable
-      tf.join(dfreq, "token")
-        .crossJoin(broadcast(nDocs))
-        .withColumn(
-          "tfidf",
-          rd((col("cnt").cast("double") / col("len")) *
-            log(col("n_docs").cast("double") / col("df")), 6))
-        .select(col("doc_id"), col("token"), col("tfidf"))
+    "text_tfidf" -> ((s, d) =>
+      tfidfScores(t(s, d, "documents"))
         .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // Keyword extraction (§2.17): top-3 TF-IDF terms per doc in the
-    // doc_id<100 block — text_tfidf's corpus statistics turned per-doc.
-    // Ranking runs on the ROUNDED score with a token tiebreak (the same
-    // quantize-first discipline text_tfidf documents) so the per-doc order
-    // is total and engine-stable.
+    // doc_id<100 block — the SAME quantized score frame turned per-doc by
+    // a rank window with a token tiebreak.
     "text_keyword_topk" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .filter(col("doc_id") < 100)
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-      val terms = docs
-        .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
-      val tf = terms.groupBy("doc_id", "token", "len").agg(count(lit(1)).as("cnt"))
-      val dfreq = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val byDoc = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
-      tf.join(dfreq, "token")
-        .crossJoin(broadcast(nDocs))
-        .withColumn(
-          "tfidf",
-          rd((col("cnt").cast("double") / col("len")) *
-            log(col("n_docs").cast("double") / col("df")), 6))
+      tfidfScores(t(s, d, "documents").filter(col("doc_id") < 100))
         .withColumn("rnk", row_number().over(byDoc).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("token"), col("tfidf"), col("rnk"))

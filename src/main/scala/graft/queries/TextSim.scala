@@ -109,9 +109,12 @@ object TextSim {
     "text_ngram_containment" ->
       s"""WITH tok AS (SELECT doc_id, string_split($norm, ' ') AS tk
          |             FROM documents WHERE doc_id < 500),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[(i + 1):(i + 3)], ' ') AS g3
-         |       FROM tok, LATERAL (SELECT unnest(range(0, len(tk) - 2)) AS i)
-         |       WHERE len(tk) >= 3),
+         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(tk[(i + 1):(i + 3)], ' ') AS g3
+         |        FROM tok, LATERAL (SELECT unnest(range(0, len(tk) - 2)) AS i)
+         |        WHERE len(tk) >= 3),
+         |-- stop-shingle df cap, mirroring the engine's MaxShingleDf guard
+         |sh AS (SELECT doc_id, g3 FROM sh0
+         |       QUALIFY count(*) OVER (PARTITION BY g3) <= $MaxShingleDf),
          |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS isect
          |          FROM sh a JOIN sh b ON a.g3 = b.g3 AND a.doc_id <> b.doc_id

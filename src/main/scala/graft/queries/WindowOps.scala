@@ -272,11 +272,16 @@ object WindowOps {
     val mm = parts.agg(
       min(col("p_retailprice")).as("__mn"), max(col("p_retailprice")).as("__mx"))
     val blocked = parts.crossJoin(broadcast(mm))
-    val bkt = when(col("__mx") > col("__mn"),
-      least(
-        floor((col("p_retailprice") - col("__mn")) * SkylineBlocks /
-          (col("__mx") - col("__mn"))).cast("int"),
-        lit(SkylineBlocks - 1)))
+    // NULL prices sort FIRST under the window twin's ascending order, so
+    // they must land in block 0 (least() SKIPS nulls — without the isNull
+    // branch a null price would fall through to the last block and absorb
+    // every earlier block's maxima)
+    val bkt = when(col("p_retailprice").isNull, 0)
+      .when(col("__mx") > col("__mn"),
+        least(
+          floor((col("p_retailprice") - col("__mn")) * SkylineBlocks /
+            (col("__mx") - col("__mn"))).cast("int"),
+          lit(SkylineBlocks - 1)))
       .otherwise(0) // degenerate all-one-price input: a single block
     val withM1 = graft.operators.PrefixScan.exclusive(
       blocked,

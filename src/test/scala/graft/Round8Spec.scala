@@ -44,6 +44,37 @@ class Round8Spec extends SparkSpec {
     })
   }
 
+  test("skyline two-pass matches the window form when prices are NULL") {
+    // NULL prices sort first under the window's ascending order; the block
+    // formula must send them to block 0, not (via null-skipping least())
+    // to the last block
+    val parts = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, CAST(NULL AS DOUBLE), 5), (2L, 10.0, 5), (3L, 9.0, 7),
+        |  (4L, CAST(NULL AS DOUBLE), 9), (5L, 12.0, 3), (6L, 950.0, 2)
+        |AS t(p_partkey, p_retailprice, p_size)""".stripMargin)
+    val twoPass = rows(graft.queries.WindowOps.skylineTwoPass(parts).orderBy("p_partkey"))
+    val window = rows(graft.queries.WindowOps.skylineWindow(parts).orderBy("p_partkey"))
+    assert(twoPass === window)
+  }
+
+  test("doc_pack two-pass keeps NULL-language docs (null-safe offset join)") {
+    import spark.implicits._
+    // window partitioning groups NULL langs into their own partition; the
+    // two-pass offset join must match them too, not drop them
+    val docs = (0 until 40).map { i =>
+      val lang = if (i % 3 == 0) null else "en"
+      (i.toLong, lang, "w1 w2 w3 w4", 11L)
+    }
+    val d = java.nio.file.Files.createTempDirectory("packnull8").toString
+    docs.toDF("doc_id", "lang", "text", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("doc_pack_sequences")(spark, d).collect()
+    val want = graft.tools.AbBench.variants("doc_pack_sequences_window")(spark, d).collect()
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+    assert(got.map(_.getLong(2)).sum === 40L) // every doc accounted for
+  }
+
   test("declared skyline_pareto equals the window form on the test part table") {
     val d = TestTables.dir(spark)
     val got = rows(SparkEntry.queries("skyline_pareto")(spark, d))
