@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{events, rd, rdSql, t}
@@ -77,6 +78,28 @@ object Analytics {
           round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // WEIGHTED median (§2.17): smallest value whose cumulative weight
+    // reaches half the group total — the revenue-weighted price percentile
+    // plain percentile() can't express. Per-group sort window + running
+    // weight sum; deterministic despite value ties because the crossing
+    // VALUE is invariant to tie order, and exact cross-engine because
+    // quantities are integer-valued doubles (sums are exact, no rounding
+    // needed). At 100 TB the approx path is a weighted t-digest; this is
+    // the exact formulation.
+    "agg_weighted_median" -> ((s, d) => {
+      val byF = Window.partitionBy("l_returnflag")
+      val cumW = byF.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          col("l_quantity").as("q"))
+        .withColumn("cw", sum(col("q")).over(cumW))
+        .withColumn("tw", sum(col("q")).over(byF))
+        .filter(col("cw") >= col("tw") / 2)
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("v")).as("wmedian"))
         .orderBy("l_returnflag")
     }),
 
@@ -303,6 +326,15 @@ object Analytics {
         |       round(var_samp(l_quantity), 4) AS var_qty,
         |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH w AS (SELECT l_returnflag, l_extendedprice AS v, l_quantity AS q FROM lineitem),
+        |c AS (SELECT l_returnflag, v,
+        |             sum(q) OVER (PARTITION BY l_returnflag ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |             sum(q) OVER (PARTITION BY l_returnflag) AS tw
+        |      FROM w)
+        |SELECT l_returnflag, min(v) AS wmedian FROM c WHERE cw >= tw / 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,

@@ -220,6 +220,27 @@ object Events {
         .orderBy("event_id")
     }),
 
+    // Staleness-bounded as-of (§2.17, pandas merge_asof's `tolerance`):
+    // backward as-of, but a match older than 1h is no match at all — the
+    // feature-store freshness contract (a stale feature is worse than a
+    // dropped row). The as-of already returns the CLOSEST earlier view, so
+    // one residual filter after the exec is the exact semantics.
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts_us").as("v_ts"))
+      graft.plans.AsOfJoinNative
+        .join(p, v, keys = Seq("user_id" -> "v_user"),
+          leftTime = "p_ts", rightTime = "v_ts", strict = true, tiebreak = Seq("v_id"))
+        .withColumn("staleness_us", col("p_ts") - col("v_ts"))
+        .filter(col("staleness_us") <= 3600L * 1000000L)
+        .select(col("p_id").as("event_id"), col("v_id").as("prev_view"),
+          col("staleness_us"))
+        .orderBy("event_id")
+    }),
+
     // Sequential pattern detection (§2.17, the MATCH_RECOGNIZE primitive):
     // strictly-consecutive view → view → purchase runs per user, via two
     // lead()s over the user's event sequence — one entity-keyed shuffle,
@@ -409,6 +430,18 @@ object Events {
         |FROM p ASOF JOIN ch s ON p.user_id = s.user_id AND p.lag_ts > s.ts_us
         |ORDER BY p.event_id""".stripMargin,
     "join_asof_skew" -> AsofBackwardSql,
+    "join_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'view'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+        |                                 ORDER BY event_id DESC) = 1)
+        |SELECT p.event_id AS event_id, v.event_id AS prev_view,
+        |       CAST(p.ts_us - v.ts_us AS BIGINT) AS staleness_us
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts_us > v.ts_us
+        |WHERE p.ts_us - v.ts_us <= 3600000000
+        |ORDER BY event_id""".stripMargin,
     // Nearest = min |Δt| over the union of the backward and forward ASOF
     // candidates; the (abs(dt), dt) order prefers the past on exact ties.
     "join_asof_nearest" ->

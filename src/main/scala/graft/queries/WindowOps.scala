@@ -220,6 +220,32 @@ object WindowOps {
         .orderBy("user_id")
     }),
 
+    // Longest streak (§2.17): per user, the longest run of consecutive
+    // same-type events — the gaps-and-islands run-length form (break flag
+    // via null-safe lag comparison, island id via running sum, one count
+    // per island). Tie runs resolve by (type asc, island asc) so the
+    // reported streak_type is total-ordered on both engines.
+    "window_streak" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+        .withColumn("brk",
+          when(!(lag(col("event_type"), 1).over(byUser) <=> col("event_type")), 1L)
+            .otherwise(0L))
+        .withColumn("grp", sum(col("brk")).over(cum))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+      val pick = Window.partitionBy("user_id")
+        .orderBy(col("run_len").desc, col("event_type"), col("grp"))
+      runs
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("run_len").as("longest_run"),
+          col("event_type").as("streak_type"))
+        .orderBy("user_id")
+    }),
+
     // 2-D skyline (Pareto frontier) on (min p_retailprice, max p_size):
     // sorted by (price asc, size desc), a part is dominated iff a prefix row
     // has strictly larger size (cond1), or an equal-size row has strictly
@@ -385,6 +411,19 @@ object WindowOps {
         |       percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pr
         |FROM lineitem WHERE l_orderkey < 300
         |ORDER BY l_returnflag, l_quantity, l_orderkey, cd, pr""".stripMargin,
+    "window_streak" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT *, CASE WHEN lag(event_type) OVER win IS DISTINCT FROM event_type
+        |                     THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM c),
+        |r AS (SELECT user_id, event_type, grp, count(*) AS run_len FROM g GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(run_len AS BIGINT) AS longest_run, event_type AS streak_type
+        |FROM r
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY run_len DESC, event_type, grp) = 1
+        |ORDER BY user_id""".stripMargin,
     "skyline_pareto" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
         |WHERE NOT EXISTS (

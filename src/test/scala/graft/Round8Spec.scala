@@ -229,6 +229,46 @@ class Round8Spec extends SparkSpec {
     assert(got === Seq((1L, "changed"), (2L, "added"), (3L, "removed")))
   }
 
+  test("join_asof_tolerance drops matches staler than one hour") {
+    val d = java.nio.file.Files.createTempDirectory("tol8").toString
+    writeEvents(d, Seq(
+      // user 1: view 30 min before the purchase → kept (staleness 30 min)
+      (1L, 0L, 1L, "view"), (2L, 30L, 1L, "purchase"),
+      // user 2: closest view is 90 min old → dropped entirely
+      (3L, 0L, 2L, "view"), (4L, 90L, 2L, "purchase")))
+    val min = 60L * 1000000L
+    val got = SparkEntry.queries("join_asof_tolerance")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((2L, 1L, 30L * min)))
+  }
+
+  test("window_streak finds the longest consecutive-type run with deterministic ties") {
+    val d = java.nio.file.Files.createTempDirectory("streak8").toString
+    writeEvents(d, Seq(
+      // user 1: view,view,view then purchase → longest run 3 (view)
+      (1L, 0L, 1L, "view"), (2L, 1L, 1L, "view"), (3L, 2L, 1L, "view"),
+      (4L, 3L, 1L, "purchase"),
+      // user 2: click,click then view,view — tie of 2, type asc picks click
+      (5L, 0L, 2L, "click"), (6L, 1L, 2L, "click"),
+      (7L, 2L, 2L, "view"), (8L, 3L, 2L, "view")))
+    val got = SparkEntry.queries("window_streak")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, 3L, "view"), (2L, 2L, "click")))
+  }
+
+  test("agg_weighted_median crosses half the total weight, not half the rows") {
+    import spark.implicits._
+    // group A: values 1(w=1), 2(w=1), 3(w=10) → half of 12 is 6, crossed at
+    // value 3 — the row median (2) would be wrong
+    val d = java.nio.file.Files.createTempDirectory("wmed8").toString
+    Seq(("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 10.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === Seq(("A", 3.0)))
+  }
+
   test("agg_bitmap_distinct equals countDistinct on the test lineitem") {
     val d = TestTables.dir(spark)
     val got = SparkEntry.queries("agg_bitmap_distinct")(spark, d).collect()
