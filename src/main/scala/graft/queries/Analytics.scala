@@ -83,20 +83,41 @@ object Analytics {
 
     // WEIGHTED median (§2.17): smallest value whose cumulative weight
     // reaches half the group total — the revenue-weighted price percentile
-    // plain percentile() can't express. Per-group sort window + running
-    // weight sum; deterministic despite value ties because the crossing
-    // VALUE is invariant to tie order, and exact cross-engine because
-    // quantities are integer-valued doubles (sums are exact, no rounding
-    // needed). At 100 TB the approx path is a weighted t-digest; this is
-    // the exact formulation.
+    // plain percentile() can't express. The grouping key (return flag) has
+    // cardinality THREE, so a per-group sort window would serialize a third
+    // of the table per task — instead the running weight is the two-pass
+    // distributed prefix scan (operators.PrefixScan over value-range
+    // blocks, same machinery as skyline), and the group total is a hash
+    // aggregate broadcast back. Deterministic despite value ties because
+    // the crossing VALUE is invariant to tie order, and exact cross-engine
+    // because quantities are integer-valued doubles (sums exact). The
+    // oracle is the single-window formulation — two independent forms. At
+    // 100 TB the approx path is a weighted t-digest; this is the exact one.
     "agg_weighted_median" -> ((s, d) => {
-      val byF = Window.partitionBy("l_returnflag")
-      val cumW = byF.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "lineitem")
+      val base = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice").as("v"),
           col("l_quantity").as("q"))
-        .withColumn("cw", sum(col("q")).over(cumW))
-        .withColumn("tw", sum(col("q")).over(byF))
+      val mm = base.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+      val blocked = base.crossJoin(broadcast(mm))
+      val bkt = when(col("v").isNull, 0)
+        .when(col("__mx") > col("__mn"),
+          least(floor((col("v") - col("__mn")) * 32 / (col("__mx") - col("__mn")))
+            .cast("int"), lit(31)))
+        .otherwise(0)
+      val scanned = graft.operators.PrefixScan.exclusive(
+        blocked,
+        partitionCols = Seq("l_returnflag"),
+        block = bkt,
+        order = Seq(col("v")),
+        value = col("q"),
+        agg = c => sum(c),
+        merge = (l, o) => coalesce(l, lit(0.0)) + coalesce(o, lit(0.0)),
+        out = "cw0")
+        .drop("__mn", "__mx")
+      val tot = base.groupBy("l_returnflag").agg(sum(col("q")).as("tw"))
+      scanned
+        .withColumn("cw", col("cw0") + col("q"))
+        .join(broadcast(tot), "l_returnflag")
         .filter(col("cw") >= col("tw") / 2)
         .groupBy(col("l_returnflag"))
         .agg(min(col("v")).as("wmedian"))

@@ -89,16 +89,26 @@ object TrainPrep {
     // Deterministic per-group reservoir (§2.17): exactly k docs per
     // language, chosen by md5-rank — the distributed, reproducible
     // "reservoir sample" (hash order is stable under reruns, insertions
-    // elsewhere, and repartitioning, unlike RNG-based TABLESAMPLE). One
-    // entity-keyed window over slim (lang, doc_id) pairs.
+    // elsewhere, and repartitioning, unlike RNG-based TABLESAMPLE).
+    // Languages are a LOW-cardinality key, so a single per-lang window
+    // would sort each language's whole corpus on one task — the standard
+    // two-phase top-k applies: local top-10 within (lang, doc_id%64)
+    // sub-partitions first (row-identical by construction: the global
+    // top-10 is a subset of the union of sub-partition top-10s), then the
+    // final window ranks ≤ 640 survivors per language.
     "sample_reservoir" -> ((s, d) => {
-      val w = Window.partitionBy("lang")
-        .orderBy(md5(concat(lit("rsv|"), col("doc_id").cast("string"))), col("doc_id"))
-      t(s, d, "documents")
+      val base = t(s, d, "documents")
         .select(col("lang"), col("doc_id"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("hk", md5(concat(lit("rsv|"), col("doc_id").cast("string"))))
+      val wLocal = Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(64)))
+        .orderBy(col("hk"), col("doc_id"))
+      val wGlobal = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+      base
+        .withColumn("lr", row_number().over(wLocal))
+        .filter(col("lr") <= 10)
+        .withColumn("rn", row_number().over(wGlobal))
         .filter(col("rn") <= 10)
-        .drop("rn")
+        .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")
     }),
 

@@ -74,9 +74,11 @@ class PlanSpec extends SparkSpec {
     // skyline_pareto broadcasts the single-row price min/max that seeds its
     // deterministic block ids — a deliberate 1×N, not a join-order accident
     // text_keyword_topk broadcasts the same single-row corpus total as
-    // text_tfidf
+    // text_tfidf; agg_weighted_median broadcasts the single-row value
+    // min/max that seeds its PrefixScan blocks, like skyline_pareto
     val bnljAllowed = Set("join_cross", "sim_knn_cosine", "text_tfidf",
-      "text_unigram_lm", "graph_triangles", "skyline_pareto", "text_keyword_topk")
+      "text_unigram_lm", "graph_triangles", "skyline_pareto", "text_keyword_topk",
+      "agg_weighted_median")
     // these run real jobs at construction time (quantizer-sample collect,
     // iterative label rounds), and for the localCheckpoint-based ones the
     // executedPlan is a truncated checkpoint scan this test couldn't see
