@@ -23,12 +23,77 @@ import org.apache.spark.sql.functions._
   * The input is scanned twice (offsets pass + local pass) — for a scan-cheap
   * source that beats caching or checkpointing it (measured repeatedly in
   * this repo: recompute < checkpoint at both test scales). The offset frame
-  * is rows/blockSize: pick block granularity so it stays broadcastable
-  * (at 100 TB: ~2^20-row blocks → a few thousand offset rows); a second
-  * scan level over the offset frame drops in if one level ever isn't
-  * enough.
+  * is rows/blockSize, and pass 2 broadcasts it — so block granularity must
+  * GROW with the input. [[idBlockWidth]] derives it from the input's
+  * estimated size (offset frame capped at ~16k rows at any scale); callers
+  * with fixed value-range blocks (skyline, weighted median) are bounded by
+  * their block-count constant instead. A second scan level over the offset
+  * frame drops in if one level ever isn't enough.
   */
 object PrefixScan {
+
+  /** Row count below which the single-window form beats the two-pass scan.
+    * Measured in BASELINE.md (round 8): at sf0.1 (~60k docs / 600k items)
+    * the blockwise scan pays a 2.3–2.9× constant (two source scans + the
+    * offset join); the crossover where one-task serialization overtakes it
+    * sits around ~2M rows. The boundary region is flat — both forms are
+    * within a small constant of each other for an order of magnitude around
+    * it — so an order-of-magnitude row estimate is enough to choose.
+    */
+  val CrossoverRows: Long = 2000000L
+
+  /** Catalyst's row estimate for a frame, without running a job: the
+    * optimized plan's `rowCount` when the source provides one, else
+    * `sizeInBytes` over an assumed bytes-per-row. File sources report bytes
+    * (scaled by column pruning), not rows, so the fallback is order-of-
+    * magnitude only — which is all the crossover choice needs (see
+    * [[CrossoverRows]]); both candidate forms are row-identical, so a bad
+    * estimate costs a constant, never correctness.
+    */
+  def estimatedRows(df: DataFrame, assumedRowBytes: Long = 32L): Long = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount
+      .map(_.min(BigInt(Long.MaxValue)).toLong)
+      .getOrElse {
+        val est = st.sizeInBytes / BigInt(assumedRowBytes)
+        est.min(BigInt(Long.MaxValue)).max(BigInt(1)).toLong
+      }
+  }
+
+  /** Block width for dense-id range blocks (`id div width`), derived from
+    * the input's estimated size so the pass-2 offset frame stays
+    * broadcastable at ANY input scale: width = max(minWidth,
+    * ceil(estRows / maxBlocks)), so the offset frame holds ≤ ~maxBlocks
+    * rows (16k × ~50 B ≈ 1 MB — comfortably under any broadcast limit)
+    * instead of growing as rows/constant. Contract: ids must be dense-ish —
+    * the block count is idRange/width, so a caller with ids far sparser
+    * than their row count should size the width from the id RANGE instead.
+    */
+  def idBlockWidth(
+      df: DataFrame,
+      minWidth: Long = 256L,
+      maxBlocks: Long = 1L << 14): Long = {
+    val rows = estimatedRows(df)
+    math.max(minWidth, (rows + maxBlocks - 1) / maxBlocks)
+  }
+
+  /** The single-window twin of [[exclusive]]: same semantics, one window —
+    * the right form BELOW [[CrossoverRows]], where the two-pass constant
+    * outweighs one-task serialization. `merge` sees a null offset (no
+    * earlier blocks exist), so identity handling matches [[exclusive]].
+    */
+  def single(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      order: Seq[Column],
+      value: Column,
+      agg: Column => Column,
+      merge: (Column, Column) => Column,
+      out: String): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(out, merge(agg(value).over(w), lit(null)))
+  }
 
   /** Adds `out` = exclusive prefix aggregate of `value` over
     * (PARTITION BY partitionCols ORDER BY order), computed blockwise in

@@ -25,6 +25,60 @@ object Analytics {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Exact weighted median with the round-9 auto-crossover: the running
+    * weight comes from the single per-group window below
+    * PrefixScan.CrossoverRows (cheaper: no second scan, no offset join) and
+    * from the distributed two-pass prefix scan over 32 value-range blocks
+    * above it (partition-parallel: no one-task group sort). `force` pins a
+    * branch for the A/B twins and row-identity specs.
+    */
+  private[graft] def weightedMedian(
+      s: SparkSession, d: String, force: Option[Boolean]): DataFrame = {
+    val base = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+        col("l_quantity").as("q"))
+    val useBlocked = force.getOrElse(
+      graft.operators.PrefixScan.estimatedRows(base) >=
+        graft.operators.PrefixScan.CrossoverRows)
+    val scanned =
+      if (!useBlocked)
+        graft.operators.PrefixScan.single(
+          base,
+          partitionCols = Seq("l_returnflag"),
+          order = Seq(col("v")),
+          value = col("q"),
+          agg = c => sum(c),
+          merge = (l, o) => coalesce(l, lit(0.0)) + coalesce(o, lit(0.0)),
+          out = "cw0")
+      else {
+        val mm = base.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+        val blocked = base.crossJoin(broadcast(mm))
+        val bkt = when(col("v").isNull, 0)
+          .when(col("__mx") > col("__mn"),
+            least(floor((col("v") - col("__mn")) * 32 / (col("__mx") - col("__mn")))
+              .cast("int"), lit(31)))
+          .otherwise(0)
+        graft.operators.PrefixScan.exclusive(
+          blocked,
+          partitionCols = Seq("l_returnflag"),
+          block = bkt,
+          order = Seq(col("v")),
+          value = col("q"),
+          agg = c => sum(c),
+          merge = (l, o) => coalesce(l, lit(0.0)) + coalesce(o, lit(0.0)),
+          out = "cw0")
+          .drop("__mn", "__mx")
+      }
+    val tot = base.groupBy("l_returnflag").agg(sum(col("q")).as("tw"))
+    scanned
+      .withColumn("cw", col("cw0") + col("q"))
+      .join(broadcast(tot), "l_returnflag")
+      .filter(col("cw") >= col("tw") / 2)
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("v")).as("wmedian"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     // Pivot with an explicit value list: no Spark pre-pass job to collect
     // distinct keys (which at 100 TB is a full extra scan).
@@ -84,45 +138,19 @@ object Analytics {
     // WEIGHTED median (§2.17): smallest value whose cumulative weight
     // reaches half the group total — the revenue-weighted price percentile
     // plain percentile() can't express. The grouping key (return flag) has
-    // cardinality THREE, so a per-group sort window would serialize a third
-    // of the table per task — instead the running weight is the two-pass
-    // distributed prefix scan (operators.PrefixScan over value-range
-    // blocks, same machinery as skyline), and the group total is a hash
-    // aggregate broadcast back. Deterministic despite value ties because
-    // the crossing VALUE is invariant to tie order, and exact cross-engine
-    // because quantities are integer-valued doubles (sums exact). The
-    // oracle is the single-window formulation — two independent forms. At
-    // 100 TB the approx path is a weighted t-digest; this is the exact one.
-    "agg_weighted_median" -> ((s, d) => {
-      val base = t(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
-          col("l_quantity").as("q"))
-      val mm = base.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
-      val blocked = base.crossJoin(broadcast(mm))
-      val bkt = when(col("v").isNull, 0)
-        .when(col("__mx") > col("__mn"),
-          least(floor((col("v") - col("__mn")) * 32 / (col("__mx") - col("__mn")))
-            .cast("int"), lit(31)))
-        .otherwise(0)
-      val scanned = graft.operators.PrefixScan.exclusive(
-        blocked,
-        partitionCols = Seq("l_returnflag"),
-        block = bkt,
-        order = Seq(col("v")),
-        value = col("q"),
-        agg = c => sum(c),
-        merge = (l, o) => coalesce(l, lit(0.0)) + coalesce(o, lit(0.0)),
-        out = "cw0")
-        .drop("__mn", "__mx")
-      val tot = base.groupBy("l_returnflag").agg(sum(col("q")).as("tw"))
-      scanned
-        .withColumn("cw", col("cw0") + col("q"))
-        .join(broadcast(tot), "l_returnflag")
-        .filter(col("cw") >= col("tw") / 2)
-        .groupBy(col("l_returnflag"))
-        .agg(min(col("v")).as("wmedian"))
-        .orderBy("l_returnflag")
-    }),
+    // cardinality THREE, so above PrefixScan.CrossoverRows a per-group sort
+    // window would serialize a third of the table per task — there the
+    // running weight is the two-pass distributed prefix scan
+    // (operators.PrefixScan over value-range blocks, same machinery as
+    // skyline); below the crossover the single window is cheaper and the
+    // form is chosen from the input's estimated size (round 9
+    // auto-crossover, both forms row-identical). Deterministic despite
+    // value ties because the crossing VALUE is invariant to tie order, and
+    // exact cross-engine because quantities are integer-valued doubles
+    // (sums exact). The oracle is the single-window formulation — two
+    // independent forms. The 100 TB approx path is the weighted KLL twin
+    // `agg_weighted_median_approx`; this is the exact one.
+    "agg_weighted_median" -> ((s, d) => weightedMedian(s, d, force = None)),
 
     // The sketch twin of agg_percentiles: approx_percentile keeps a bounded
     // buffer per group (no per-group sort), the 100 TB path for quantiles.

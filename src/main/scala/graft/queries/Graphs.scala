@@ -86,13 +86,16 @@ object Graphs {
             round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)).as("clustering"))
     }),
 
-    // Damped PageRank, 5 synchronous iterations, on the symmetrized graph.
-    // Output is rank scaled by node count (≈1.0 for an average node),
-    // rounded to 2 dp: five rounds of re-summed double contributions is the
-    // widest summation-order exposure in the suite, so it gets the widened
-    // margin the TWAP fix established for summed-double aggregates (a 6 dp
-    // margin leaves ~10⁴× more boundary-straddle surface for zero extra
-    // verification power).
+    // Damped PageRank, 5 synchronous iterations, on the symmetrized graph —
+    // in FIXED-POINT integer arithmetic (round 9). Five rounds of re-summed
+    // double contributions was the suite's widest summation-order exposure,
+    // and the round-8 answer (2 dp rounding) traded away discriminating
+    // power; instead every rank is an integer in units of 10⁻¹² (prf =
+    // pr · 10¹²), contributions use integer division (prf div deg — a
+    // < 10⁻¹² truncation per edge, identical in both engines), and sums of
+    // longs are exact and order-independent. Output is rank scaled by node
+    // count in integer MICRO-units (≈1 000 000 for an average node): full
+    // 6-digit discrimination, zero float noise, no tolerance at all.
     "graph_pagerank" -> ((s, d) => {
       val e = copurchaseEdges(s, d)
       val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -100,19 +103,23 @@ object Graphs {
         .localCheckpoint() // eager: the edge list feeds every round AND the count
       val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
         .localCheckpoint()
-      val n = deg.count()
-      var pr = deg.select(col("node"), col("dg"), lit(1.0 / n).as("pr"))
+      // guard the empty graph: the result is empty regardless, but S/n and
+      // damp/n must not divide by zero on the driver
+      val n = math.max(deg.count(), 1L)
+      val S = 1000000000000L // 10^12 fixed-point scale
+      val damp = (15L * S / 100L) / n // 0.15/n, in fixed point
+      var pr = deg.select(col("node"), col("dg"), lit(S / n).as("prf"))
       var i = 0
       while (i < 5) {
         val contrib = sym
           .join(pr, col("node") === col("src"))
           .groupBy(col("dst"))
-          .agg(sum(col("pr") / col("dg")).as("cs"))
+          .agg(sum(expr("prf div dg")).as("cs"))
         pr = deg
           .join(contrib, col("node") === col("dst"), "left")
           .select(
             col("node"), col("dg"),
-            (lit(0.15 / n) + lit(0.85) * coalesce(col("cs"), lit(0.0))).as("pr"))
+            expr(s"${damp}L + (85L * coalesce(cs, 0L)) div 100L").as("prf"))
           // LAZY checkpoint: fixed-iteration PageRank needs no per-round
           // driver action (unlike ConnectedComponents' convergence count),
           // so all 5 rounds materialize inside the final job — each
@@ -121,7 +128,9 @@ object Graphs {
           .localCheckpoint(eager = false)
         i += 1
       }
-      pr.select(col("node").as("part_id"), round(col("pr") * n, 2).as("pr_scaled"))
+      // prf ≤ S and n ≤ ~10⁷ at sf ≥ 50 keeps prf·n < 2⁶³ with headroom
+      pr.select(col("node").as("part_id"),
+          expr(s"(prf * ${n}L) div 1000000L").as("pr_scaled_e6"))
         .orderBy("part_id")
     }))
 
@@ -148,21 +157,26 @@ object Graphs {
          |       CASE WHEN n_wedges > 0 THEN round(3.0 * n_triangles / n_wedges, 6) END AS clustering
          |FROM w, ne, tri""".stripMargin,
     "graph_pagerank" -> {
+      // fixed-point mirror: integer floor division (//) on positive values
+      // matches Spark's truncating `div` exactly, and long sums are exact —
+      // no float appears anywhere, so the outputs are bit-identical
       val iters = (0 until 5).map { i =>
         s"""it${i + 1} AS (
-           |  SELECT g.node, g.dg, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.cs, 0) AS pr
+           |  SELECT g.node, g.dg,
+           |         (150000000000 // (SELECT n FROM nn)) + (85 * coalesce(c.cs, 0)) // 100 AS prf
            |  FROM deg g LEFT JOIN (
-           |    SELECT s.dst AS node, sum(p.pr / p.dg) AS cs
+           |    SELECT s.dst AS node, sum(p.prf // p.dg) AS cs
            |    FROM sym s JOIN it$i p ON p.node = s.src GROUP BY 1) c ON c.node = g.node)""".stripMargin
       }.mkString(",\n")
       s"""WITH $edgeCte,
          |sym AS (SELECT a_id AS src, b_id AS dst FROM e
          |        UNION ALL SELECT b_id, a_id FROM e),
          |deg AS (SELECT src AS node, count(*) AS dg FROM sym GROUP BY 1),
-         |nn AS (SELECT count(*) AS n FROM deg),
-         |it0 AS (SELECT node, dg, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+         |nn AS (SELECT greatest(count(*), 1) AS n FROM deg),
+         |it0 AS (SELECT node, dg, 1000000000000 // (SELECT n FROM nn) AS prf FROM deg),
          |$iters
-         |SELECT node AS part_id, round(pr * (SELECT n FROM nn), 2) AS pr_scaled
+         |SELECT node AS part_id,
+         |       CAST((prf * (SELECT n FROM nn)) // 1000000 AS BIGINT) AS pr_scaled_e6
          |FROM it5 ORDER BY part_id""".stripMargin
     })
 }

@@ -38,11 +38,13 @@ object TrainPrep {
   /** Context-window capacity (tokens) for sequence packing. */
   private val PackCapacity = 512
 
-  /** doc_id-range block width for the packing prefix scan (PrefixScan
-    * contract: monotone in the doc_id order, unique ids → trivially
-    * order-aligned). 256 keeps several blocks live even at sf0.001 so the
-    * cross-block merge path is always exercised; production sizing is
-    * ~2^20 so the per-language offset frame stays a few thousand rows.
+  /** Minimum doc_id-range block width for the packing prefix scan
+    * (PrefixScan contract: monotone in the doc_id order, unique ids →
+    * trivially order-aligned). 256 keeps several blocks live even at
+    * sf0.001 so the cross-block merge path is always exercised; the
+    * EFFECTIVE width grows with the input via `PrefixScan.idBlockWidth`
+    * (round 9 — a fixed constant would grow the broadcast offset frame as
+    * rows/256 at 100 TB; derived sizing caps it at ~16k rows at any scale).
     */
   private val PackBlock = 256L
 
@@ -59,32 +61,54 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy("lang", "bin")
 
-  /** The single-window packing form — one window per language serializes
-    * each language onto one task. AbBench reference / A/B twin of the
-    * declared two-pass query; not the declared query.
-    */
-  private[graft] def packWindow(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    packReport(packTokens(s, d)
-      .withColumn("cum0", coalesce(sum(col("n_tok")).over(w), lit(0L))))
-  }
-
-  val queries: Map[String, Q] = Map(
-    // Sequence packing: docs in doc_id order per language, bin = exclusive
-    // prefix token sum DIV capacity, computed via the distributed two-pass
-    // prefix scan (local sums per (lang, doc_id-block), broadcast-merged
-    // per-block offsets). Per-(lang, bin) occupancy report.
-    "doc_pack_sequences" -> ((s, d) => packReport(
+  private def packCum(toks: DataFrame, blocked: Boolean): DataFrame =
+    if (blocked)
       graft.operators.PrefixScan.exclusive(
-        packTokens(s, d),
+        toks,
         partitionCols = Seq("lang"),
-        block = expr(s"doc_id div $PackBlock"),
+        block = expr(s"doc_id div ${graft.operators.PrefixScan.idBlockWidth(toks, PackBlock)}"),
         order = Seq(col("doc_id")),
         value = col("n_tok"),
         agg = c => sum(c),
         merge = (l, o) => coalesce(l, lit(0L)) + coalesce(o, lit(0L)),
-        out = "cum0"))),
+        out = "cum0")
+    else
+      graft.operators.PrefixScan.single(
+        toks,
+        partitionCols = Seq("lang"),
+        order = Seq(col("doc_id")),
+        value = col("n_tok"),
+        agg = c => sum(c),
+        merge = (l, o) => coalesce(l, lit(0L)) + coalesce(o, lit(0L)),
+        out = "cum0")
+
+  /** The single-window packing form — one window per language serializes
+    * each language onto one task; below PrefixScan.CrossoverRows that costs
+    * less than the two-pass constant. AbBench A/B twin of [[packBlocked]].
+    */
+  private[graft] def packWindow(s: SparkSession, d: String): DataFrame =
+    packReport(packCum(packTokens(s, d), blocked = false))
+
+  /** The forced two-pass form — AbBench twin / Round8Spec row-identity
+    * target, and the branch the declared query takes above the crossover.
+    */
+  private[graft] def packBlocked(s: SparkSession, d: String): DataFrame =
+    packReport(packCum(packTokens(s, d), blocked = true))
+
+  val queries: Map[String, Q] = Map(
+    // Sequence packing: docs in doc_id order per language, bin = exclusive
+    // prefix token sum DIV capacity. The running sum picks its form from
+    // the input's estimated size (round 9 auto-crossover): below
+    // PrefixScan.CrossoverRows the per-language window wins; above it the
+    // distributed two-pass prefix scan (local sums per (lang, doc_id-block),
+    // broadcast-merged per-block offsets, block width derived from input
+    // size). Both forms are row-identical (Round8Spec pins it).
+    "doc_pack_sequences" -> ((s, d) => {
+      val toks = packTokens(s, d)
+      packReport(packCum(toks,
+        blocked = graft.operators.PrefixScan.estimatedRows(toks) >=
+          graft.operators.PrefixScan.CrossoverRows))
+    }),
 
     // Deterministic per-group reservoir (§2.17): exactly k docs per
     // language, chosen by md5-rank — the distributed, reproducible
@@ -155,11 +179,13 @@ object TrainPrep {
 
     // Embedding int8 quantization: per-dimension min/max learned from the
     // (dim, value) pivot, q = floor((v-min)/scale + 0.5) — integer-exact
-    // cross-engine because scale derives from order-independent min/max;
-    // per-vector mean-absolute reconstruction error rounded 2dp — the
-    // widened margin for summed-double aggregates (the TWAP discipline:
-    // a cross-engine summation-order delta must not straddle a rounding
-    // boundary).
+    // cross-engine because scale derives from order-independent min/max.
+    // The reconstruction error ships FIXED-POINT (round 9): each element's
+    // |err| is a deterministic double (identical op sequence in both
+    // engines), floored to integer micro-units BEFORE the sum, so the
+    // aggregate is an order-independent integer sum — full 6-digit
+    // discrimination with zero summation-order exposure, instead of the
+    // round-8 2dp rounding that traded precision for boundary safety.
     "embedding_quantize" -> ((s, d) => {
       val x = t(s, d, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
@@ -172,7 +198,8 @@ object TrainPrep {
             floor((col("v") - col("mn")) / col("sc") + 0.5)).otherwise(0L))
         .groupBy(col("vec_id"))
         .agg(
-          round(sum(abs(col("v") - (col("mn") + col("qi") * col("sc")))), 2).as("mae"),
+          sum(floor(abs(col("v") - (col("mn") + col("qi") * col("sc"))) * 1000000))
+            .as("mae_e6"),
           max(col("qi")).as("max_q"))
         .orderBy("vec_id")
     }))
@@ -230,7 +257,8 @@ object TrainPrep {
         |                  THEN floor((v - mn) / ((mx - mn) / 255.0) + 0.5)
         |                  ELSE 0 END AS qi
         |      FROM x JOIN mm ON x.i = mm.i)
-        |SELECT vec_id, round(sum(abs(v - (mn + qi * sc))), 2) AS mae,
+        |SELECT vec_id,
+        |       CAST(sum(floor(abs(v - (mn + qi * sc)) * 1000000)) AS BIGINT) AS mae_e6,
         |       CAST(max(qi) AS BIGINT) AS max_q
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin)
 }

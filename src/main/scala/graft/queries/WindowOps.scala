@@ -250,12 +250,19 @@ object WindowOps {
     // sorted by (price asc, size desc), a part is dominated iff a prefix row
     // has strictly larger size (cond1), or an equal-size row has strictly
     // smaller price (cond2). Identical points are mutually non-dominating
-    // and all survive. The declared query runs the distributed two-pass
-    // prefix scan; the oracle states the same semantics as the quadratic
-    // NOT EXISTS — two independent formulations.
-    "skyline_pareto" -> ((s, d) => skylineTwoPass(
-      t(s, d, "part").select(col("p_partkey"), col("p_retailprice"), col("p_size")))
-      .orderBy("p_partkey")))
+    // and all survive. The prefix max picks its form from the input's
+    // estimated size (round 9 auto-crossover): the single window below
+    // PrefixScan.CrossoverRows, the distributed two-pass scan above it —
+    // row-identical by Round8Spec. The oracle states the same semantics as
+    // the quadratic NOT EXISTS — two independent formulations.
+    "skyline_pareto" -> ((s, d) => {
+      val parts = t(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val blocked = graft.operators.PrefixScan.estimatedRows(parts) >=
+        graft.operators.PrefixScan.CrossoverRows
+      (if (blocked) skylineTwoPass(parts) else skylineWindow(parts))
+        .orderBy("p_partkey")
+    }))
 
   /** Number of price-range blocks for the distributed skyline scan: bounds
     * pass-2's offset frame at 32 rows while pass 1 runs one task per block.

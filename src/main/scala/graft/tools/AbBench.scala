@@ -85,6 +85,23 @@ object AbBench {
     // per language — each language serializes onto one task
     "doc_pack_sequences_window" -> ((s, d) =>
       graft.queries.TrainPrep.packWindow(s, d)),
+    // round-9 auto-crossover twins: the FORCED branches of the three
+    // prefix-scan queries, so AbBench can show the auto form matches the
+    // better twin at both scales (the declared query picks by estimated
+    // input size)
+    "doc_pack_sequences_blocked" -> ((s, d) =>
+      graft.queries.TrainPrep.packBlocked(s, d)),
+    "skyline_pareto_blocked" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.queries.WindowOps.skylineTwoPass(
+        graft.Tables.t(s, d, "part")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+        .orderBy("p_partkey")
+    }),
+    "agg_weighted_median_window" -> ((s, d) =>
+      graft.queries.Analytics.weightedMedian(s, d, force = Some(false))),
+    "agg_weighted_median_blocked" -> ((s, d) =>
+      graft.queries.Analytics.weightedMedian(s, d, force = Some(true))),
     // text_ngram_containment before the diagonal rewrite: three consumers
     // of the shingle frame (both join sides + the per-doc count branch),
     // each re-running scan+normalize+explode — the form that grew 8.6× on

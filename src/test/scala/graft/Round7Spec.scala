@@ -154,10 +154,13 @@ class Round7Spec extends SparkSpec {
     assert((tri.getLong(0), tri.getLong(1), tri.getLong(2), tri.getLong(3)) ===
       ((3L, 3L, 3L, 1L)))
     assert(tri.getDouble(4) === 1.0) // 3·tri/wedges — a perfect triangle
-    // symmetric 3-cycle: uniform rank is the exact fixed point → scaled 1.0
+    // symmetric 3-cycle: uniform rank is the exact fixed point. In 10⁻¹²
+    // fixed-point, prf converges to 333333333332 (one truncation unit under
+    // 10¹²/3), so the micro-unit scaled rank is 999999 — exactly, for every
+    // node, with no tolerance
     val pr = SparkEntry.queries("graph_pagerank")(spark, d).collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(pr === Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pr === Seq((1L, 999999L), (2L, 999999L), (3L, 999999L)))
   }
 
   test("degree-oriented triangle count equals the declared id-oriented census") {

@@ -69,7 +69,9 @@ class Round8Spec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("packnull8").toString
     docs.toDF("doc_id", "lang", "text", "n_chars")
       .write.parquet(s"$d/documents.parquet")
-    val got = SparkEntry.queries("doc_pack_sequences")(spark, d).collect()
+    // force the two-pass branch — the null-safe offset join is what's under
+    // test, and the auto-crossover would route 40 rows to the window form
+    val got = graft.tools.AbBench.variants("doc_pack_sequences_blocked")(spark, d).collect()
     val want = graft.tools.AbBench.variants("doc_pack_sequences_window")(spark, d).collect()
     assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
     assert(got.map(_.getLong(2)).sum === 40L) // every doc accounted for
@@ -84,11 +86,13 @@ class Round8Spec extends SparkSpec {
 
   // ---- sequence packing: two-pass vs per-language window ----
 
-  test("declared doc_pack_sequences equals the window form across many doc_id blocks") {
+  test("blocked doc_pack equals the window form across many doc_id blocks") {
     import spark.implicits._
     // 1000 docs over 2 languages → doc_ids span 4 PackBlock(256) blocks per
     // language, so cross-block offset merging is genuinely exercised; token
-    // counts vary so bin boundaries land mid-block
+    // counts vary so bin boundaries land mid-block. The FORCED two-pass
+    // branch is compared (the round-9 auto-crossover sends an input this
+    // small down the window branch, which would compare window to window).
     val docs = (0 until 1000).map { i =>
       val words = (0 until (i * 31 % 40) + 1).map(j => s"w$j").mkString(" ")
       (i.toLong, if (i % 2 == 0) "en" else "de", words, words.length.toLong)
@@ -96,9 +100,19 @@ class Round8Spec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("pack8").toString
     docs.toDF("doc_id", "lang", "text", "n_chars")
       .write.parquet(s"$d/documents.parquet")
-    val got = rows(SparkEntry.queries("doc_pack_sequences")(spark, d))
+    val got = rows(graft.tools.AbBench.variants("doc_pack_sequences_blocked")(spark, d))
     val want = rows(graft.tools.AbBench.variants("doc_pack_sequences_window")(spark, d))
     assert(got.size > 10 && got === want)
+    // and the declared auto form agrees with whichever branch it picked
+    assert(rows(SparkEntry.queries("doc_pack_sequences")(spark, d)) === want)
+  }
+
+  test("weighted-median forced branches are row-identical; auto agrees") {
+    val d = TestTables.dir(spark)
+    val win = rows(graft.tools.AbBench.variants("agg_weighted_median_window")(spark, d))
+    val blk = rows(graft.tools.AbBench.variants("agg_weighted_median_blocked")(spark, d))
+    val auto = rows(SparkEntry.queries("agg_weighted_median")(spark, d))
+    assert(win.nonEmpty && win === blk && auto === win)
   }
 
   // ---- shingle document-frequency caps (stop-shingle guards) ----
