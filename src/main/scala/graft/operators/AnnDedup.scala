@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** LSH-bucketed embedding near-dup pairs — the 100 TB path that replaces
+  * the broadcast-capped all-pairs kernel (operators.CosinePairs) for
+  * unbounded inputs: random-hyperplane buckets (the AnnLsh machinery) are
+  * the BLOCKING KEY, the exact cosine runs only inside buckets, and the
+  * declared semantics are "pairs that collide in ≥1 of nTables tables AND
+  * cos ≥ threshold" — exactly mirrorable in SQL (the oracle embeds the
+  * same ±1 plane literals), unlike a recall-based approximation.
+  *
+  * Scale design:
+  * - The plane count ADAPTS to the corpus: nPlanes = smallest k with
+  *   2^k ≥ ceil(n / TargetBucket), so mean bucket occupancy stays
+  *   ~TargetBucket and per-table candidate work stays LINEAR in n
+  *   (n/2^nPlanes per bucket × 2^nPlanes buckets × occupancy), instead of
+  *   quadratic blow-up inside fixed buckets. Derived from an EXACT count
+  *   (one metadata-cheap job) — the oracle mirrors it from count(*), which
+  *   a byte-based plan estimate could not match. The prefix property of
+  *   AnnLsh.planes means every adaptive choice selects a prefix of one
+  *   fixed plane matrix.
+  * - `maxBucketSize` is the standard skew guard (MinHashLsh.maxBucketSize
+  *   family): a degenerate corpus (all-identical vectors) collapses into
+  *   one bucket whose pair count is quadratic — such buckets are dropped,
+  *   deterministically, and the oracle drops them identically (HAVING
+  *   count ≤ cap). Sized not to bind at any test scale.
+  * - One shuffle on the packed (table, bucket) key; the index replicates
+  *   each vector nTables times (the textbook LSH space/recall trade).
+  *   Candidate pairs dedup on (a_id, b_id) BEFORE the cosine so a pair
+  *   colliding in several tables pays one kernel call.
+  *
+  * Recall (vs true all-pairs) follows the Charikar collision bound
+  * p = (1 − θ/π)^nPlanes per table, OR-amplified over nTables — tuned for
+  * genuine near-dups (cos ≥ 0.9), where it stays high as nPlanes grows;
+  * the test corpus' random near-orthogonal pairs are the hard case and
+  * Round9Spec pins the blocked-pair semantics exactly instead.
+  */
+object AnnDedup {
+
+  /** Adaptive-plane bounds: 4 ⇒ ≥16 buckets/table even on tiny inputs;
+    * 16 ⇒ 64k buckets/table, enough for ~4M vectors at TargetBucket=64
+    * (beyond that, extend MaxPlanes and regenerate the oracle literals).
+    */
+  val MinPlanes = 4
+  val MaxPlanes = 16
+
+  /** Mean bucket occupancy the adaptive plane count aims for. */
+  val TargetBucket = 64L
+
+  /** Smallest k in [MinPlanes, MaxPlanes] with 2^k ≥ ceil(n/TargetBucket) —
+    * integer arithmetic only, so the DuckDB mirror (a CASE ladder over the
+    * same thresholds) cannot diverge on a float-log boundary.
+    */
+  def adaptivePlanes(n: Long): Int = {
+    val q = (math.max(n, 1L) + TargetBucket - 1) / TargetBucket
+    (MinPlanes to MaxPlanes).find(k => (1L << k) >= q).getOrElse(MaxPlanes)
+  }
+
+  /** Pairs (a_id < b_id) colliding in ≥1 LSH table with cosine ≥ threshold.
+    * Input df: (id, vec: array<double>[dim]). Output: (a_id, b_id, cos).
+    */
+  def pairs(
+      emb: DataFrame,
+      threshold: Double,
+      dim: Int,
+      nTables: Int,
+      maxBucketSize: Long): DataFrame = {
+    val s = emb.sparkSession
+    val npl = adaptivePlanes(emb.count())
+    // fan out before the CPU-bound bucket kernel — a one-file scan arrives
+    // as a single partition
+    val bucketed = emb
+      .repartition(s.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), col("vec"),
+        explode(AnnLsh.tableBuckets(col("vec"), npl, dim, nTables)).as("bucket"))
+    // skew guard: drop over-occupied buckets (count frame is ≤ nTables·2^npl
+    // rows — far smaller than the data; no broadcast hint so the planner
+    // stays free at any bucket count)
+    val ok = bucketed.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize)
+      .select("bucket")
+    val pruned = bucketed.join(ok, Seq("bucket"), "left_semi")
+    val a = pruned.select(col("bucket"), col("id").as("a_id"), col("vec").as("va"))
+    val b = pruned.select(col("bucket"), col("id").as("b_id"), col("vec").as("vb"))
+    val dot = graft.functions.Vec.dotNative(s, "va", "vb")
+    val (na, nb) = (graft.functions.Vec.l2Native(s, "va"),
+      graft.functions.Vec.l2Native(s, "vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("va"), col("vb"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", dot / (na * nb))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+}

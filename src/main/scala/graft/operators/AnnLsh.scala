@@ -27,10 +27,34 @@ import org.apache.spark.sql.functions._
   */
 object AnnLsh {
 
-  /** Deterministic ±1 hyperplanes, `nPlanes` × `dim` (seed per table). */
-  private def planes(nPlanes: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {
+  /** Deterministic ±1 hyperplanes, `nPlanes` × `dim` (seed per table).
+    * Row-major generation means `planes(k, dim, t)` is a PREFIX of
+    * `planes(k', dim, t)` for k < k' — so an adaptive plane count
+    * (operators.AnnDedup) selects a prefix of the same fixed matrix, and
+    * an oracle can embed the max-count literals once.
+    */
+  private[graft] def planes(nPlanes: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7 + seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** All `nTables` packed table-bucket ids of a vector in one native kernel
+    * call: element t = (t << nPlanes) + bucket_t, so one long column equi-
+    * joins across tables (bucket_t < 2^nPlanes keeps the packing
+    * injective). Shared by [[topK]] and AnnDedup. A NULL vector fails
+    * loudly: LshBuckets is a UnaryExpression whose nullSafeEval propagates
+    * NULL, and explode(transform(NULL)) then silently DROPS the row from
+    * the index or probe set — at scale that is invisible recall loss, not
+    * an error.
+    */
+  def tableBuckets(vec: Column, nPlanes: Int, dim: Int, nTables: Int): Column = {
+    val mat: Seq[Seq[Double]] = (0 until nTables).flatMap(t => planes(nPlanes, dim, t))
+    val all = org.apache.spark.sql.GraftSqlShim.column(
+      graft.plans.LshBuckets(
+        org.apache.spark.sql.GraftSqlShim.expression(vec), mat, nPlanes))
+    val guarded = when(vec.isNotNull, all)
+      .otherwise(raise_error(lit(s"AnnLsh: null vector (expected array<double>[$dim])")))
+    transform(guarded, (b, t) => b + (t.cast("long") * lit(1L << nPlanes)))
   }
 
   /** Bucket id column for an array<double> vector column. Fails fast on a
@@ -70,19 +94,7 @@ object AnnLsh {
     // Janino's 64 KB method limit and fell back to interpreted evaluation.
     // (table, bucket) packs into one equi-join key: table id in the bits
     // above the bucket's nPlanes.
-    val mat: Seq[Seq[Double]] = (0 until nTables).flatMap(t => planes(nPlanes, dim, t))
-    def tbuckets(vec: Column): Column = {
-      val all = org.apache.spark.sql.GraftSqlShim.column(
-        graft.plans.LshBuckets(
-          org.apache.spark.sql.GraftSqlShim.expression(vec), mat, nPlanes))
-      // a NULL vector must fail loudly, same as bucket(): LshBuckets is a
-      // UnaryExpression whose nullSafeEval propagates NULL, and
-      // explode(transform(NULL)) then silently DROPS the row from the index
-      // or probe set — at scale that is invisible recall loss, not an error
-      val guarded = when(vec.isNotNull, all)
-        .otherwise(raise_error(lit(s"AnnLsh: null vector (expected array<double>[$dim])")))
-      transform(guarded, (b, t) => b + (t.cast("long") * lit(1L << nPlanes)))
-    }
+    def tbuckets(vec: Column): Column = tableBuckets(vec, nPlanes, dim, nTables)
     // fan out: the corpus-side bucket hashes + candidate cosines are CPU
     // bound and a one-file scan arrives as a single partition. The explode
     // is the ×nTables index replication.

@@ -155,6 +155,22 @@ object Extras {
         .orderBy("a_id", "b_id")
     }),
 
+    // LSH-BUCKETED embedding near-dup over the WHOLE table (round 9): the
+    // 100 TB path that retires CosinePairs' maxBuildRows broadcast cap. The
+    // declared semantics are the blocked-pair list — "collides in ≥1 of 8
+    // tables AND cos ≥ 0.45" — so the oracle is EXACT: it embeds the same
+    // ±1 plane literals and mirrors the adaptive plane count from count(*)
+    // (operators.AnnDedup scaladoc; integer ladder, no float-log boundary).
+    "dedup_embedding_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.operators.AnnDedup
+        .pairs(emb, threshold = 0.45, dim = 64, nTables = AnnDedupTables,
+          maxBucketSize = AnnDedupCap)
+        .select(col("a_id"), col("b_id"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Bucketed ANN (random-hyperplane LSH, multi-probe) — the scale path
     // whose exactness baseline is sim_knn_cosine. Approximate ⇒ oracle-less.
     "sim_ann_lsh" -> ((s, d) => {
@@ -206,6 +222,52 @@ object Extras {
         .orderBy("doc_id")
     })
   )
+
+  /** dedup_embedding_ann parameters, shared by query + oracle generator. */
+  private[graft] val AnnDedupTables = 8
+  private[graft] val AnnDedupCap = 256L
+
+  /** The dedup_embedding_ann oracle, GENERATED so the SQL carries the exact
+    * same ±1 hyperplane literals the LshBuckets kernel uses (prefix
+    * property: the adaptive plane count selects the first npl of each
+    * table's MaxPlanes-plane set, chosen by the same integer ladder on
+    * count(*)). list_inner_product is the same left-to-right IEEE fold as
+    * the kernel, so every sign bit — and thus every bucket — matches
+    * bit-identically.
+    */
+  private def annDedupOracleSql: String = {
+    import graft.operators.{AnnDedup, AnnLsh}
+    val ladder = (AnnDedup.MinPlanes until AnnDedup.MaxPlanes)
+      .map(k => s"WHEN q <= ${1L << k} THEN $k").mkString(" ")
+    val bk = (0 until AnnDedupTables).map { tbl =>
+      val bits = AnnLsh.planes(AnnDedup.MaxPlanes, 64, tbl).zipWithIndex.map {
+        case (p, k) =>
+          s"(CASE WHEN $k < (SELECT npl FROM np) AND " +
+            s"list_inner_product(vec, [${p.mkString(", ")}]) > 0 " +
+            s"THEN ${1L << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $tbl AS tbl, $bits AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |np AS (SELECT CASE $ladder ELSE ${AnnDedup.MaxPlanes} END AS npl
+       |       FROM (SELECT (greatest(count(*), 1) + ${AnnDedup.TargetBucket - 1})
+       |                      // ${AnnDedup.TargetBucket} AS q FROM e)),
+       |bk AS ($bk),
+       |sz AS (SELECT tbl, bucket FROM bk GROUP BY tbl, bucket
+       |       HAVING count(*) <= $AnnDedupCap),
+       |okb AS (SELECT bk.vec_id, bk.tbl, bk.bucket FROM bk JOIN sz USING (tbl, bucket)),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM okb a JOIN okb b
+       |           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |p AS (SELECT a_id, b_id,
+       |             list_inner_product(ea.vec, eb.vec)
+       |               / (sqrt(list_inner_product(ea.vec, ea.vec))
+       |                  * sqrt(list_inner_product(eb.vec, eb.vec))) AS cos
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.a_id
+       |                JOIN e eb ON eb.vec_id = cand.b_id)
+       |SELECT a_id, b_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos_sim
+       |FROM p WHERE cos >= 0.45 ORDER BY a_id, b_id""".stripMargin
+  }
 
   private val norm = normTextSql("text")
   private val bpePattern = "[a-z0-9]+|[^a-z0-9\\s]"
@@ -296,6 +358,7 @@ object Extras {
          |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding_ann" -> annDedupOracleSql,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id < 2000),

@@ -102,6 +102,30 @@ object AbBench {
       graft.queries.Analytics.weightedMedian(s, d, force = Some(false))),
     "agg_weighted_median_blocked" -> ((s, d) =>
       graft.queries.Analytics.weightedMedian(s, d, force = Some(true))),
+    // dedup_embedding_ann the pre-round-9 way: broadcast all-pairs kernel
+    // over the WHOLE table (maxBuildRows lifted for the A/B), then keep the
+    // pairs that collide in ≥1 LSH table — same output as the bucketed
+    // operator wherever the bucket-size cap doesn't bind (it never does on
+    // the test corpora), so AbBench's row-equality gate holds while the
+    // candidate-generation cost is what differs
+    "dedup_embedding_ann_bruteforce" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.rd
+      val emb = graft.Tables.t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val npl = graft.operators.AnnDedup.adaptivePlanes(emb.count())
+      val all = graft.operators.CosinePairs
+        .allPairs(s, emb, threshold = 0.45, maxBuildRows = 1000000)
+      val bks = emb.select(col("id"),
+        graft.operators.AnnLsh.tableBuckets(col("vec"), npl, 64,
+          graft.queries.Extras.AnnDedupTables).as("bks"))
+      all
+        .join(bks.select(col("id").as("a_id"), col("bks").as("ba")), "a_id")
+        .join(bks.select(col("id").as("b_id"), col("bks").as("bb")), "b_id")
+        .filter(arrays_overlap(col("ba"), col("bb")))
+        .select(col("a_id"), col("b_id"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
     // text_ngram_containment before the diagonal rewrite: three consumers
     // of the shingle frame (both join sides + the per-doc count branch),
     // each re-running scan+normalize+explode — the form that grew 8.6× on

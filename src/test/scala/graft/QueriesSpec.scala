@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 173 declared queries (53 SURVEY §2 + 120 extras), 165 with oracles") {
-    assert(SparkEntry.queries.size === 173)
-    assert(SparkEntry.oracleSql.size === 165)
+  test("inventory: 174 declared queries (53 SURVEY §2 + 121 extras), 166 with oracles") {
+    assert(SparkEntry.queries.size === 174)
+    assert(SparkEntry.oracleSql.size === 166)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",

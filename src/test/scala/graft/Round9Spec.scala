@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AnnDedup
+
+/** Round-9 hardening: LSH-bucketed embedding dedup (adaptive plane count,
+  * skew guard, equivalence to the broadcast all-pairs form it retires).
+  */
+class Round9Spec extends SparkSpec {
+
+  test("adaptivePlanes follows the integer ladder, clamped to [4, 16]") {
+    // ≤ 16 target-sized buckets → the 4-plane floor
+    assert(AnnDedup.adaptivePlanes(0L) === 4)
+    assert(AnnDedup.adaptivePlanes(1L) === 4)
+    assert(AnnDedup.adaptivePlanes(64L * 16) === 4)
+    // one vector past 16 mean-full buckets → 5 planes
+    assert(AnnDedup.adaptivePlanes(64L * 16 + 1) === 5)
+    // the sf0.01 / sf0.1 corpora land on 4 and 7
+    assert(AnnDedup.adaptivePlanes(500L) === 4)
+    assert(AnnDedup.adaptivePlanes(5000L) === 7)
+    // ceiling: beyond 4M vectors the count clamps at MaxPlanes
+    assert(AnnDedup.adaptivePlanes(64L << 16) === 16)
+    assert(AnnDedup.adaptivePlanes(Long.MaxValue / 2) === 16)
+  }
+
+  test("declared dedup_embedding_ann equals the brute-force blocked-pair form") {
+    val d = TestTables.dir(spark)
+    val got = SparkEntry.queries("dedup_embedding_ann")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.tools.AbBench.variants("dedup_embedding_ann_bruteforce")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("bucket-size cap drops degenerate all-identical buckets, keeps small ones") {
+    import spark.implicits._
+    def idframe(n: Int) =
+      (0 until n).map(i => (i.toLong, Array.fill(64)(1.0))).toDF("id", "vec")
+    // 300 identical vectors land in ONE bucket per table (300 > cap 256):
+    // every bucket pruned → no pairs, no quadratic blow-up
+    val capped = AnnDedup.pairs(idframe(300), threshold = 0.9, dim = 64,
+      nTables = 2, maxBucketSize = 256L)
+    assert(capped.count() === 0L)
+    // 20 identical vectors stay under the cap → all C(20,2) pairs at cos 1.0
+    val small = AnnDedup.pairs(idframe(20), threshold = 0.9, dim = 64,
+      nTables = 2, maxBucketSize = 256L)
+    assert(small.count() === 190L)
+  }
+
+  test("a pair never appears twice even when it collides in several tables") {
+    import spark.implicits._
+    // two near-identical vectors collide in (almost surely) all tables;
+    // the pair must still be emitted once
+    val base = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val near = base.clone(); near(0) = near(0) + 1e-9
+    val df = Seq((1L, base), (2L, near)).toDF("id", "vec")
+    val rows = AnnDedup.pairs(df, threshold = 0.9, dim = 64,
+      nTables = 8, maxBucketSize = 256L).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 1L && rows.head.getLong(1) === 2L)
+  }
+}
