@@ -152,6 +152,30 @@ object Analytics {
     // `agg_weighted_median_approx`; this is the exact one.
     "agg_weighted_median" -> ((s, d) => weightedMedian(s, d, force = None)),
 
+    // The promised 100 TB approx path for the weighted median (§2.18): a
+    // deterministic weight-proportional sample sketch (A-ES exponential
+    // keys, k-smallest kept by a custom Aggregator — the KMV pattern).
+    // One hash aggregate, partial+final, ≤ k triples shipped per group; no
+    // prefix scan, no sort. The md5 coin is seeded per row identity →
+    // bit-reproducible, but algorithm-specific ⇒ oracle-less like the
+    // other sketches; Round9Spec pins |approx − exact twin| at two scales.
+    "agg_weighted_median_approx" -> ((s, d) => {
+      val wmed = udaf(new graft.functions.WeightedMedianSketch(4096))
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 0) // zero/negative weights carry no mass
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          col("l_quantity").as("q"),
+          // seeded uniform u ∈ (0,1] from 52 md5 bits over the full row
+          // identity (orderkey+linenumber is NOT unique in this data —
+          // value columns join the coin input), then e = −ln(u)/w
+          expr("""-ln((conv(substring(md5(concat_ws('|', 'wmed', l_orderkey,
+                 |  l_linenumber, l_extendedprice, l_quantity)), 1, 13), 16, 10) + 1.0)
+                 |  / 4503599627370496.0) / l_quantity""".stripMargin).as("e"))
+        .groupBy(col("l_returnflag"))
+        .agg(wmed(col("e"), col("v"), col("q")).as("wmedian_approx"))
+        .orderBy("l_returnflag")
+    }),
+
     // The sketch twin of agg_percentiles: approx_percentile keeps a bounded
     // buffer per group (no per-group sort), the 100 TB path for quantiles.
     // Deterministic given identical input but algorithm-specific →

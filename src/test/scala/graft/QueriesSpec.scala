@@ -10,14 +10,14 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 174 declared queries (53 SURVEY §2 + 121 extras), 166 with oracles") {
-    assert(SparkEntry.queries.size === 174)
+  test("inventory: 175 declared queries (53 SURVEY §2 + 122 extras), 166 with oracles") {
+    assert(SparkEntry.queries.size === 175)
     assert(SparkEntry.oracleSql.size === 166)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
       "agg_kmv_distinct", "agg_approx_percentile", "agg_hll_union",
-      "agg_approx_topk"))
+      "agg_approx_topk", "agg_weighted_median_approx"))
   }
 
   test("sim_ann_ivf recall: finds the aligned vector for query 0") {

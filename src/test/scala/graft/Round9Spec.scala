@@ -48,6 +48,35 @@ class Round9Spec extends SparkSpec {
     assert(small.count() === 190L)
   }
 
+  test("agg_weighted_median_approx tracks the exact twin within 5% where it samples") {
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        if new java.io.File(sf).isDirectory) {
+      val exact = SparkEntry.queries("agg_weighted_median")(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val approx = SparkEntry.queries("agg_weighted_median_approx")(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(approx.keySet === exact.keySet)
+      exact.foreach { case (g, ev) =>
+        val rel = math.abs(approx(g) - ev) / ev
+        info(f"$sf $g exact=$ev%.2f approx=${approx(g)}%.2f rel=$rel%.4f")
+        assert(rel <= 0.05, f"$g: rel error $rel%.4f > 0.05")
+      }
+    }
+  }
+
+  test("agg_weighted_median_approx is EXACT when the group fits the buffer") {
+    import spark.implicits._
+    // the Round8Spec fixture: half of total weight 12 is crossed at value 3
+    // — 3 rows < k, so finish() takes the exact weighted path
+    val d = java.nio.file.Files.createTempDirectory("wmed9").toString
+    Seq(("A", 1.0, 1.0, 10L, 1L), ("A", 2.0, 1.0, 11L, 1L), ("A", 3.0, 10.0, 12L, 1L))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = SparkEntry.queries("agg_weighted_median_approx")(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === Seq(("A", 3.0)))
+  }
+
   test("a pair never appears twice even when it collides in several tables") {
     import spark.implicits._
     // two near-identical vectors collide in (almost surely) all tables;
