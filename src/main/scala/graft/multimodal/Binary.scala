@@ -1,7 +1,6 @@
 package graft.multimodal
 
 import java.io.ByteArrayInputStream
-import java.security.MessageDigest
 
 import javax.imageio.ImageIO
 
@@ -14,11 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * In a real pipeline the payload column comes from
   * `spark.read.format("binaryFile")` (images/audio/video blobs) or a parquet
-  * table with a binary column. The IMAGE path is fully real: committed
-  * png/jpg/bmp payloads decoded with JDK-builtin `javax.imageio`
-  * (`decodeImages`). The audio/video-shaped stages (`resizeStub`,
-  * `frameSampleStub`) keep deterministic stand-in codecs (those libs aren't
-  * in this container) over the same real plumbing shapes.
+  * table with a binary column. The IMAGE path is fully real (committed
+  * png/jpg/bmp decoded with JDK-builtin `javax.imageio`, `decodeImages`)
+  * and so is the AUDIO path (committed RIFF/WAVE decoded with JDK-builtin
+  * `javax.sound.sampled`, `decodeAudios`/`audioWindows` — round 9, retiring
+  * the former md5 stand-in stubs). Video is the one modality the JDK has no
+  * codec for; its per-frame fan-out shape is `audioWindows`' flatMap.
   *
   * Scale notes: decode runs inside `mapPartitions`, so per-partition codec
   * initialization is amortized across the partition's rows (the pattern a
@@ -88,90 +88,104 @@ object Binary {
     }
   }
 
-  case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
-  case class Decoded(doc_id: Long, byte_len: Long, width: Long, height: Long, thumb_hash: String)
+  // ---- audio (REAL javax.sound.sampled WAV decode — round 9; replaces the
+  // md5-derived decode/resize/frame stubs that stood in for non-JDK codecs.
+  // Video remains the one absent modality: the JDK ships no video codec, and
+  // the per-frame fan-out shape a video decoder needs is exactly
+  // [[audioWindows]]' flatMap, now exercised with real decoded samples.) ----
 
-  /** Attach the opaque payload + media type (the binary-column schema). */
-  def attachPayload(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      lit("image/fake").as("media_type"))
-
-  /** STUB decode — deterministic fake standing in for a real image codec
-    * (`???` replaced by md5-derived dimensions so tests and the DuckDB
-    * oracle can verify the plumbing end-to-end). A real implementation
-    * initializes the codec once per partition and decodes batch-wise,
-    * exactly this shape.
+  /** Committed fixture of real RIFF/WAVE payloads (see tools.GenAudioFixture):
+    * rates {8k, 16k, 22.05k, 44.1k} × {mono, stereo} × {8, 16}-bit PCM, with
+    * exp_* columns round-trip-precomputed through [[decodeAudio]] so the
+    * DuckDB oracle asserts the decode without a WAV parser. PCM is lossless
+    * — no jpeg-style masking needed anywhere.
     */
-  def decodeStub(rows: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[Decoded] = {
-    import spark.implicits._
-    rows.mapPartitions { it =>
-      // per-partition "codec" init (amortized, like a JNI decoder handle)
-      val md = MessageDigest.getInstance("MD5")
-      it.map { r =>
-        md.reset()
-        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-        Decoded(
-          r.doc_id,
-          r.payload.length.toLong,
-          64L + java.lang.Long.parseLong(hex.substring(0, 6), 16) % 448L,
-          64L + java.lang.Long.parseLong(hex.substring(6, 12), 16) % 448L,
-          hex.substring(0, 8))
+  val AudioFixturePath = "/root/repo/fixtures/media_audio.parquet"
+
+  /** Samples per analysis window for [[audioWindows]]. */
+  val AudioWindowFrames = 1000
+
+  case class AudioMeta(
+      doc_id: Long, byte_len: Long, sample_rate: Long, channels: Long,
+      bits: Long, n_frames: Long, duration_us: Long, pcm_sum: Long)
+
+  case class AudioWindow(doc_id: Long, win_idx: Long, n_samples: Long, energy: Long)
+
+  /** REAL WAV decode (JDK-builtin `javax.sound.sampled`, zero new deps):
+    * true sample rate / channel count / bit depth from the sniffed header,
+    * frame count and µs duration, a checksum over EVERY decoded PCM sample
+    * (proof the samples, not just the header, were parsed), and per-window
+    * Σ|sample| energies — the windowed feature-extraction a training
+    * pipeline runs on audio. Handles the two WAV PCM layouts the format
+    * defines: 16-bit signed little-endian and 8-bit unsigned.
+    */
+  def decodeAudio(bytes: Array[Byte]): (AudioMeta, Array[Long]) = {
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val channels = fmt.getChannels
+      require(bits == 16 || bits == 8, s"unsupported PCM depth: $bits")
+      require(!fmt.isBigEndian || bits == 8, "WAV PCM is little-endian")
+      val data = ais.readAllBytes()
+      val frameSize = fmt.getFrameSize
+      val nFrames = data.length / frameSize
+      var sum = 0L
+      val nWin = (nFrames + AudioWindowFrames - 1) / AudioWindowFrames
+      val win = new Array[Long](nWin)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val s =
+            if (bits == 16) {
+              val i = f * frameSize + c * 2
+              ((data(i + 1).toInt << 8) | (data(i).toInt & 0xff)).toShort.toInt
+            } else (data(f * frameSize + c).toInt & 0xff) - 128
+          sum += s
+          win(f / AudioWindowFrames) += math.abs(s).toLong
+          c += 1
+        }
+        f += 1
       }
+      val rate = fmt.getSampleRate.toLong
+      val meta = AudioMeta(
+        doc_id = -1L, byte_len = bytes.length.toLong, sample_rate = rate,
+        channels = channels.toLong, bits = bits.toLong, n_frames = nFrames.toLong,
+        duration_us = nFrames.toLong * 1000000L / rate, pcm_sum = sum)
+      (meta, win)
+    } finally ais.close()
+  }
+
+  /** Distributed audio decode: binary column in, typed per-file metadata
+    * out. Same shape as [[decodeImages]] — decode inside `mapPartitions`,
+    * no shuffle, narrow typed output.
+    */
+  def decodeAudios(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[ImageRow].mapPartitions { it =>
+      it.map(r => decodeAudio(r.payload)._1.copy(doc_id = r.doc_id))
     }
   }
 
-  /** End-to-end: documents → payload rows → decoded metadata. */
-  def decodedMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    implicit val s: SparkSession = spark
-    decodeStub(attachPayload(docs).as[MediaRow]).toDF()
-  }
-
-  case class Resized(doc_id: Long, width: Long, height: Long, scale: Double)
-
-  /** STUB resize: fit decoded dims into a `maxSide` bounding box preserving
-    * aspect ratio — the arithmetic is real (what a thumbnailing stage
-    * computes), only the pixel resampling is absent. Runs as a plain
-    * projection over the decoded metadata: no data movement at all.
+  /** Windowed feature extraction over REAL decoded samples: each file fans
+    * out to one row per `AudioWindowFrames`-frame window with Σ|sample|
+    * energy — the per-frame/per-window flatMap shape a video or audio
+    * feature stage needs (one input row → N output rows inside the
+    * partition, no shuffle).
     */
-  def resizeStub(decoded: Dataset[Decoded], maxSide: Long)(
-      implicit spark: SparkSession): Dataset[Resized] = {
+  def audioWindows(spark: SparkSession, media: DataFrame): Dataset[AudioWindow] = {
     import spark.implicits._
-    decoded.map { d =>
-      val longest = math.max(d.width, d.height)
-      val scale = if (longest <= maxSide) 1.0 else maxSide.toDouble / longest
-      Resized(
-        d.doc_id,
-        math.max(1L, math.round(d.width * scale)),
-        math.max(1L, math.round(d.height * scale)),
-        scale)
-    }
-  }
-
-  case class Frame(doc_id: Long, frame_idx: Long, frame_hash: String)
-
-  /** STUB frame sampling: treat the payload as a "video" of fixed-size
-    * frames and emit every `stride`-th frame's offset + md5. The plumbing is
-    * the real shape — one input row fans out to N frame rows inside the
-    * partition (flatMap, no shuffle), exactly how a video decoder feeds
-    * per-frame feature extraction downstream.
-    */
-  def frameSampleStub(rows: Dataset[MediaRow], frameBytes: Int, stride: Int)(
-      implicit spark: SparkSession): Dataset[Frame] = {
-    import spark.implicits._
-    require(frameBytes > 0 && stride > 0)
-    rows.mapPartitions { it =>
-      val md = MessageDigest.getInstance("MD5")
+    media.select("doc_id", "payload").as[ImageRow].mapPartitions { it =>
       it.flatMap { r =>
-        val nFrames = r.payload.length / frameBytes
-        (0 until nFrames by stride).iterator.map { i =>
-          md.reset()
-          val hex = md
-            .digest(java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes))
-            .map("%02x".format(_)).mkString
-          Frame(r.doc_id, i.toLong, hex.substring(0, 8))
+        val (meta, win) = decodeAudio(r.payload)
+        val full = meta.n_frames / AudioWindowFrames
+        win.iterator.zipWithIndex.map { case (e, i) =>
+          val frames =
+            if (i < full) AudioWindowFrames.toLong
+            else meta.n_frames - full * AudioWindowFrames
+          AudioWindow(r.doc_id, i.toLong, frames * meta.channels, e)
         }
       }
     }

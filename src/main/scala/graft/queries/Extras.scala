@@ -220,6 +220,31 @@ object Extras {
         .withColumn("pix_sum",
           when(col("format") === "jpeg", lit(null).cast("long")).otherwise(col("pix_sum")))
         .orderBy("doc_id")
+    }),
+
+    // Multimodal audio with a REAL javax.sound.sampled WAV decode (round 9,
+    // retiring the md5 stand-in stubs): committed RIFF/WAVE payloads
+    // (fixtures/media_audio.parquet, see tools.GenAudioFixture) → true
+    // sample-rate/channels/bit-depth/frame-count/µs-duration + a checksum
+    // over every decoded PCM sample, per-partition with no shuffle. The
+    // oracle reads the fixture's round-trip-precomputed exp_* columns, so a
+    // hash-match proves the samples were actually parsed; PCM is lossless,
+    // so nothing needs the jpeg-style mask.
+    "multimodal_audio" -> ((s, _) => {
+      graft.multimodal.Binary
+        .decodeAudios(s, s.read.parquet(graft.multimodal.Binary.AudioFixturePath))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // Windowed Σ|sample| energies over the REAL decoded PCM — the
+    // per-window flatMap fan-out a frame/feature-extraction stage runs
+    // (one file row → N window rows inside the partition, no shuffle).
+    "multimodal_audio_windows" -> ((s, _) => {
+      graft.multimodal.Binary
+        .audioWindows(s, s.read.parquet(graft.multimodal.Binary.AudioFixturePath))
+        .toDF()
+        .orderBy("doc_id", "win_idx")
     })
   )
 
@@ -376,6 +401,23 @@ object Extras {
          |       exp_format AS format,
          |       CASE WHEN exp_format = 'jpeg' THEN NULL ELSE exp_pixsum END AS pix_sum
          |FROM read_parquet('${graft.multimodal.Binary.MediaFixturePath}/*.parquet')
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "multimodal_audio" ->
+      s"""SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS byte_len,
+         |       exp_rate AS sample_rate, exp_channels AS channels,
+         |       exp_bits AS bits, exp_n_frames AS n_frames,
+         |       exp_duration_us AS duration_us, exp_pcm_sum AS pcm_sum
+         |FROM read_parquet('${graft.multimodal.Binary.AudioFixturePath}/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    "multimodal_audio_windows" -> {
+      val wf = graft.multimodal.Binary.AudioWindowFrames
+      s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS win_idx,
+         |       CAST(least($wf, exp_n_frames - (i - 1) * $wf) * exp_channels AS BIGINT)
+         |         AS n_samples,
+         |       exp_win_energy[CAST(i AS INT)] AS energy
+         |FROM read_parquet('${graft.multimodal.Binary.AudioFixturePath}/*.parquet'),
+         |     LATERAL (SELECT unnest(range(1, len(exp_win_energy) + 1)) AS i)
+         |ORDER BY doc_id, win_idx""".stripMargin
+    }
   )
 }

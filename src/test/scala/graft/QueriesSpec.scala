@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 175 declared queries (53 SURVEY §2 + 122 extras), 166 with oracles") {
-    assert(SparkEntry.queries.size === 175)
-    assert(SparkEntry.oracleSql.size === 166)
+  test("inventory: 177 declared queries (53 SURVEY §2 + 124 extras), 168 with oracles") {
+    assert(SparkEntry.queries.size === 177)
+    assert(SparkEntry.oracleSql.size === 168)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
@@ -56,22 +56,37 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("multimodal resize and frame-sample stubs run the real plumbing") {
-    import spark.implicits._
-    implicit val s = spark
-    val docs = spark.read.parquet(s"$d/documents.parquet")
-    val decoded = graft.multimodal.Binary.decodeStub(
-      graft.multimodal.Binary.attachPayload(docs).as[graft.multimodal.Binary.MediaRow])
-    val resized = graft.multimodal.Binary.resizeStub(decoded, maxSide = 64L).collect()
-    assert(resized.nonEmpty)
-    assert(resized.forall(r => r.width <= 64 && r.height <= 64 && r.scale <= 1.0))
+  test("multimodal_audio really decodes the committed WAVs (round-trip exp columns)") {
+    val fixture = spark.read.parquet(graft.multimodal.Binary.AudioFixturePath)
+    val exp = fixture.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val got = q("multimodal_audio").collect()
+    assert(got.length === exp.size)
+    got.foreach { r =>
+      val e = exp(r.getLong(0))
+      assert(r.getLong(2) === e.getAs[Long]("exp_rate"))
+      assert(r.getLong(3) === e.getAs[Long]("exp_channels"))
+      assert(r.getLong(4) === e.getAs[Long]("exp_bits"))
+      assert(r.getLong(5) === e.getAs[Long]("exp_n_frames"))
+      assert(r.getLong(7) === e.getAs[Long]("exp_pcm_sum"))
+    }
+    // the matrix covers every rate/channel/depth combination
+    assert(got.map(_.getLong(2)).toSet === Set(8000L, 16000L, 22050L, 44100L))
+    assert(got.map(_.getLong(3)).toSet === Set(1L, 2L))
+    assert(got.map(_.getLong(4)).toSet === Set(8L, 16L))
+  }
 
-    val frames = graft.multimodal.Binary.frameSampleStub(
-      graft.multimodal.Binary.attachPayload(docs).as[graft.multimodal.Binary.MediaRow],
-      frameBytes = 2, stride = 2).collect()
-    assert(frames.nonEmpty)
-    assert(frames.forall(_.frame_idx % 2 == 0)) // stride respected
-    assert(frames.forall(_.frame_hash.length == 8))
+  test("multimodal_audio_windows fans each file out to its PCM windows") {
+    val wins = q("multimodal_audio_windows").collect()
+    val meta = q("multimodal_audio").collect()
+      .map(r => r.getLong(0) -> (r.getLong(5), r.getLong(3))).toMap
+    // every file appears, with ceil(n_frames/1000) windows of <=1000*ch samples
+    val byDoc = wins.groupBy(_.getLong(0))
+    assert(byDoc.keySet === meta.keySet)
+    byDoc.foreach { case (id, ws) =>
+      val (frames, ch) = meta(id)
+      assert(ws.length === ((frames + 999) / 1000).toInt)
+      assert(ws.map(_.getLong(2)).sum === frames * ch) // all samples windowed
+    }
   }
 
   test("text_langid scores and predicts deterministically") {
