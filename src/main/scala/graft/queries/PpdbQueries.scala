@@ -51,6 +51,30 @@ object PpdbQueries {
         .orderBy("phrase", "paraphrase")
     }),
 
+    // Entailment-aware paraphrase closure (round 9, the reference's domain
+    // deepened): 2-hop closure RESTRICTED to the transitive entailment
+    // relations (Equivalence, ForwardEntailment — Exclusion/OtherRelated
+    // edges must not propagate), path score = weakest link (min of edge
+    // scores), per-pair best = max over all 1- and 2-hop paths, self-pairs
+    // dropped. min/max of doubles are order-exact cross-engine (no
+    // summation). Scale shape: one equi-shuffle on the chain midpoint —
+    // at release scale the parsed frame would be bucketed by phrase so the
+    // self-join co-locates.
+    "ppdb_closure" -> ((s, _) => {
+      val e = Ppdb.parse(s)
+        .filter(col("entailment").isin("Equivalence", "ForwardEntailment"))
+        .select(col("phrase"), col("paraphrase"), col("ppdb2score").as("score"))
+      val a = e.select(col("phrase"), col("paraphrase").as("mid"), col("score").as("s1"))
+      val b = e.select(col("phrase").as("mid"), col("paraphrase"), col("score").as("s2"))
+      val two = a.join(b, "mid")
+        .select(col("phrase"), col("paraphrase"), least(col("s1"), col("s2")).as("score"))
+      e.unionByName(two)
+        .filter(col("phrase") =!= col("paraphrase"))
+        .groupBy(col("phrase"), col("paraphrase"))
+        .agg(round(max(col("score")), 4).as("best_score"), count(lit(1)).as("n_paths"))
+        .orderBy("phrase", "paraphrase")
+    }),
+
     // Map-function surface over the parsed feature map: map_keys + sorted
     // join (representation-stable), map_values through a cast-and-fold
     // lambda — the MapType face of the §2.8 scalar-function inventory.
@@ -148,6 +172,19 @@ object PpdbQueries {
          |SELECT entailment, CAST(count(*) AS BIGINT) AS n,
          |       round(avg(ppdb2score), 4) AS avg_score
          |FROM ppdb GROUP BY entailment ORDER BY entailment""".stripMargin,
+    "ppdb_closure" ->
+      s"""$cte,
+         |e AS (SELECT phrase, paraphrase, ppdb2score AS score FROM ppdb
+         |      WHERE entailment IN ('Equivalence', 'ForwardEntailment')),
+         |p AS (SELECT phrase, paraphrase, score FROM e
+         |      UNION ALL
+         |      SELECT a.phrase AS phrase, b.paraphrase AS paraphrase,
+         |             least(a.score, b.score) AS score
+         |      FROM e a JOIN e b ON a.paraphrase = b.phrase)
+         |SELECT phrase, paraphrase, round(max(score), 4) AS best_score,
+         |       CAST(count(*) AS BIGINT) AS n_paths
+         |FROM p WHERE phrase <> paraphrase
+         |GROUP BY phrase, paraphrase ORDER BY phrase, paraphrase""".stripMargin,
     "ppdb_topk_per_phrase" ->
       s"""$cte
          |SELECT phrase, CAST(row_number() OVER w AS BIGINT) AS rn, paraphrase, ppdb2score

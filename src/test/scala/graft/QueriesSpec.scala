@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 177 declared queries (53 SURVEY §2 + 124 extras), 168 with oracles") {
-    assert(SparkEntry.queries.size === 177)
-    assert(SparkEntry.oracleSql.size === 168)
+  test("inventory: 178 declared queries (53 SURVEY §2 + 125 extras), 169 with oracles") {
+    assert(SparkEntry.queries.size === 178)
+    assert(SparkEntry.oracleSql.size === 169)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",

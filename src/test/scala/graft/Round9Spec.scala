@@ -77,6 +77,20 @@ class Round9Spec extends SparkSpec {
     assert(got === Seq(("A", 3.0)))
   }
 
+  test("ppdb_closure propagates only transitive entailments with weakest-link scores") {
+    val rows = SparkEntry.queries("ppdb_closure")(spark, "unused").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // 2-hop: happy -(5.31)-> glad -(4.77)-> pleased => min = 4.77, one path
+    assert(rows(("happy", "pleased")) === ((4.77, 1L)))
+    // direct edges survive as 1-hop paths
+    assert(rows(("happy", "glad"))._1 === 5.31)
+    // non-transitive relations must NOT seed paths: 'sad' has an Exclusion
+    // edge to 'happy' in the fixture — no closure pair may start sad->happy
+    assert(!rows.keySet.exists { case (a, b) => a == "sad" && b == "happy" })
+    // no self-pairs
+    assert(rows.keySet.forall { case (a, b) => a != b })
+  }
+
   test("a pair never appears twice even when it collides in several tables") {
     import spark.implicits._
     // two near-identical vectors collide in (almost surely) all tables;
