@@ -30,4 +30,34 @@ class SqlSurfaceSpec extends SparkSpec {
   test("skyline_pareto: SQL twin equals DataFrame result") {
     same(SqlSurface.skylineParetoSql(spark, d), "skyline_pareto")
   }
+
+  // ---- SURVEY §3.2's dual-surface promise, proven at breadth (round 9):
+  // the DuckDB oracle strings for the relational core are deliberately
+  // dialect-portable ANSI, so the SAME SQL text that gates correctness in
+  // DuckDB also runs through spark.sql over temp views — one string, three
+  // executions (DataFrame API, Spark SQL, DuckDB), one result. ----
+
+  /** Declared keys whose ORACLE SQL is valid Spark SQL verbatim. */
+  private val portable = Seq(
+    "scan_parquet", "filter_project",
+    "join_inner", "join_broadcast", "join_left_outer", "join_full_outer",
+    "join_left_semi", "join_left_anti", "join_cross", "join_interval",
+    "join_star",
+    "agg_groupby", "agg_global", "agg_distinct", "agg_rollup", "agg_cube",
+    "agg_grouping_sets",
+    "sort_multi_key", "topk_global",
+    "set_union", "set_intersect", "set_except",
+    "set_union_all", "set_intersect_all", "set_except_all")
+
+  test("25 declared queries run row-identical through their oracle SQL on spark.sql") {
+    Seq("lineitem", "orders", "customer", "supplier", "nation", "region",
+      "part", "documents", "embeddings")
+      .foreach(n => graft.Tables.t(spark, d, n).createOrReplaceTempView(n))
+    portable.foreach { k =>
+      val sqlDf = spark.sql(SparkEntry.oracleSql(k))
+      val df = SparkEntry.queries(k)(spark, d)
+      assert(sqlDf.columns.toSeq === df.columns.toSeq, s"$k column mismatch")
+      assert(sqlDf.collect().toSeq === df.collect().toSeq, s"$k row mismatch")
+    }
+  }
 }
