@@ -190,4 +190,80 @@ object Binary {
       }
     }
   }
+
+  // ---- multi-frame containers (REAL javax.imageio animated-GIF decode —
+  // the JDK's one genuinely multi-frame media reader, so the video-style
+  // "decode container → sample every Nth frame → per-frame features" path
+  // runs on real frames rather than a stand-in; a proprietary-codec
+  // deployment swaps decodeFrames' body for a JNI call, every Spark-side
+  // shape stays identical) ----
+
+  /** Committed fixture of real multi-frame animated GIFs (see
+    * tools.GenVideoFixture), exp_* columns round-trip-precomputed through
+    * [[decodeFrames]]. GIF's LZW is lossless, so like png/bmp every column
+    * is portable across JDKs — no jpeg-style masking.
+    */
+  val VideoFixturePath = "/root/repo/fixtures/media_frames.parquet"
+
+  /** Keyframe stride for [[sampleFrames]]: decode frames 0, N, 2N, … —
+    * the "sample every Nth frame" a video training stage runs so feature
+    * cost stays ~1/N of full decode.
+    */
+  val FrameStride = 3
+
+  case class FrameRow(
+      doc_id: Long, frame_idx: Long, n_frames: Long, width: Long,
+      height: Long, pix_sum: Long)
+
+  /** REAL multi-frame decode: frame count from the container directory,
+    * then every `stride`-th frame decoded to true dims + a checksum over
+    * every RGB sample of that frame (proof each sampled frame's pixels, not
+    * just the header, were decoded). `getNumImages(true)` forces a full
+    * directory scan; the per-frame reads then seek directly.
+    */
+  def decodeFrames(bytes: Array[Byte], stride: Int): (Int, Seq[(Int, Int, Int, Long)]) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader recognizes this payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val sampled = (0 until n by stride).map { i =>
+          val img = reader.read(i)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          (i, img.getWidth, img.getHeight, sum)
+        }
+        (n, sampled)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Distributed strided frame sampling: one container row fans out to one
+    * row per sampled frame inside its partition ([[audioWindows]]' flatMap
+    * shape), narrow typed output — a 100 TB video scan ships only
+    * (id, idx, dims, fingerprint) rows downstream, never pixels.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[ImageRow].mapPartitions { it =>
+      it.flatMap { r =>
+        val (n, frames) = decodeFrames(r.payload, FrameStride)
+        frames.iterator.map { case (i, w, h, pix) =>
+          FrameRow(r.doc_id, i.toLong, n.toLong, w.toLong, h.toLong, pix)
+        }
+      }
+    }
+  }
 }

@@ -245,6 +245,22 @@ object Extras {
         .audioWindows(s, s.read.parquet(graft.multimodal.Binary.AudioFixturePath))
         .toDF()
         .orderBy("doc_id", "win_idx")
+    }),
+
+    // Strided frame sampling over REAL multi-frame containers: committed
+    // animated GIFs (fixtures/media_frames.parquet, see tools.GenVideoFixture
+    // — the one multi-frame format the JDK can decode) → frame count from
+    // the container directory, every FrameStride-th frame decoded to true
+    // dims + a full-pixel checksum. The video "decode → keyframe-sample →
+    // per-frame features" path on real frames; a proprietary-codec
+    // deployment swaps only decodeFrames' body, never the Spark plan. GIF's
+    // LZW is lossless, so the round-trip exp_* oracle needs no jpeg-style
+    // masking.
+    "multimodal_frames" -> ((s, _) => {
+      graft.multimodal.Binary
+        .sampleFrames(s, s.read.parquet(graft.multimodal.Binary.VideoFixturePath))
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -418,6 +434,13 @@ object Extras {
          |FROM read_parquet('${graft.multimodal.Binary.AudioFixturePath}/*.parquet'),
          |     LATERAL (SELECT unnest(range(1, len(exp_win_energy) + 1)) AS i)
          |ORDER BY doc_id, win_idx""".stripMargin
-    }
+    },
+    "multimodal_frames" ->
+      s"""SELECT doc_id, exp_frame_idx[CAST(i AS INT)] AS frame_idx,
+         |       exp_n_frames AS n_frames, exp_width AS width,
+         |       exp_height AS height, exp_pix_sum[CAST(i AS INT)] AS pix_sum
+         |FROM read_parquet('${graft.multimodal.Binary.VideoFixturePath}/*.parquet'),
+         |     LATERAL (SELECT unnest(range(1, len(exp_frame_idx) + 1)) AS i)
+         |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 178 declared queries (53 SURVEY §2 + 125 extras), 169 with oracles") {
-    assert(SparkEntry.queries.size === 178)
-    assert(SparkEntry.oracleSql.size === 169)
+  test("inventory: 179 declared queries (53 SURVEY §2 + 126 extras), 170 with oracles") {
+    assert(SparkEntry.queries.size === 179)
+    assert(SparkEntry.oracleSql.size === 170)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
@@ -87,6 +87,28 @@ class QueriesSpec extends SparkSpec {
       assert(ws.length === ((frames + 999) / 1000).toInt)
       assert(ws.map(_.getLong(2)).sum === frames * ch) // all samples windowed
     }
+  }
+
+  test("multimodal_frames really decodes the committed animated gifs at the stride") {
+    val rows = q("multimodal_frames").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet === (0L until 24L).toSet)
+    byDoc.foreach { case (id, fs) =>
+      val expFrames = 2 + id * 5 % 19 // GenVideoFixture's formula
+      // only a real container-directory scan recovers the frame count, and
+      // only a real per-frame decode recovers the generator's dims
+      assert(fs.head.getLong(2) === expFrames, s"n_frames of doc $id")
+      val stride = graft.multimodal.Binary.FrameStride
+      assert(fs.map(_.getLong(1)).sorted.toSeq ===
+        (0L until expFrames by stride.toLong).toSeq, s"sampled indices of doc $id")
+      fs.foreach { r =>
+        assert(r.getLong(3) === 8 + id * 7 % 25, s"width of doc $id")
+        assert(r.getLong(4) === 8 + id * 11 % 25, s"height of doc $id")
+        assert(r.getLong(5) > 0L, s"pixels of doc $id frame ${r.getLong(1)} not summed")
+      }
+    }
+    // distinct frames of one doc have distinct content → distinct checksums
+    assert(byDoc(23L).map(_.getLong(5)).distinct.length === byDoc(23L).length)
   }
 
   test("text_langid scores and predicts deterministically") {
