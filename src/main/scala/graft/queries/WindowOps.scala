@@ -201,7 +201,15 @@ object WindowOps {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       events(s, d)
         .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
-        .withColumn("dur", (lead(col("ts_us"), 1).over(w) - col("ts_us")).cast("double"))
+        // FIXED-POINT (round 9, the pagerank/quantize playbook): value is
+        // 2dp in the source, so per-row integer cents (the rd floor formula
+        // — bit-identical cross-engine) make every aggregate an EXACT
+        // integer sum: no summation-order delta, no rounding-boundary
+        // flips. The true-sf1 sweep caught builtin round() splitting a
+        // .905-boundary avg (Spark rounds the decimal repr HALF_UP, DuckDB
+        // the binary double) — invisible at sf0.1's row counts.
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .withColumn("dur", lead(col("ts_us"), 1).over(w) - col("ts_us"))
         .filter(col("dur").isNotNull)
         .groupBy(col("user_id"))
         .agg(
@@ -209,14 +217,16 @@ object WindowOps {
           // a user whose spans are all zero-length (every event at one
           // timestamp) has sum(dur) = 0 — ANSI mode makes that division a
           // hard error, not NULL, so guard explicitly (same family as the
-          // n_wedges/sd/mx guards elsewhere this round)
-          // 2dp, not 4: at sf0.1 a user's avg landed within the engines'
-          // summation-order delta of a 4dp boundary (44.94875) and the
-          // hash compare flipped — wider rounding is the aggregate
-          // tolerance, and ~45-valued averages keep full meaning at 2dp
+          // n_wedges/sd/mx guards elsewhere this round). decimal(38,0)
+          // keeps the cents·µs products exact at any span count (DuckDB
+          // mirrors with its 128-bit integer sum); the final divisions run
+          // on identical operands, so rd() is bit-identical, not a
+          // tolerance
           when(sum(col("dur")) > 0,
-            round(sum(col("value") * col("dur")) / sum(col("dur")), 2)).as("twap"),
-          round(avg(col("value")), 2).as("plain_avg"))
+            rd(sum((col("cents") * col("dur")).cast("decimal(38,0)")).cast("double")
+              / sum(col("dur")).cast("double") / 100.0, 2)).as("twap"),
+          rd(sum(col("cents")).cast("double")
+            / (count(col("cents")) * 100).cast("double"), 2).as("plain_avg"))
         .orderBy("user_id")
     }),
 
@@ -401,15 +411,16 @@ object WindowOps {
         |FROM w WHERE nprev >= 5 AND sd > 0
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "time_weighted_avg" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
-        |w AS (SELECT user_id, value,
-        |             CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |                  - ts_us AS DOUBLE) AS dur
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT user_id, cents,
+        |             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |                  - ts_us AS dur
         |      FROM e)
         |SELECT user_id, CAST(count(dur) AS BIGINT) AS n_spans,
         |       CASE WHEN sum(dur) > 0
-        |            THEN round(sum(value * dur) / sum(dur), 2) END AS twap,
-        |       round(avg(value), 2) AS plain_avg
+        |            THEN ${rdSql("CAST(sum(cents * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) / 100.0", 2)} END AS twap,
+        |       ${rdSql("CAST(sum(cents) AS DOUBLE) / CAST(count(cents) * 100 AS DOUBLE)", 2)} AS plain_avg
         |FROM w WHERE dur IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_cume_dist" ->
