@@ -4,11 +4,17 @@
 Reads each query's parquet dump (written by graft.Verify), runs the matching
 DuckDB oracle SQL from oracle_sql.json against the same sf dir, sorts columns
 by name, and compares values exactly. Usage:
-  python3 tools/compare.py <sfDir> <verifyOutDir>
+  python3 tools/compare.py <sfDir> <verifyOutDir> [--budget SECONDS]
+
+--budget caps each ORACLE's wall-clock (via duckdb interrupt) for large-scale
+sweeps where a deliberately-quadratic oracle formulation (e.g. the skyline
+NOT EXISTS) would run for hours; a timed-out oracle is reported as SKIP, not
+FAIL -- the engine result was still produced, only the oracle was too slow.
 """
 import json
 import math
 import sys
+import threading
 
 import duckdb
 import pandas as pd
@@ -61,19 +67,37 @@ def cell_eq(a, b) -> bool:
 
 def main() -> None:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    budget = None
+    if "--budget" in sys.argv:
+        budget = float(sys.argv[sys.argv.index("--budget") + 1])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        timer = None
+        timed_out = []
+        if budget:
+            timer = threading.Timer(
+                budget, lambda: (timed_out.append(True), con.interrupt()))
+            timer.start()
         try:
             spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
             duck_df = canon(con.execute(sql).fetchdf())
         except Exception as e:
-            print(f"FAIL {name}: load/exec error: {str(e)[:300]}")
-            n_fail += 1
+            if timer:
+                timer.cancel()
+            if timed_out:
+                print(f"SKIP {name}: oracle exceeded {budget:.0f}s budget")
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: load/exec error: {str(e)[:300]}")
+                n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
             n_fail += 1
@@ -111,7 +135,8 @@ def main() -> None:
         else:
             print(f"PASS {name} ({len(spark_df)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    skip = f", {n_skip} skip (oracle budget)" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{skip}")
     sys.exit(1 if n_fail else 0)
 
 
