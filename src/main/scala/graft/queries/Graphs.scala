@@ -134,9 +134,17 @@ object Graphs {
         .orderBy("part_id")
     }))
 
+  // MATERIALIZED: DuckDB inlines plain CTEs per reference — the triangle
+  // census reads `e` three times and the 5-iteration pagerank pyramid
+  // re-derives sym/deg (and thus the op⋈op co-purchase join) at EVERY
+  // level, which at a true sf1 recomputed the 24M-row join ~20× and
+  // spilled >50 GB before finishing (round-9 sweep). Forcing one
+  // evaluation keeps the oracle runnable at any sweep scale. DuckDB-only
+  // syntax is fine here: the graph oracles are not in the ANSI-portable
+  // set SqlSurfaceSpec replays through spark.sql.
   private def edgeCte: String =
-    s"""op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       |e AS (SELECT a.pk AS a_id, b.pk AS b_id
+    s"""op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.pk AS a_id, b.pk AS b_id
        |      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
        |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport)""".stripMargin
 
@@ -161,7 +169,7 @@ object Graphs {
       // matches Spark's truncating `div` exactly, and long sums are exact —
       // no float appears anywhere, so the outputs are bit-identical
       val iters = (0 until 5).map { i =>
-        s"""it${i + 1} AS (
+        s"""it${i + 1} AS MATERIALIZED (
            |  SELECT g.node, g.dg,
            |         (150000000000 // (SELECT n FROM nn)) + (85 * coalesce(c.cs, 0)) // 100 AS prf
            |  FROM deg g LEFT JOIN (
@@ -169,11 +177,11 @@ object Graphs {
            |    FROM sym s JOIN it$i p ON p.node = s.src GROUP BY 1) c ON c.node = g.node)""".stripMargin
       }.mkString(",\n")
       s"""WITH $edgeCte,
-         |sym AS (SELECT a_id AS src, b_id AS dst FROM e
+         |sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM e
          |        UNION ALL SELECT b_id, a_id FROM e),
-         |deg AS (SELECT src AS node, count(*) AS dg FROM sym GROUP BY 1),
-         |nn AS (SELECT greatest(count(*), 1) AS n FROM deg),
-         |it0 AS (SELECT node, dg, 1000000000000 // (SELECT n FROM nn) AS prf FROM deg),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS dg FROM sym GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT greatest(count(*), 1) AS n FROM deg),
+         |it0 AS MATERIALIZED (SELECT node, dg, 1000000000000 // (SELECT n FROM nn) AS prf FROM deg),
          |$iters
          |SELECT node AS part_id,
          |       CAST((prf * (SELECT n FROM nn)) // 1000000 AS BIGINT) AS pr_scaled_e6
