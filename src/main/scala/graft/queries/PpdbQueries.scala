@@ -71,7 +71,13 @@ object PpdbQueries {
       e.unionByName(two)
         .filter(col("phrase") =!= col("paraphrase"))
         .groupBy(col("phrase"), col("paraphrase"))
-        .agg(round(max(col("score")), 4).as("best_score"), count(lit(1)).as("n_paths"))
+        // min/max of doubles are order-exact, so the operands are
+        // bit-identical cross-engine and rd's floor formula stays
+        // bit-identical too — builtin round here would re-open the
+        // Spark-decimal-repr vs DuckDB-binary divergence on 5-decimal ties
+        // (the exact bug the sf1 sweep caught in time_weighted_avg)
+        .agg(graft.Tables.rd(max(col("score")), 4).as("best_score"),
+          count(lit(1)).as("n_paths"))
         .orderBy("phrase", "paraphrase")
     }),
 
@@ -181,7 +187,7 @@ object PpdbQueries {
          |      SELECT a.phrase AS phrase, b.paraphrase AS paraphrase,
          |             least(a.score, b.score) AS score
          |      FROM e a JOIN e b ON a.paraphrase = b.phrase)
-         |SELECT phrase, paraphrase, round(max(score), 4) AS best_score,
+         |SELECT phrase, paraphrase, ${graft.Tables.rdSql("max(score)", 4)} AS best_score,
          |       CAST(count(*) AS BIGINT) AS n_paths
          |FROM p WHERE phrase <> paraphrase
          |GROUP BY phrase, paraphrase ORDER BY phrase, paraphrase""".stripMargin,

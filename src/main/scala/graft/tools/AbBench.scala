@@ -102,6 +102,23 @@ object AbBench {
       graft.queries.Analytics.weightedMedian(s, d, force = Some(false))),
     "agg_weighted_median_blocked" -> ((s, d) =>
       graft.queries.Analytics.weightedMedian(s, d, force = Some(true))),
+    // dedup_embedding_ann WITH a localCheckpoint on the bucketed index (the
+    // round-9 review suggestion): measured SLOWER at both scales — 1.37× at
+    // sf0.1, 1.50× at the proxy — because materializing the
+    // nTables-replicated fat-vec index costs more than re-running the
+    // codegen'd plane kernel for each of the three consumers
+    "dedup_embedding_ann_ckpt" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.rd
+      val emb = graft.Tables.t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.operators.AnnDedup
+        .pairs(emb, threshold = 0.45, dim = 64,
+          nTables = graft.queries.Extras.AnnDedupTables,
+          maxBucketSize = graft.queries.Extras.AnnDedupCap, reuseIndex = true)
+        .select(col("a_id"), col("b_id"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
     // dedup_embedding_ann the pre-round-9 way: broadcast all-pairs kernel
     // over the WHOLE table (maxBuildRows lifted for the A/B), then keep the
     // pairs that collide in ≥1 LSH table — same output as the bucketed

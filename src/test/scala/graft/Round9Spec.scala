@@ -49,8 +49,12 @@ class Round9Spec extends SparkSpec {
   }
 
   test("agg_weighted_median_approx tracks the exact twin within 5% where it samples") {
-    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
-        if new java.io.File(sf).isDirectory) {
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(new java.io.File(_).isDirectory)
+    // cancel loudly (yellow, not green) on a machine without the driver's
+    // testdata — a silently-vacuous pass would let a broken sketch ship
+    assume(dirs.nonEmpty, "no /root/testdata scale dirs present")
+    for (sf <- dirs) {
       val exact = SparkEntry.queries("agg_weighted_median")(spark, sf).collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
       val approx = SparkEntry.queries("agg_weighted_median_approx")(spark, sf).collect()

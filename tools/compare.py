@@ -76,6 +76,17 @@ def main() -> None:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        # load the Spark dump OUTSIDE the budget window: the budget guards
+        # the ORACLE only, and a timer armed during read_parquet would (a)
+        # burn the budget before the oracle starts, (b) misreport a genuine
+        # missing/corrupt-dump failure as SKIP, or (c) fire an interrupt
+        # with no query running.
+        try:
+            spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: load error: {str(e)[:300]}")
+            n_fail += 1
+            continue
         timer = None
         timed_out = []
         if budget:
@@ -83,21 +94,26 @@ def main() -> None:
                 budget, lambda: (timed_out.append(True), con.interrupt()))
             timer.start()
         try:
-            spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
             duck_df = canon(con.execute(sql).fetchdf())
         except Exception as e:
-            if timer:
-                timer.cancel()
             if timed_out:
                 print(f"SKIP {name}: oracle exceeded {budget:.0f}s budget")
                 n_skip += 1
             else:
-                print(f"FAIL {name}: load/exec error: {str(e)[:300]}")
+                print(f"FAIL {name}: oracle exec error: {str(e)[:300]}")
                 n_fail += 1
             continue
         finally:
             if timer:
                 timer.cancel()
+                # absorb a stray interrupt from a timer that fired in the
+                # window after execute() returned but before cancel() — it
+                # would otherwise abort the NEXT oracle
+                if timed_out:
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except Exception:
+                        pass
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
             n_fail += 1
