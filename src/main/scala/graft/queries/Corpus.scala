@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{rd, rdSql, t}
+
+/** Round-9 corpus-pipeline widening (SURVEY.md §2.19): the cleaning /
+  * curation passes a web-scale training corpus runs that §2.16b/§2.17 did
+  * not yet cover — corpus-level boilerplate segment removal (the C4/CCNet
+  * "discard any line seen ≥ 2 times" rule, adapted to fixed word segments
+  * since the synthetic docs are single-line), duplicated-substring span
+  * statistics (the exact-substring-dedup formulation of Lee et al. 2022,
+  * grounded on hashed word 8-grams instead of suffix arrays), per-domain
+  * quota sampling, source-mixture weight derivation, and a bounded-memory
+  * exponentially-weighted moving average over the event stream.
+  *
+  * Scale notes (100 TB):
+  * - `text_seg_dedup` / `dedup_substring_spans` shuffle on the SEGMENT /
+  *   GRAM string — the same key discipline as `dedup_exact`: corpus-level
+  *   frequency is one hash aggregate, membership flows back by equi-join,
+  *   and the per-doc reassembly aggregate is bounded by document length
+  *   (sort_array over ≤ len/5 surviving segments). No window touches row
+  *   cardinality. At 100 TB the gram strings would be hashed to 64-bit
+  *   fingerprints before the shuffle (xxhash64 drop-in) — the join shape
+  *   is unchanged, so the string form is the honest small-scale twin.
+  * - `sample_domain_quota` is the two-phase per-group top-k: a local
+  *   row_number per (source, input-partition) prefilters to ≤ Q rows per
+  *   partition BEFORE the per-source window, so no single task ever sorts
+  *   a whole mega-domain (the one-window form would serialize each
+  *   source's full row set — the exact cliff `topk_per_group` documents).
+  * - `data_mixture_weights` aggregates to one row per language and
+  *   broadcasts the one-row total back — no second pass over the corpus.
+  * - `window_ewma` keeps EWMA exact and distributed: α = 1/2 makes every
+  *   weight an exact dyadic, per-row integer cents (floor formula) make
+  *   every term an exact multiple of 2⁻²¹, so the frame sum is EXACT and
+  *   summation-order-free — the oracle can sum the same terms in any
+  *   order and match bit-for-bit, no tolerance. The 20-row trailing frame
+  *   is the bounded-memory streaming formulation (state = last 20 cents),
+  *   and the window partitions by user, never globally.
+  */
+object Corpus {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Words per boilerplate segment (text_seg_dedup). */
+  private val SegWords = 5
+
+  /** Boilerplate threshold: a segment string present in ≥ this many
+    * DISTINCT docs is removed everywhere (the C4 rule's "three or more"
+    * tightened to 2 so the synthetic corpus exercises the path). */
+  private val SegMinDocs = 2
+
+  /** Words per duplicated-substring gram (dedup_substring_spans). */
+  private val GramWords = 8
+
+  /** Per-source quota (sample_domain_quota). */
+  private val Quota = 10
+
+  /** EWMA trailing-frame length (window_ewma). */
+  private val EwmaFrame = 20
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  val queries: Map[String, Q] = Map(
+    // Corpus-level boilerplate removal: non-overlapping SegWords-word
+    // segments; a segment STRING seen in ≥ SegMinDocs distinct docs is
+    // boilerplate and removed from every doc. Output: per-doc segment
+    // counts + the cleaned text (surviving segments in order).
+    "text_seg_dedup" -> ((s, d) => {
+      val segs = toks(s, d).select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, (size(w) + ${SegWords - 1}) div $SegWords)," +
+            s" i -> array_join(slice(w, (i - 1) * $SegWords + 1, $SegWords), ' '))"))
+          .as(Seq("seg_no", "seg")))
+      val boiler = segs
+        .groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("dc"))
+        .filter(col("dc") >= SegMinDocs)
+        .select(col("seg"), lit(1).as("is_b"))
+      segs.join(boiler, Seq("seg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          count(col("is_b")).as("n_boiler"),
+          // collect_list drops nulls, so only surviving segments are
+          // gathered; sort_array on (seg_no, seg) restores document order
+          // deterministically regardless of shuffle arrival
+          array_join(expr(
+            "transform(sort_array(collect_list(CASE WHEN is_b IS NULL THEN" +
+              " struct(seg_no, seg) END)), p -> p.seg)"), " ").as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Duplicated-substring spans: overlapping GramWords-word grams; a gram
+    // present in ≥ 2 distinct docs marks a duplicated span position.
+    // Per-doc span statistics (the Lee et al. 2022 dedup signal).
+    "dedup_substring_spans" -> ((s, d) => {
+      val grams = toks(s, d).select(
+        col("doc_id"),
+        explode(expr(
+          s"CASE WHEN size(w) >= $GramWords THEN transform(sequence(1, size(w) - ${GramWords - 1})," +
+            s" i -> array_join(slice(w, i, $GramWords), ' ')) ELSE CAST(array() AS array<string>) END"))
+          .as("gram"))
+      val dup = grams
+        .groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("dc"))
+        .filter(col("dc") >= 2)
+        .select(col("gram"), lit(1).as("is_d"))
+      val stats = grams.join(dup, Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("g"), count(col("is_d")).as("dup"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("g"), lit(0L)).as("n_grams"),
+          coalesce(col("dup"), lit(0L)).as("n_dup"),
+          when(coalesce(col("g"), lit(0L)) > 0,
+            rd(col("dup").cast("double") / col("g"), 6)).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain quota cap: keep ≤ Quota docs per source, chosen by the
+    // md5 hash order (stable under reruns / repartitioning — the
+    // sample_split coin discipline). Two-phase so no task sorts a whole
+    // source: local top-Q per (source, input partition), then the global
+    // per-source window runs over ≤ Q·partitions rows per source.
+    "sample_domain_quota" -> ((s, d) => {
+      val h = t(s, d, "documents").select(
+        col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      val local = h
+        .withColumn("pid", spark_partition_id())
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"), col("pid")).orderBy(col("hk"), col("doc_id"))))
+        .filter(col("rk") <= Quota)
+        .drop("pid", "rk")
+      local
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))))
+        .filter(col("rk") <= Quota)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // Source-mixture weights: per-language token mass → the sampling
+    // weight that re-balances the mixture to uniform (weight =
+    // uniform_share / actual_share). One tiny aggregate + a broadcast
+    // one-row total; ratios divide identical exact integers on both
+    // engines, rounded by the shared floor formula.
+    "data_mixture_weights" -> ((s, d) => {
+      val lt = t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      val tot = lt.agg(sum(col("n_tokens")).as("tt"), count(lit(1)).as("nl"))
+      lt.crossJoin(broadcast(tot))
+        .select(
+          col("lang"), col("n_docs"), col("n_tokens"),
+          rd(col("n_tokens").cast("double") / col("tt"), 6).as("token_share"),
+          rd(col("tt").cast("double") / (col("nl") * col("n_tokens")), 6).as("mix_weight"))
+        .orderBy("lang")
+    }),
+
+    // Bounded-memory EWMA (α = 1/2) of event value per user over the last
+    // EwmaFrame events: integer cents × dyadic weights keep every term an
+    // exact multiple of 2^-(EwmaFrame+1), so the sum is exact and
+    // order-independent — the oracle's self-join computes the identical
+    // value with zero tolerance. Normalized by the closed-form geometric
+    // weight sum 1 − 2^−m.
+    "window_ewma" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = ord.rowsBetween(-(EwmaFrame - 1), 0)
+      graft.Tables.events(s, d)
+        .select(
+          col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).as("cents"))
+        .withColumn("seq", row_number().over(ord))
+        .withColumn("arr", collect_list(col("cents")).over(frame))
+        .select(
+          col("user_id"), col("seq"),
+          rd(expr(
+            "aggregate(transform(arr, (x, i) -> x * power(0.5, size(arr) - i)), 0D, (a, x) -> a + x)" +
+              " / (100.0 * (1 - power(0.5, size(arr))))"), 6).as("ewma"))
+        .orderBy("user_id", "seq")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "text_seg_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |segs AS (
+         |  SELECT doc_id, u.i AS seg_no,
+         |         array_to_string(w[(u.i - 1) * $SegWords + 1:u.i * $SegWords], ' ') AS seg
+         |  FROM toks, unnest(range(1, CAST(ceil(len(w) / ${SegWords}.0) AS BIGINT) + 1)) AS u(i)),
+         |boiler AS (SELECT seg FROM segs GROUP BY seg
+         |           HAVING count(DISTINCT doc_id) >= $SegMinDocs)
+         |SELECT s.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_segs,
+         |       CAST(count(*) FILTER (b.seg IS NOT NULL) AS BIGINT) AS n_boiler,
+         |       coalesce(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END, ' '
+         |                           ORDER BY s.seg_no), '') AS clean_text
+         |FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "dedup_substring_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |grams AS (
+         |  SELECT doc_id, array_to_string(w[u.i:u.i + ${GramWords - 1}], ' ') AS gram
+         |  FROM toks, unnest(range(1, greatest(len(w) - ${GramWords - 2}, 1))) AS u(i)),
+         |dup AS (SELECT gram FROM grams GROUP BY gram
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |st AS (SELECT g.doc_id, count(*) AS g, count(*) FILTER (u.gram IS NOT NULL) AS dup
+         |       FROM grams g LEFT JOIN dup u ON g.gram = u.gram GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(st.g, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(st.dup, 0) AS BIGINT) AS n_dup,
+         |       CASE WHEN coalesce(st.g, 0) > 0
+         |            THEN ${rdSql("CAST(st.dup AS DOUBLE) / st.g", 6)} END AS dup_ratio
+         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "sample_domain_quota" ->
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents) WHERE rk <= $Quota
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "data_mixture_weights" ->
+      s"""WITH lt AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT sum(n_tokens) AS tt, count(*) AS nl FROM lt)
+         |SELECT lang, n_docs, n_tokens,
+         |       ${rdSql("CAST(n_tokens AS DOUBLE) / tt", 6)} AS token_share,
+         |       ${rdSql("CAST(tt AS DOUBLE) / (nl * n_tokens)", 6)} AS mix_weight
+         |FROM lt, tot ORDER BY lang""".stripMargin,
+
+    "window_ewma" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, value,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |j AS (
+         |  SELECT a.user_id, a.rn, count(*) AS m,
+         |         sum(floor(b.value * 100 + 0.5) * power(0.5, a.rn - b.rn + 1)) AS num
+         |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+         |                     AND b.rn BETWEEN a.rn - ${EwmaFrame - 1} AND a.rn
+         |  GROUP BY 1, 2)
+         |SELECT user_id, rn AS seq,
+         |       ${rdSql("num / (100.0 * (1 - power(0.5, m)))", 6)} AS ewma
+         |FROM j ORDER BY user_id, seq""".stripMargin)
+}

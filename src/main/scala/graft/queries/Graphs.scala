@@ -132,6 +132,79 @@ object Graphs {
       pr.select(col("node").as("part_id"),
           expr(s"(prf * ${n}L) div 1000000L").as("pr_scaled_e6"))
         .orderBy("part_id")
+    }),
+
+    // Synchronous label propagation (3 rounds, round 9): label'(v) = the
+    // most frequent label among v's neighbors, ties broken by SMALLEST
+    // label — deterministic, so the oracle matches exactly. The per-round
+    // argmax is a pure hash aggregate (max over struct(cnt, -label)), no
+    // window: the PageRank shuffle skeleton with the contribution sum
+    // swapped for a mode. Integer-only, zero float noise.
+    "graph_community_lpa" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .localCheckpoint() // eager: the edge list feeds every round
+      // Round 1 collapsed algebraically: initial labels are the node ids,
+      // so every neighbor label is DISTINCT (each count 1) and the
+      // mode-with-min-tiebreak is just min(neighbor) — one aggregate
+      // replaces the first join + two-aggregate round. Measured ~neutral
+      // at the sf1 proxy (13.1 s vs 13.3 s — the shared co-purchase edge
+      // build dominates there, see BASELINE), but it is one fewer shuffle
+      // round at any scale. The oracle keeps the generic round; the
+      // results are identical by construction.
+      var lab = sym.groupBy(col("src").as("node")).agg(min(col("dst")).as("lab"))
+        .localCheckpoint(eager = false)
+      var i = 1
+      while (i < 3) {
+        lab = sym
+          .join(lab, col("node") === col("dst"))
+          .groupBy(col("src"), col("lab"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("src"))
+          // struct max = highest count, then smallest label (max of -lab);
+          // one shuffle per round, no per-node window
+          .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("m"))
+          .select(col("src").as("node"), (-col("m.neg")).as("lab"))
+          .localCheckpoint(eager = false) // fixed iterations: lazy, like PageRank
+        i += 1
+      }
+      lab.select(col("node"), col("lab").as("community")).orderBy("node")
+    }),
+
+    // Neighbor-set Jaccard similarity (link prediction / node near-dup):
+    // among pairs sharing a co-purchase neighbor (wedge pairs — already
+    // bounded by the support threshold via Σ C(deg, 2)), the TOP-100 by
+    // J = |N(a)∩N(b)| / |N(a)∪N(b)| (ties → smallest ids). Top-k instead
+    // of a fixed J threshold because the graph densifies with scale — at
+    // sf0.1 no pair clears J ≥ 0.1, so a threshold output is empty
+    // exactly where the check should bite (the data-contingent-oracle
+    // trap). The rank key is (rounded J, a_id, b_id): a total order over
+    // bit-identical cross-engine values, so the top-100 SET matches
+    // exactly. The wedge join is the triangle-census shape (fan-out
+    // Σ C(deg, 2), bounded by the support threshold; Schank–Wagner degree
+    // orientation drops in unchanged at extreme hub skew), and top-k
+    // compiles to TakeOrderedAndProject — per-partition heaps, no global
+    // sort.
+    "graph_neighbor_jaccard" -> ((s, d) => {
+      val e = copurchaseEdges(s, d).localCheckpoint() // feeds sym twice + deg
+      val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      val com = sym.select(col("src").as("mid"), col("dst").as("a_id"))
+        .join(sym.select(col("src").as("mid2"), col("dst").as("b_id")),
+          col("mid") === col("mid2") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("common"))
+      com
+        .join(deg.select(col("node").as("a_id"), col("dg").as("da")), Seq("a_id"))
+        .join(deg.select(col("node").as("b_id"), col("dg").as("db")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("common"),
+          graft.Tables.rd(
+            col("common").cast("double") / (col("da") + col("db") - col("common")), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+        .limit(100)
     }))
 
   // MATERIALIZED: DuckDB inlines plain CTEs per reference — the triangle
@@ -186,5 +259,42 @@ object Graphs {
          |SELECT node AS part_id,
          |       CAST((prf * (SELECT n FROM nn)) // 1000000 AS BIGINT) AS pr_scaled_e6
          |FROM it5 ORDER BY part_id""".stripMargin
-    })
+    },
+    "graph_community_lpa" -> {
+      // row_number (cnt DESC, lab ASC) mirrors Spark's max(struct(cnt, -lab))
+      val iters = (0 until 3).map { i =>
+        s"""nl${i + 1} AS MATERIALIZED (
+           |  SELECT s.src AS node, p.lab, count(*) AS cnt
+           |  FROM sym s JOIN it$i p ON s.dst = p.node GROUP BY 1, 2),
+           |it${i + 1} AS MATERIALIZED (
+           |  SELECT node, lab FROM (
+           |    SELECT node, lab,
+           |           row_number() OVER (PARTITION BY node
+           |                              ORDER BY cnt DESC, lab ASC) AS rk
+           |    FROM nl${i + 1}) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCte,
+         |sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM e
+         |        UNION ALL SELECT b_id, a_id FROM e),
+         |it0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sym),
+         |$iters
+         |SELECT node, lab AS community FROM it3 ORDER BY node""".stripMargin
+    },
+    "graph_neighbor_jaccard" ->
+      s"""WITH $edgeCte,
+         |sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM e
+         |        UNION ALL SELECT b_id, a_id FROM e),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS dg FROM sym GROUP BY 1),
+         |com AS (
+         |  SELECT l.dst AS a_id, r.dst AS b_id, count(*) AS common
+         |  FROM sym l JOIN sym r ON l.src = r.src AND l.dst < r.dst
+         |  GROUP BY 1, 2)
+         |SELECT c.a_id, c.b_id, CAST(c.common AS BIGINT) AS common,
+         |       ${graft.Tables.rdSql(
+                   "CAST(c.common AS DOUBLE) / (da.dg + db.dg - c.common)", 6)} AS jaccard
+         |FROM com c
+         |JOIN deg da ON c.a_id = da.node
+         |JOIN deg db ON c.b_id = db.node
+         |ORDER BY jaccard DESC, a_id, b_id
+         |LIMIT 100""".stripMargin)
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 corpus-pipeline widening (SURVEY.md §2.19): boilerplate segment
+  * removal, duplicated-substring spans, domain quota sampling, mixture
+  * weights, exact EWMA, LPA communities, neighbor Jaccard.
+  */
+class CorpusSpec extends SparkSpec {
+
+  test("window_ewma matches the hand-computed dyadic values on the tiny events") {
+    val d = TestTables.dir(spark)
+    val got = SparkEntry.queries("window_ewma")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // user 7 values 1,2,3,4 in ts order; α=1/2, cents, normalized by 1−2⁻ᵐ:
+    // 1.0; (100+25)/75; (150+50+12.5)/87.5; (200+75+25+6.25)/93.75
+    assert(got.toSeq === Seq(
+      (7L, 1, 1.0), (7L, 2, 1.666667), (7L, 3, 2.428571), (7L, 4, 3.266667),
+      (8L, 1, 5.0)))
+  }
+
+  test("text_seg_dedup reassembles docs losslessly when nothing is boilerplate") {
+    val d = TestTables.dir(spark)
+    // the 4 tiny docs share no 5-word segment → zero boilerplate and
+    // clean_text must round-trip EXACTLY, empty split tokens included
+    val out = SparkEntry.queries("text_seg_dedup")(spark, d)
+      .join(graft.Tables.t(spark, d, "documents"), "doc_id")
+    assert(out.count() === 4L)
+    assert(out.filter(col("n_boiler") =!= 0L).count() === 0L)
+    assert(out.filter(col("clean_text") =!= col("text")).count() === 0L)
+  }
+
+  test("dedup_substring_spans keeps gram-less docs with zero counts and NULL ratio") {
+    val d = TestTables.dir(spark)
+    val rows = SparkEntry.queries("dedup_substring_spans")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    // docs 0/2/3 have < 8 split tokens → no grams, NULL ratio (the
+    // left-join keeps them); doc 1's whitespace padding splits into 9
+    // tokens → 2 grams, none duplicated corpus-wide → ratio 0.0
+    assert(rows.toSeq === Seq(
+      (0L, 0L, 0L, null), (1L, 2L, 0L, 0.0), (2L, 0L, 0L, null), (3L, 0L, 0L, null)))
+  }
+
+  test("graph LPA and neighbor-jaccard are safe on an empty edge set") {
+    val d = TestTables.dir(spark)
+    // the tiny lineitem yields no support-≥2 co-purchase edge
+    assert(SparkEntry.queries("graph_community_lpa")(spark, d).count() === 0L)
+    assert(SparkEntry.queries("graph_neighbor_jaccard")(spark, d).count() === 0L)
+  }
+
+  test("sample_domain_quota keeps everything under quota and is rerun-stable") {
+    val d = TestTables.dir(spark)
+    val a = SparkEntry.queries("sample_domain_quota")(spark, d).collect().toSeq
+    val b = SparkEntry.queries("sample_domain_quota")(spark, d).collect().toSeq
+    assert(a.length === 4 && a === b) // 4 docs over 3 sources, all ≤ quota
+  }
+
+  test("data_mixture_weights is the identity on a single-language corpus") {
+    val d = TestTables.dir(spark)
+    val r = SparkEntry.queries("data_mixture_weights")(spark, d).collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "en")
+    assert(r(0).getDouble(3) === 1.0 && r(0).getDouble(4) === 1.0)
+  }
+
+  test("the corpus ops find real signal in the driver testdata") {
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf).isDirectory, "driver testdata not present")
+    val seg = SparkEntry.queries("text_seg_dedup")(spark, sf)
+    assert(seg.agg(sum(col("n_boiler"))).head.getLong(0) > 0L)
+    val spans = SparkEntry.queries("dedup_substring_spans")(spark, sf)
+    assert(spans.agg(sum(col("n_dup"))).head.getLong(0) > 0L)
+    val lpa = SparkEntry.queries("graph_community_lpa")(spark, sf)
+    val (nodes, comms) = (lpa.count(),
+      lpa.agg(countDistinct(col("community"))).head.getLong(0))
+    assert(comms > 1L && comms < nodes) // propagation happened, nontrivially
+    val jac = SparkEntry.queries("graph_neighbor_jaccard")(spark, sf)
+    assert(jac.count() === 100L)
+    val quota = SparkEntry.queries("sample_domain_quota")(spark, sf)
+    assert(quota.groupBy(col("source")).count()
+      .filter(col("count") > 10).count() === 0L)
+  }
+}

@@ -75,10 +75,12 @@ class PlanSpec extends SparkSpec {
     // deterministic block ids — a deliberate 1×N, not a join-order accident
     // text_keyword_topk broadcasts the same single-row corpus total as
     // text_tfidf; agg_weighted_median broadcasts the single-row value
-    // min/max that seeds its PrefixScan blocks, like skyline_pareto
+    // min/max that seeds its PrefixScan blocks, like skyline_pareto;
+    // data_mixture_weights broadcasts its single-row corpus-total frame
+    // onto the ≤ n_langs mixture rows — the same deliberate 1×N
     val bnljAllowed = Set("join_cross", "sim_knn_cosine", "text_tfidf",
       "text_unigram_lm", "graph_triangles", "skyline_pareto", "text_keyword_topk",
-      "agg_weighted_median")
+      "agg_weighted_median", "data_mixture_weights")
     // these run real jobs at construction time (quantizer-sample collect,
     // iterative label rounds), and for the localCheckpoint-based ones the
     // executedPlan is a truncated checkpoint scan this test couldn't see
