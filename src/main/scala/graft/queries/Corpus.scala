@@ -61,6 +61,11 @@ object Corpus {
   /** EWMA trailing-frame length (window_ewma). */
   private val EwmaFrame = 20
 
+  /** k-means: cluster count, Lloyd iterations, embedding dim. */
+  private val KmK = 8
+  private val KmIters = 2
+  private val KmDim = 64
+
   private def toks(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -189,9 +194,99 @@ object Corpus {
             "aggregate(transform(arr, (x, i) -> x * power(0.5, size(arr) - i)), 0D, (a, x) -> a + x)" +
               " / (100.0 * (1 - power(0.5, size(arr))))"), 6).as("ewma"))
         .orderBy("user_id", "seq")
+    }),
+
+    // Deterministic fixed-point k-means (Lloyd, KmIters synchronous
+    // rounds) over the embeddings — the semantic-clustering primitive a
+    // curation pipeline uses for diversity sampling / semantic dedup.
+    // EXACT cross-engine: components scale to integer micros SHIFTED
+    // non-negative (+10⁶ — distances are shift-invariant, and on
+    // non-negative operands Spark's truncating `div` equals DuckDB's
+    // floor `//`, the pagerank trick), distances are exact long sums
+    // (≤ 64·(2·10⁶)² ≈ 2.6·10¹¹ per pair, no overflow at any corpus
+    // size), centroid means are integer floor-divisions, argmin ties
+    // break to the smallest centroid id. Init = the KmK smallest vec_ids.
+    // Scale shape: each assignment is a k-row BROADCAST fan-out + hash
+    // argmin (min over struct(d2, cid) — no window); each update is the
+    // classic map-side-combined (cid, dim) mean — explode to (cid, dim,
+    // v), partial sums in the map stage, 8·64-row result; lazy
+    // localCheckpoint per round truncates the iterative lineage. The
+    // final pass re-assigns against the converged centroids and reports
+    // the exact squared distance.
+    "embedding_kmeans" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 1000000L)")
+          .as("e"))
+      def assign(cent: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"),
+            expr("aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+              .as("d2"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+      var cent = emb.filter(col("vec_id") < KmK)
+        .select(col("vec_id").as("cid"), col("e").as("c"))
+      var i = 0
+      while (i < KmIters) {
+        val means = assign(cent).join(emb, "vec_id")
+          .select(col("cid"), posexplode(col("e")).as(Seq("dim", "v")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(expr("sum(v) div count(1)").as("cm"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(sort_array(collect_list(struct(dim, cm))), p -> p.cm)").as("nc"))
+        // an emptied cluster keeps its previous centroid (same rule in
+        // the oracle) — without this the arity of the problem would
+        // silently shrink on degenerate inits
+        cent = cent.join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("nc"), col("c")).as("c"))
+          .localCheckpoint(eager = false)
+        i += 1
+      }
+      assign(cent)
+        .select(col("vec_id"), col("cid").cast("long").as("cluster"), col("d2").as("dist2"))
+        .orderBy("vec_id")
     }))
 
+  /** Generated k-means oracle: the same Lloyd pyramid as materialized
+    * CTEs (the graph-oracle discipline — DuckDB would otherwise re-derive
+    * each level). All-integer, so the match has zero tolerance. */
+  private def kmeansOracle: String = {
+    def assign(i: Int, cent: String): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT v.vec_id, c.cid,
+         |         CAST(list_sum(list_transform(range(1, ${KmDim + 1}),
+         |              j -> (v.e[j] - c.c[j]) * (v.e[j] - c.c[j]))) AS BIGINT) AS d2
+         |  FROM emb v, $cent c),
+         |a$i AS MATERIALIZED (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT vec_id, cid, d2,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+         |    FROM d$i) WHERE rk = 1)""".stripMargin
+    def update(i: Int, prev: String): String =
+      s"""m$i AS MATERIALIZED (
+         |  SELECT a.cid, u.j AS dim, CAST(sum(v.e[u.j]) // count(*) AS BIGINT) AS cm
+         |  FROM a$i a JOIN emb v USING (vec_id), unnest(range(1, ${KmDim + 1})) u(j)
+         |  GROUP BY a.cid, u.j),
+         |n$i AS MATERIALIZED (SELECT cid, list(cm ORDER BY dim) AS c FROM m$i GROUP BY cid),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.cid, coalesce(n.c, p.c) AS c FROM $prev p LEFT JOIN n$i n ON p.cid = n.cid)""".stripMargin
+    val head =
+      s"""emb AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 1000000) AS e
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < $KmK)""".stripMargin
+    val rounds = (1 to KmIters).flatMap(i => Seq(assign(i, s"c${i - 1}"), update(i, s"c${i - 1}")))
+    val fin = assign(KmIters + 1, s"c$KmIters")
+    s"""WITH ${(head +: rounds :+ fin).mkString(",\n")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 AS dist2
+       |FROM a${KmIters + 1} ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "embedding_kmeans" -> kmeansOracle,
     "text_seg_dedup" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |segs AS (

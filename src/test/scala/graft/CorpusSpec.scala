@@ -64,6 +64,16 @@ class CorpusSpec extends SparkSpec {
     assert(r(0).getDouble(3) === 1.0 && r(0).getDouble(4) === 1.0)
   }
 
+  test("embedding_kmeans fixes each tiny vector as its own zero-distance centroid") {
+    val d = TestTables.dir(spark)
+    // 4 vectors < K=8 → every vector seeds a centroid; Lloyd must leave
+    // each in its own cluster at exact squared distance 0 (any drift
+    // would mean the integer update rule moved a centroid it shouldn't)
+    val rows = SparkEntry.queries("embedding_kmeans")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L)))
+  }
+
   test("the corpus ops find real signal in the driver testdata") {
     val sf = "/root/testdata/sf0.01"
     assume(new java.io.File(sf).isDirectory, "driver testdata not present")
@@ -80,5 +90,8 @@ class CorpusSpec extends SparkSpec {
     val quota = SparkEntry.queries("sample_domain_quota")(spark, sf)
     assert(quota.groupBy(col("source")).count()
       .filter(col("count") > 10).count() === 0L)
+    val km = SparkEntry.queries("embedding_kmeans")(spark, sf)
+      .groupBy(col("cluster")).count().collect()
+    assert(km.length === 8 && km.forall(_.getLong(1) > 0L)) // no cluster collapses
   }
 }

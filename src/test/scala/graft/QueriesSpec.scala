@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 186 declared queries (53 SURVEY §2 + 133 extras), 177 with oracles") {
-    assert(SparkEntry.queries.size === 186)
-    assert(SparkEntry.oracleSql.size === 177)
+  test("inventory: 187 declared queries (53 SURVEY §2 + 134 extras), 178 with oracles") {
+    assert(SparkEntry.queries.size === 187)
+    assert(SparkEntry.oracleSql.size === 178)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
