@@ -66,9 +66,65 @@ object Corpus {
   private val KmIters = 2
   private val KmDim = 64
 
+  /** Sorted-neighborhood window for dedup_semantic: each vector is paired
+    * only with the DedupW vectors adjacent to it in its cluster's
+    * centroid-distance rank order — candidates per vector are ≤ 2·DedupW,
+    * so candidate generation is LINEAR in corpus size, never the
+    * within-cluster quadratic. */
+  private val DedupW = 8
+
+  /** Per-cluster quota (sample_diversity). */
+  private val DivM = 5
+
   private def toks(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  /** Embeddings in the exact fixed-point domain: components scaled to
+    * integer micros and SHIFTED non-negative (+10⁶) — distances are
+    * shift-invariant, and on non-negative operands Spark's truncating
+    * `div` equals DuckDB's floor `//` (the pagerank trick). */
+  private def kmEmb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 1000000L)")
+        .as("e"))
+
+  /** Final Lloyd assignment (vec_id, cid, d2) after KmIters synchronous
+    * rounds — the shared clustering core behind `embedding_kmeans`,
+    * `dedup_semantic` and `sample_diversity`. Each round's centroid frame
+    * is lazily localCheckpoint-ed, so consumers that branch twice off the
+    * result re-run only the final broadcast fan-out, never the iteration
+    * pyramid. See the embedding_kmeans entry for the exactness argument. */
+  private def kmAssign(s: SparkSession, d: String): DataFrame = {
+    val emb = kmEmb(s, d)
+    def assign(cent: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          expr("aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+    var cent = emb.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cid"), col("e").as("c"))
+    var i = 0
+    while (i < KmIters) {
+      val means = assign(cent).join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(expr("sum(v) div count(1)").as("cm"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, cm))), p -> p.cm)").as("nc"))
+      // an emptied cluster keeps its previous centroid (same rule in
+      // the oracle) — without this the arity of the problem would
+      // silently shrink on degenerate inits
+      cent = cent.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nc"), col("c")).as("c"))
+        .localCheckpoint(eager = false)
+      i += 1
+    }
+    assign(cent)
+  }
 
   val queries: Map[String, Q] = Map(
     // Corpus-level boilerplate removal: non-overlapping SegWords-word
@@ -213,45 +269,83 @@ object Corpus {
     // localCheckpoint per round truncates the iterative lineage. The
     // final pass re-assigns against the converged centroids and reports
     // the exact squared distance.
-    "embedding_kmeans" -> ((s, d) => {
-      val emb = t(s, d, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 1000000L)")
-          .as("e"))
-      def assign(cent: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("cid"),
-            expr("aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-              .as("d2"))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("d2"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
-      var cent = emb.filter(col("vec_id") < KmK)
-        .select(col("vec_id").as("cid"), col("e").as("c"))
-      var i = 0
-      while (i < KmIters) {
-        val means = assign(cent).join(emb, "vec_id")
-          .select(col("cid"), posexplode(col("e")).as(Seq("dim", "v")))
-          .groupBy(col("cid"), col("dim"))
-          .agg(expr("sum(v) div count(1)").as("cm"))
-          .groupBy(col("cid"))
-          .agg(expr("transform(sort_array(collect_list(struct(dim, cm))), p -> p.cm)").as("nc"))
-        // an emptied cluster keeps its previous centroid (same rule in
-        // the oracle) — without this the arity of the problem would
-        // silently shrink on degenerate inits
-        cent = cent.join(means, Seq("cid"), "left")
-          .select(col("cid"), coalesce(col("nc"), col("c")).as("c"))
-          .localCheckpoint(eager = false)
-        i += 1
-      }
-      assign(cent)
+    "embedding_kmeans" -> ((s, d) =>
+      kmAssign(s, d)
         .select(col("vec_id"), col("cid").cast("long").as("cluster"), col("d2").as("dist2"))
+        .orderBy("vec_id")),
+
+    // Semantic near-dup candidates by SORTED-NEIGHBORHOOD blocking: rank
+    // each cluster's members by (distance-to-centroid, vec_id), pair each
+    // vector only with the DedupW vectors after it in that rank order, and
+    // report each vector's nearest candidate (exact long pair distance,
+    // ties → smallest id; singleton clusters keep NULL). The classic SNM
+    // dedup shape lifted to embedding space: near-identical vectors sit at
+    // near-identical centroid distances, so true duplicates land inside
+    // the window while candidate generation stays LINEAR (≤ 2·DedupW
+    // candidates per vector) — never the within-cluster quadratic that an
+    // all-pairs bucket join would pay. The rank join is a pure equi-join
+    // on (cid, rank+j): the left side explodes j ∈ [1..DedupW], so no
+    // range predicate ever degrades it to a nested loop. Per-cluster rank
+    // is the one window; at 100 TB k scales as N/⟨cluster⟩ so the
+    // window's partition (one cluster) stays bounded, the same contract
+    // as topk_per_group.
+    "dedup_semantic" -> ((s, d) => {
+      val rk = kmAssign(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("d2"), col("vec_id"))))
+      val withVec = rk.join(kmEmb(s, d), "vec_id")
+      val right = withVec.select(
+        col("cid"), col("rk").as("brk"), col("vec_id").as("b"), col("e").as("be"))
+      val pairs = withVec.select(
+          col("cid"), col("vec_id").as("a"), col("e").as("ae"),
+          explode(expr(s"sequence(rk + 1, rk + $DedupW)")).as("brk"))
+        .join(right, Seq("cid", "brk"))
+        .select(col("a"), col("b"),
+          expr("aggregate(zip_with(ae, be, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+            .as("pd2"))
+      // both directions in ONE pass over the pair rows (explode, not a
+      // union that would recompute the join per branch)
+      val nn = pairs.select(
+          explode(array(
+            struct(col("a").as("vec_id"), col("b").as("nn_id")),
+            struct(col("b").as("vec_id"), col("a").as("nn_id")))).as("p"),
+          col("pd2"))
+        .groupBy(col("p.vec_id").as("vec_id"))
+        .agg(min(struct(col("pd2"), col("p.nn_id").as("nn_id"))).as("m"))
+        .select(col("vec_id"), col("m.nn_id").as("nn_id"), col("m.pd2").as("nn_d2"))
+      rk.join(nn, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+          col("nn_id"), col("nn_d2"))
         .orderBy("vec_id")
+    }),
+
+    // Cluster-stratified prototype sampling (diversity sampling): the DivM
+    // vectors closest to each centroid (ties → smallest id), equal quota
+    // per semantic cluster so every region of embedding space is
+    // represented. Two-phase top-M per cluster — a local per-(cluster,
+    // input-partition) prefilter bounds what the per-cluster window ever
+    // sorts, the sample_domain_quota discipline.
+    "sample_diversity" -> ((s, d) => {
+      val local = kmAssign(s, d)
+        .withColumn("pid", spark_partition_id())
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cid"), col("pid")).orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rk") <= DivM)
+        .drop("pid", "rk")
+      local
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rk") <= DivM)
+        .select(col("cid").cast("long").as("cluster"), col("rk").cast("long").as("rank"),
+          col("vec_id"), col("d2"))
+        .orderBy("cluster", "rank")
     }))
 
-  /** Generated k-means oracle: the same Lloyd pyramid as materialized
-    * CTEs (the graph-oracle discipline — DuckDB would otherwise re-derive
-    * each level). All-integer, so the match has zero tolerance. */
-  private def kmeansOracle: String = {
+  /** Generated Lloyd pyramid as materialized CTEs (the graph-oracle
+    * discipline — DuckDB would otherwise re-derive each level), shared by
+    * the three clustering oracles. All-integer, so every match has zero
+    * tolerance. The final assignment CTE is `a${KmIters + 1}`. */
+  private def kmWithBody: String = {
     def assign(i: Int, cent: String): String =
       s"""d$i AS MATERIALIZED (
          |  SELECT v.vec_id, c.cid,
@@ -280,13 +374,51 @@ object Corpus {
          |c0 AS MATERIALIZED (SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < $KmK)""".stripMargin
     val rounds = (1 to KmIters).flatMap(i => Seq(assign(i, s"c${i - 1}"), update(i, s"c${i - 1}")))
     val fin = assign(KmIters + 1, s"c$KmIters")
-    s"""WITH ${(head +: rounds :+ fin).mkString(",\n")}
-       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 AS dist2
-       |FROM a${KmIters + 1} ORDER BY vec_id""".stripMargin
+    (head +: rounds :+ fin).mkString(",\n")
   }
+
+  /** Name of the pyramid's final assignment CTE. */
+  private val KmFinal = s"a${KmIters + 1}"
+
+  private def kmeansOracle: String =
+    s"""WITH $kmWithBody
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 AS dist2
+       |FROM $KmFinal ORDER BY vec_id""".stripMargin
+
+  private def dedupSemanticOracle: String =
+    s"""WITH $kmWithBody,
+       |rk AS MATERIALIZED (
+       |  SELECT vec_id, cid, d2,
+       |         row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rk
+       |  FROM $KmFinal),
+       |pr AS MATERIALIZED (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |         CAST(list_sum(list_transform(range(1, ${KmDim + 1}),
+       |              j -> (ex.e[j] - ey.e[j]) * (ex.e[j] - ey.e[j]))) AS BIGINT) AS pd2
+       |  FROM rk x JOIN rk y ON x.cid = y.cid AND y.rk BETWEEN x.rk + 1 AND x.rk + $DedupW
+       |  JOIN emb ex ON ex.vec_id = x.vec_id
+       |  JOIN emb ey ON ey.vec_id = y.vec_id),
+       |und AS (SELECT a AS vec_id, b AS nn_id, pd2 FROM pr
+       |        UNION ALL SELECT b, a, pd2 FROM pr),
+       |nn AS (SELECT vec_id, nn_id, pd2 FROM (
+       |         SELECT vec_id, nn_id, pd2,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY pd2, nn_id) AS q
+       |         FROM und) WHERE q = 1)
+       |SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cluster, n.nn_id, n.pd2 AS nn_d2
+       |FROM rk r LEFT JOIN nn n ON r.vec_id = n.vec_id ORDER BY r.vec_id""".stripMargin
+
+  private def sampleDiversityOracle: String =
+    s"""WITH $kmWithBody
+       |SELECT CAST(cid AS BIGINT) AS cluster, CAST(rk AS BIGINT) AS "rank", vec_id, d2
+       |FROM (SELECT vec_id, cid, d2,
+       |             row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rk
+       |      FROM $KmFinal)
+       |WHERE rk <= $DivM ORDER BY cluster, "rank"""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "embedding_kmeans" -> kmeansOracle,
+    "dedup_semantic" -> dedupSemanticOracle,
+    "sample_diversity" -> sampleDiversityOracle,
     "text_seg_dedup" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |segs AS (

@@ -74,6 +74,24 @@ class CorpusSpec extends SparkSpec {
     assert(rows.toSeq === Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L)))
   }
 
+  test("dedup_semantic keeps singleton clusters with a NULL neighbor") {
+    val d = TestTables.dir(spark)
+    // the 4 tiny vectors each seed their own cluster (see the kmeans test
+    // above), so every cluster is a singleton: the sorted-neighborhood
+    // pairing must produce NO candidates and keep all rows with NULL nn
+    val rows = SparkEntry.queries("dedup_semantic")(spark, d).collect()
+    assert(rows.length === 4)
+    assert(rows.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
+  test("sample_diversity takes each singleton cluster's own vector at distance 0") {
+    val d = TestTables.dir(spark)
+    val rows = SparkEntry.queries("sample_diversity")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((0L, 1L, 0L, 0L), (1L, 1L, 1L, 0L),
+      (2L, 1L, 2L, 0L), (3L, 1L, 3L, 0L)))
+  }
+
   test("the corpus ops find real signal in the driver testdata") {
     val sf = "/root/testdata/sf0.01"
     assume(new java.io.File(sf).isDirectory, "driver testdata not present")
@@ -93,5 +111,10 @@ class CorpusSpec extends SparkSpec {
     val km = SparkEntry.queries("embedding_kmeans")(spark, sf)
       .groupBy(col("cluster")).count().collect()
     assert(km.length === 8 && km.forall(_.getLong(1) > 0L)) // no cluster collapses
+    // no singleton clusters at sf0.01 → every vector has an SNM candidate
+    val sem = SparkEntry.queries("dedup_semantic")(spark, sf)
+    assert(sem.filter(col("nn_id").isNull).count() === 0L)
+    val div = SparkEntry.queries("sample_diversity")(spark, sf)
+    assert(div.count() === 40L) // 8 clusters × DivM
   }
 }

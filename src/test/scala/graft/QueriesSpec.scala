@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 187 declared queries (53 SURVEY §2 + 134 extras), 178 with oracles") {
-    assert(SparkEntry.queries.size === 187)
-    assert(SparkEntry.oracleSql.size === 178)
+  test("inventory: 189 declared queries (53 SURVEY §2 + 136 extras), 180 with oracles") {
+    assert(SparkEntry.queries.size === 189)
+    assert(SparkEntry.oracleSql.size === 180)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
