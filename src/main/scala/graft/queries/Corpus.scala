@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,6 +75,12 @@ object Corpus {
 
   /** Per-cluster quota (sample_diversity). */
   private val DivM = 5
+
+  /** Output shard count (doc_shard_assign). */
+  private val Shards = 16
+
+  /** Document budget for the temperature-scaled mixture (sample_temperature). */
+  private val TempBudget = 10000L
 
   private def toks(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -339,7 +345,92 @@ object Corpus {
         .select(col("cid").cast("long").as("cluster"), col("rk").cast("long").as("rank"),
           col("vec_id"), col("d2"))
         .orderBy("cluster", "rank")
+    }),
+
+    // Size-balanced CONTIGUOUS output sharding — the "write the corpus as
+    // S balanced shards" step before a training job: shard(doc) =
+    // cum_bytes_before div ceil(total/S), so shard boundaries fall exactly
+    // where the running byte count crosses each 1/S of the corpus and
+    // doc order is preserved within and across shards. The global running
+    // sum is THE serialized-window trap, so it runs through the two-pass
+    // PrefixScan above the crossover (order-aligned doc_id blocks, width
+    // derived from input size, broadcast-merged block offsets) and the
+    // single window below it. Output is the S-row shard MANIFEST (doc
+    // counts, bytes, id range) — the frame a writer would partition by.
+    "doc_shard_assign" -> ((s, d) => {
+      import graft.operators.PrefixScan
+      val b = shardBytes(s, d)
+      shardManifest(s, d,
+        blocked = PrefixScan.estimatedRows(b) >= PrefixScan.CrossoverRows)
+    }),
+
+    // Temperature-scaled mixture allocation (α = 1/2): the multilingual
+    // LM sampling rule p_l ∝ n_l^α that upsamples low-resource languages,
+    // allocated over a fixed document budget with largest-remainder
+    // rounding so the allocations sum EXACTLY to the budget. All integer:
+    // n^(1/2) is the exact integer sqrt (a floor(sqrt) seed corrected by
+    // ±1 against g² ≤ n — bit-identical on both engines, no libm
+    // boundary), shares are (B·w) div Σw with integer remainders, and the
+    // +1 leftovers go to the largest remainders (ties → lang order). The
+    // one unpartitioned window ranks the POST-AGGREGATE frame: ≤ n_langs
+    // rows, bounded by language cardinality, never row cardinality.
+    "sample_temperature" -> ((s, d) => {
+      val lt = t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("nt"))
+      val w2 = lt
+        .withColumn("g", expr("CAST(floor(sqrt(CAST(nt AS DOUBLE))) AS BIGINT)"))
+        .withColumn("h", expr("g - (CASE WHEN g * g > nt THEN 1 ELSE 0 END)"))
+        .withColumn("w", expr("h + (CASE WHEN (h + 1) * (h + 1) <= nt THEN 1 ELSE 0 END)"))
+        .select(col("lang"), col("nt"), col("w"))
+      val sw = w2.agg(sum(col("w")).as("swt"))
+      val base = w2.crossJoin(broadcast(sw))
+        .select(col("lang"), col("nt"), col("w"),
+          expr(s"($TempBudget * w) div swt").as("alloc"),
+          expr(s"$TempBudget * w - (($TempBudget * w) div swt) * swt").as("rem"))
+      val lo = base.agg((lit(TempBudget) - sum(col("alloc"))).as("left_over"))
+      base.crossJoin(broadcast(lo))
+        .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+        .select(col("lang"), col("nt").as("n_tokens"), col("w").as("w_sqrt"),
+          (col("alloc") + when(col("rk") <= col("left_over"), lit(1L)).otherwise(lit(0L)))
+            .cast("long").as("alloc"))
+        .orderBy("lang")
     }))
+
+  private def shardBytes(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("bytes"))
+
+  /** Both forms of doc_shard_assign's manifest — `blocked` forces the
+    * two-pass PrefixScan (the above-crossover branch the declared query
+    * takes on big inputs); CorpusSpec pins the two row-identical, the
+    * Round8Spec discipline for every PrefixScan caller. */
+  private[graft] def shardManifest(s: SparkSession, d: String, blocked: Boolean): DataFrame = {
+    import graft.operators.PrefixScan
+    val b = shardBytes(s, d)
+    val merge = (l: Column, o: Column) => coalesce(l, lit(0L)) + coalesce(o, lit(0L))
+    val cum =
+      if (blocked)
+        PrefixScan.exclusive(b, Seq.empty,
+          block = expr(s"doc_id div ${PrefixScan.idBlockWidth(b)}"),
+          order = Seq(col("doc_id")), value = col("bytes"),
+          agg = (c: Column) => sum(c), merge = merge, out = "cum")
+      else
+        PrefixScan.single(b, Seq.empty, Seq(col("doc_id")), col("bytes"),
+          (c: Column) => sum(c), merge, "cum")
+    val tot = b.agg(sum(col("bytes")).as("tot"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("bytes"),
+        expr(s"least(cum div ((tot + ${Shards - 1}L) div ${Shards}L), ${Shards - 1}L)")
+          .as("shard"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard")
+  }
 
   /** Generated Lloyd pyramid as materialized CTEs (the graph-oracle
     * discipline — DuckDB would otherwise re-derive each level), shared by
@@ -419,6 +510,37 @@ object Corpus {
     "embedding_kmeans" -> kmeansOracle,
     "dedup_semantic" -> dedupSemanticOracle,
     "sample_diversity" -> sampleDiversityOracle,
+
+    "doc_shard_assign" ->
+      s"""WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes FROM documents),
+         |c AS (SELECT doc_id, bytes,
+         |             CAST(coalesce(sum(bytes) OVER (ORDER BY doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |      FROM b),
+         |t AS (SELECT CAST(sum(bytes) AS BIGINT) AS tot FROM b),
+         |a AS (SELECT doc_id, bytes,
+         |             least(cum // ((tot + ${Shards - 1}) // $Shards), ${Shards - 1}) AS shard
+         |      FROM c, t)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "sample_temperature" ->
+      s"""WITH lt AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS nt
+         |            FROM documents GROUP BY 1),
+         |w0 AS (SELECT lang, nt, CAST(floor(sqrt(CAST(nt AS DOUBLE))) AS BIGINT) AS g FROM lt),
+         |w1 AS (SELECT lang, nt, g - (CASE WHEN g * g > nt THEN 1 ELSE 0 END) AS h FROM w0),
+         |w2 AS (SELECT lang, nt, h + (CASE WHEN (h + 1) * (h + 1) <= nt THEN 1 ELSE 0 END) AS w FROM w1),
+         |sw AS (SELECT CAST(sum(w) AS BIGINT) AS swt FROM w2),
+         |base AS (SELECT lang, nt, w, ($TempBudget * w) // swt AS alloc,
+         |                $TempBudget * w - (($TempBudget * w) // swt) * swt AS rem
+         |         FROM w2, sw),
+         |lo AS (SELECT CAST($TempBudget - sum(alloc) AS BIGINT) AS left_over FROM base)
+         |SELECT lang, nt AS n_tokens, w AS w_sqrt,
+         |       CAST(alloc + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= left_over
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+         |FROM base, lo ORDER BY lang""".stripMargin,
     "text_seg_dedup" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |segs AS (

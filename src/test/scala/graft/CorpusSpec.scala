@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.queries.Corpus
+
 /** Round-9 corpus-pipeline widening (SURVEY.md §2.19): boilerplate segment
   * removal, duplicated-substring spans, domain quota sampling, mixture
   * weights, exact EWMA, LPA communities, neighbor Jaccard.
@@ -90,6 +92,37 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq === Seq((0L, 1L, 0L, 0L), (1L, 1L, 1L, 0L),
       (2L, 1L, 2L, 0L), (3L, 1L, 3L, 0L)))
+  }
+
+  test("doc_shard_assign covers every doc exactly once in contiguous shards") {
+    val d = TestTables.dir(spark)
+    val docs = graft.Tables.t(spark, d, "documents").count()
+    val m = SparkEntry.queries("doc_shard_assign")(spark, d).collect()
+    assert(m.map(_.getLong(1)).sum === docs) // partition: every doc in exactly one shard
+    // contiguity: each shard's id range starts right after the previous one's
+    val sorted = m.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(3) === a.getLong(4) + 1)
+      case _           =>
+    }
+  }
+
+  test("doc_shard_assign: blocked PrefixScan form is row-identical to the window form") {
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf).isDirectory, "driver testdata not present")
+    val win = Corpus.shardManifest(spark, sf, blocked = false).collect().toSeq
+    val blk = Corpus.shardManifest(spark, sf, blocked = true).collect().toSeq
+    assert(blk === win)
+  }
+
+  test("sample_temperature allocations are exact-sqrt-weighted and sum to the budget") {
+    val d = TestTables.dir(spark)
+    val rows = SparkEntry.queries("sample_temperature")(spark, d).collect()
+    assert(rows.map(_.getLong(3)).sum === 10000L) // largest-remainder hits the budget exactly
+    rows.foreach { r =>
+      val (nt, w) = (r.getLong(1), r.getLong(2))
+      assert(w * w <= nt && (w + 1) * (w + 1) > nt) // w is the EXACT integer sqrt
+    }
   }
 
   test("the corpus ops find real signal in the driver testdata") {
