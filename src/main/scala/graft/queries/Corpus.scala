@@ -95,6 +95,18 @@ object Corpus {
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 1000000L)")
         .as("e"))
 
+  /** Exact long squared distance between two fixed-point vectors — THE
+    * distance of the clustering family, defined once for both engines
+    * (Spark column + oracle SQL) so the encoding can never diverge
+    * between the four sites that need it. */
+  private def sqDist(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+
+  /** DuckDB form of [[sqDist]] over 1-based list columns. */
+  private def sqDistSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, ${KmDim + 1}),
+       |              j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))) AS BIGINT)""".stripMargin
+
   /** Final Lloyd assignment (vec_id, cid, d2) after KmIters synchronous
     * rounds — the shared clustering core behind `embedding_kmeans`,
     * `dedup_semantic` and `sample_diversity`. Each round's centroid frame
@@ -105,13 +117,15 @@ object Corpus {
     val emb = kmEmb(s, d)
     def assign(cent: DataFrame): DataFrame =
       emb.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"),
-          expr("aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-            .as("d2"))
+        .select(col("vec_id"), col("cid"), sqDist("e", "c").as("d2"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
-    var cent = emb.filter(col("vec_id") < KmK)
+    // init = the KmK smallest vec_ids BY RANK (sort+limit compiles to
+    // TakeOrderedAndProject — per-partition heaps, no serialized window),
+    // not a `vec_id < K` value filter that would under-seed or empty the
+    // clustering on any id space that isn't dense-from-0
+    var cent = emb.sort(col("vec_id")).limit(KmK)
       .select(col("vec_id").as("cid"), col("e").as("c"))
     var i = 0
     while (i < KmIters) {
@@ -221,11 +235,7 @@ object Corpus {
     // one-row total; ratios divide identical exact integers on both
     // engines, rounded by the shared floor formula.
     "data_mixture_weights" -> ((s, d) => {
-      val lt = t(s, d, "documents")
-        .groupBy(col("lang"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      val lt = langTokens(s, d)
       val tot = lt.agg(sum(col("n_tokens")).as("tt"), count(lit(1)).as("nl"))
       lt.crossJoin(broadcast(tot))
         .select(
@@ -265,7 +275,8 @@ object Corpus {
     // non-negative (+10⁶ — distances are shift-invariant, and on
     // non-negative operands Spark's truncating `div` equals DuckDB's
     // floor `//`, the pagerank trick), distances are exact long sums
-    // (≤ 64·(2·10⁶)² ≈ 2.6·10¹¹ per pair, no overflow at any corpus
+    // (≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴ per pair — 4 orders under long range; a
+    // micros→nanos rescale would NOT fit and must shrink the shift —
     // size), centroid means are integer floor-divisions, argmin ties
     // break to the smallest centroid id. Init = the KmK smallest vec_ids.
     // Scale shape: each assignment is a k-row BROADCAST fan-out + hash
@@ -306,9 +317,7 @@ object Corpus {
           col("cid"), col("vec_id").as("a"), col("e").as("ae"),
           explode(expr(s"sequence(rk + 1, rk + $DedupW)")).as("brk"))
         .join(right, Seq("cid", "brk"))
-        .select(col("a"), col("b"),
-          expr("aggregate(zip_with(ae, be, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
-            .as("pd2"))
+        .select(col("a"), col("b"), sqDist("ae", "be").as("pd2"))
       // both directions in ONE pass over the pair rows (explode, not a
       // union that would recompute the join per branch)
       val nn = pairs.select(
@@ -357,12 +366,7 @@ object Corpus {
     // derived from input size, broadcast-merged block offsets) and the
     // single window below it. Output is the S-row shard MANIFEST (doc
     // counts, bytes, id range) — the frame a writer would partition by.
-    "doc_shard_assign" -> ((s, d) => {
-      import graft.operators.PrefixScan
-      val b = shardBytes(s, d)
-      shardManifest(s, d,
-        blocked = PrefixScan.estimatedRows(b) >= PrefixScan.CrossoverRows)
-    }),
+    "doc_shard_assign" -> ((s, d) => shardManifest(s, d)),
 
     // Temperature-scaled mixture allocation (α = 1/2): the multilingual
     // LM sampling rule p_l ∝ n_l^α that upsamples low-resource languages,
@@ -375,9 +379,7 @@ object Corpus {
     // one unpartitioned window ranks the POST-AGGREGATE frame: ≤ n_langs
     // rows, bounded by language cardinality, never row cardinality.
     "sample_temperature" -> ((s, d) => {
-      val lt = t(s, d, "documents")
-        .groupBy(col("lang"))
-        .agg(sum(size(split(col("text"), " "))).cast("long").as("nt"))
+      val lt = langTokens(s, d).select(col("lang"), col("n_tokens").as("nt"))
       val w2 = lt
         .withColumn("g", expr("CAST(floor(sqrt(CAST(nt AS DOUBLE))) AS BIGINT)"))
         .withColumn("h", expr("g - (CASE WHEN g * g > nt THEN 1 ELSE 0 END)"))
@@ -397,20 +399,36 @@ object Corpus {
         .orderBy("lang")
     }))
 
+  /** Per-language doc and token mass — the one definition of "token"
+    * (single-space split) shared by data_mixture_weights and
+    * sample_temperature so the two mixture queries can never disagree
+    * on what they are weighing. */
+  private def langTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+
+  /** UTF-8 byte mass per doc — octet_length, NOT character length, so the
+    * "size-balanced" contract holds on multibyte corpora (DuckDB twin is
+    * strlen). */
   private def shardBytes(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(col("doc_id"), length(col("text")).cast("long").as("bytes"))
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("bytes"))
 
-  /** Both forms of doc_shard_assign's manifest — `blocked` forces the
-    * two-pass PrefixScan (the above-crossover branch the declared query
-    * takes on big inputs); CorpusSpec pins the two row-identical, the
-    * Round8Spec discipline for every PrefixScan caller. */
-  private[graft] def shardManifest(s: SparkSession, d: String, blocked: Boolean): DataFrame = {
+  /** doc_shard_assign's manifest. `blocked = None` (the declared query)
+    * picks the form from the input's estimated rows, HERE, next to the
+    * frame the estimate is made from; `Some(...)` forces a form so
+    * CorpusSpec can pin the two row-identical, the Round8Spec discipline
+    * for every PrefixScan caller. */
+  private[graft] def shardManifest(
+      s: SparkSession, d: String, blocked: Option[Boolean] = None): DataFrame = {
     import graft.operators.PrefixScan
     val b = shardBytes(s, d)
     val merge = (l: Column, o: Column) => coalesce(l, lit(0L)) + coalesce(o, lit(0L))
     val cum =
-      if (blocked)
+      if (blocked.getOrElse(PrefixScan.estimatedRows(b) >= PrefixScan.CrossoverRows))
         PrefixScan.exclusive(b, Seq.empty,
           block = expr(s"doc_id div ${PrefixScan.idBlockWidth(b)}"),
           order = Seq(col("doc_id")), value = col("bytes"),
@@ -419,9 +437,12 @@ object Corpus {
         PrefixScan.single(b, Seq.empty, Seq(col("doc_id")), col("bytes"),
           (c: Column) => sum(c), merge, "cum")
     val tot = b.agg(sum(col("bytes")).as("tot"))
+    // greatest(..., 1): an all-empty corpus has tot = 0 and the target
+    // would be 0 — a hard ANSI DIVIDE_BY_ZERO, not a NULL (the repo's
+    // recorded Spark-4 rule); everything lands in shard 0 instead
     cum.crossJoin(broadcast(tot))
       .select(col("doc_id"), col("bytes"),
-        expr(s"least(cum div ((tot + ${Shards - 1}L) div ${Shards}L), ${Shards - 1}L)")
+        expr(s"least(cum div greatest((tot + ${Shards - 1}L) div ${Shards}L, 1L), ${Shards - 1}L)")
           .as("shard"))
       .groupBy(col("shard"))
       .agg(
@@ -440,8 +461,7 @@ object Corpus {
     def assign(i: Int, cent: String): String =
       s"""d$i AS MATERIALIZED (
          |  SELECT v.vec_id, c.cid,
-         |         CAST(list_sum(list_transform(range(1, ${KmDim + 1}),
-         |              j -> (v.e[j] - c.c[j]) * (v.e[j] - c.c[j]))) AS BIGINT) AS d2
+         |         ${sqDistSql("v.e", "c.c")} AS d2
          |  FROM emb v, $cent c),
          |a$i AS MATERIALIZED (
          |  SELECT vec_id, cid, d2 FROM (
@@ -462,7 +482,7 @@ object Corpus {
          |         list_transform(embedding,
          |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 1000000) AS e
          |  FROM embeddings),
-         |c0 AS MATERIALIZED (SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < $KmK)""".stripMargin
+         |c0 AS MATERIALIZED (SELECT vec_id AS cid, e AS c FROM emb ORDER BY vec_id LIMIT $KmK)""".stripMargin
     val rounds = (1 to KmIters).flatMap(i => Seq(assign(i, s"c${i - 1}"), update(i, s"c${i - 1}")))
     val fin = assign(KmIters + 1, s"c$KmIters")
     (head +: rounds :+ fin).mkString(",\n")
@@ -484,8 +504,7 @@ object Corpus {
        |  FROM $KmFinal),
        |pr AS MATERIALIZED (
        |  SELECT x.vec_id AS a, y.vec_id AS b,
-       |         CAST(list_sum(list_transform(range(1, ${KmDim + 1}),
-       |              j -> (ex.e[j] - ey.e[j]) * (ex.e[j] - ey.e[j]))) AS BIGINT) AS pd2
+       |         ${sqDistSql("ex.e", "ey.e")} AS pd2
        |  FROM rk x JOIN rk y ON x.cid = y.cid AND y.rk BETWEEN x.rk + 1 AND x.rk + $DedupW
        |  JOIN emb ex ON ex.vec_id = x.vec_id
        |  JOIN emb ey ON ey.vec_id = y.vec_id),
@@ -512,14 +531,14 @@ object Corpus {
     "sample_diversity" -> sampleDiversityOracle,
 
     "doc_shard_assign" ->
-      s"""WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes FROM documents),
+      s"""WITH b AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes FROM documents),
          |c AS (SELECT doc_id, bytes,
          |             CAST(coalesce(sum(bytes) OVER (ORDER BY doc_id
          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
          |      FROM b),
          |t AS (SELECT CAST(sum(bytes) AS BIGINT) AS tot FROM b),
          |a AS (SELECT doc_id, bytes,
-         |             least(cum // ((tot + ${Shards - 1}) // $Shards), ${Shards - 1}) AS shard
+         |             least(cum // greatest((tot + ${Shards - 1}) // $Shards, 1), ${Shards - 1}) AS shard
          |      FROM c, t)
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(bytes) AS BIGINT) AS shard_bytes,

@@ -110,8 +110,8 @@ class CorpusSpec extends SparkSpec {
   test("doc_shard_assign: blocked PrefixScan form is row-identical to the window form") {
     val sf = "/root/testdata/sf0.01"
     assume(new java.io.File(sf).isDirectory, "driver testdata not present")
-    val win = Corpus.shardManifest(spark, sf, blocked = false).collect().toSeq
-    val blk = Corpus.shardManifest(spark, sf, blocked = true).collect().toSeq
+    val win = Corpus.shardManifest(spark, sf, blocked = Some(false)).collect().toSeq
+    val blk = Corpus.shardManifest(spark, sf, blocked = Some(true)).collect().toSeq
     assert(blk === win)
   }
 
