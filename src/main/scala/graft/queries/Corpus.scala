@@ -306,33 +306,7 @@ object Corpus {
     // is the one window; at 100 TB k scales as N/⟨cluster⟩ so the
     // window's partition (one cluster) stays bounded, the same contract
     // as topk_per_group.
-    "dedup_semantic" -> ((s, d) => {
-      val rk = kmAssign(s, d)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("cid")).orderBy(col("d2"), col("vec_id"))))
-      val withVec = rk.join(kmEmb(s, d), "vec_id")
-      val right = withVec.select(
-        col("cid"), col("rk").as("brk"), col("vec_id").as("b"), col("e").as("be"))
-      val pairs = withVec.select(
-          col("cid"), col("vec_id").as("a"), col("e").as("ae"),
-          explode(expr(s"sequence(rk + 1, rk + $DedupW)")).as("brk"))
-        .join(right, Seq("cid", "brk"))
-        .select(col("a"), col("b"), sqDist("ae", "be").as("pd2"))
-      // both directions in ONE pass over the pair rows (explode, not a
-      // union that would recompute the join per branch)
-      val nn = pairs.select(
-          explode(array(
-            struct(col("a").as("vec_id"), col("b").as("nn_id")),
-            struct(col("b").as("vec_id"), col("a").as("nn_id")))).as("p"),
-          col("pd2"))
-        .groupBy(col("p.vec_id").as("vec_id"))
-        .agg(min(struct(col("pd2"), col("p.nn_id").as("nn_id"))).as("m"))
-        .select(col("vec_id"), col("m.nn_id").as("nn_id"), col("m.pd2").as("nn_d2"))
-      rk.join(nn, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid").cast("long").as("cluster"),
-          col("nn_id"), col("nn_d2"))
-        .orderBy("vec_id")
-    }),
+    "dedup_semantic" -> ((s, d) => semanticNn(s, d)),
 
     // Cluster-stratified prototype sampling (diversity sampling): the DivM
     // vectors closest to each centroid (ties → smallest id), equal quota
@@ -398,6 +372,47 @@ object Corpus {
             .cast("long").as("alloc"))
         .orderBy("lang")
     }))
+
+  /** dedup_semantic's body. `quadratic = true` is the AbBench twin: the
+    * SAME candidate set (|rank gap| ≤ DedupW inside a cluster) generated
+    * the quadratic way — full within-cluster self-join, THEN the rank
+    * filter — so the row-identical A/B isolates the cost of candidate
+    * GENERATION: the declared form's exploded equi-join on (cid, rank+j)
+    * materializes only the 2W candidates per vector, the twin's cid join
+    * materializes N²/k matches per cluster before filtering. */
+  private[graft] def semanticNn(
+      s: SparkSession, d: String, quadratic: Boolean = false): DataFrame = {
+    val rk = kmAssign(s, d)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("d2"), col("vec_id"))))
+    val withVec = rk.join(kmEmb(s, d), "vec_id")
+    val right = withVec.select(
+      col("cid"), col("rk").as("brk"), col("vec_id").as("b"), col("e").as("be"))
+    val pairs = (if (quadratic)
+      withVec.select(col("cid"), col("rk"), col("vec_id").as("a"), col("e").as("ae"))
+        .join(right, Seq("cid"))
+        .filter(col("brk") > col("rk") && col("brk") <= col("rk") + DedupW)
+    else
+      withVec.select(
+          col("cid"), col("vec_id").as("a"), col("e").as("ae"),
+          explode(expr(s"sequence(rk + 1, rk + $DedupW)")).as("brk"))
+        .join(right, Seq("cid", "brk")))
+      .select(col("a"), col("b"), sqDist("ae", "be").as("pd2"))
+    // both directions in ONE pass over the pair rows (explode, not a
+    // union that would recompute the join per branch)
+    val nn = pairs.select(
+        explode(array(
+          struct(col("a").as("vec_id"), col("b").as("nn_id")),
+          struct(col("b").as("vec_id"), col("a").as("nn_id")))).as("p"),
+        col("pd2"))
+      .groupBy(col("p.vec_id").as("vec_id"))
+      .agg(min(struct(col("pd2"), col("p.nn_id").as("nn_id"))).as("m"))
+      .select(col("vec_id"), col("m.nn_id").as("nn_id"), col("m.pd2").as("nn_d2"))
+    rk.join(nn, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+        col("nn_id"), col("nn_d2"))
+      .orderBy("vec_id")
+  }
 
   /** Per-language doc and token mass — the one definition of "token"
     * (single-space split) shared by data_mixture_weights and

@@ -143,6 +143,13 @@ object AbBench {
         .select(col("a_id"), col("b_id"), rd(col("cos"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
     }),
+    // dedup_semantic with QUADRATIC candidate generation: the same
+    // |rank gap| ≤ W candidate set built by a full within-cluster
+    // self-join + rank filter (N²/k intermediate matches) instead of the
+    // declared exploded equi-join on (cid, rank+j) (2W per vector) —
+    // row-identical, so the ratio is purely the candidate-generation cost
+    "dedup_semantic_quadratic" -> ((s, d) =>
+      graft.queries.Corpus.semanticNn(s, d, quadratic = true)),
     // text_ngram_containment before the diagonal rewrite: three consumers
     // of the shingle frame (both join sides + the per-doc count branch),
     // each re-running scan+normalize+explode — the form that grew 8.6× on

@@ -107,6 +107,14 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic: quadratic candidate twin is row-identical to the SNM equi-join") {
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf).isDirectory, "driver testdata not present")
+    val snm = Corpus.semanticNn(spark, sf).collect().toSeq
+    val quad = Corpus.semanticNn(spark, sf, quadratic = true).collect().toSeq
+    assert(quad === snm)
+  }
+
   test("doc_shard_assign: blocked PrefixScan form is row-identical to the window form") {
     val sf = "/root/testdata/sf0.01"
     assume(new java.io.File(sf).isDirectory, "driver testdata not present")
