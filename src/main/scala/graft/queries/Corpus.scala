@@ -13,8 +13,12 @@ import graft.Tables.{rd, rdSql, t}
   * since the synthetic docs are single-line), duplicated-substring span
   * statistics (the exact-substring-dedup formulation of Lee et al. 2022,
   * grounded on hashed word 8-grams instead of suffix arrays), per-domain
-  * quota sampling, source-mixture weight derivation, and a bounded-memory
-  * exponentially-weighted moving average over the event stream.
+  * quota sampling, source-mixture weight derivation, a bounded-memory
+  * exponentially-weighted moving average over the event stream, the
+  * fixed-point Lloyd clustering family (embedding_kmeans + its
+  * sorted-neighborhood semantic dedup and cluster-stratified diversity
+  * sample), PrefixScan-based size-balanced output sharding, and
+  * exact-integer temperature mixture allocation (α = 1/2).
   *
   * Scale notes (100 TB):
   * - `text_seg_dedup` / `dedup_substring_spans` shuffle on the SEGMENT /
@@ -78,6 +82,9 @@ object Corpus {
 
   /** Output shard count (doc_shard_assign). */
   private val Shards = 16
+
+  /** Coreset size (sample_coreset). */
+  private val CoreK = 8
 
   /** Document budget for the temperature-scaled mixture (sample_temperature). */
   private val TempBudget = 10000L
@@ -330,6 +337,43 @@ object Corpus {
         .orderBy("cluster", "rank")
     }),
 
+    // Greedy k-center coreset (farthest-point sampling) — the
+    // data-selection primitive that picks the CoreK vectors maximizing
+    // coverage of embedding space: start from the smallest vec_id, then
+    // repeatedly add the vector FARTHEST from the selected set (exact
+    // long min-distance, ties → smallest id; already-selected ids
+    // anti-joined out so degenerate duplicate vectors can't be re-picked).
+    // Reported d2 is the coverage radius at selection time — monotone
+    // non-increasing, the k-center certificate. EXACT cross-engine via
+    // the shared fixed-point domain. Scale shape: each round is one
+    // ≤ CoreK-row BROADCAST fan-out + a hash min + a hash argmax (min
+    // over struct(-d2, vec_id) — no window, no sort); the accumulating
+    // selected-set frame is lazily localCheckpoint-ed per round so the
+    // K-deep plan pyramid never re-derives earlier rounds.
+    "sample_coreset" -> ((s, d) => {
+      val emb = kmEmb(s, d)
+      var sel = emb.sort(col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(1L).as("sel_order"), lit(0L).as("d2"), col("e"))
+        .localCheckpoint(eager = false)
+      var i = 2
+      while (i <= CoreK) {
+        val pick = emb
+          .crossJoin(broadcast(sel.select(col("e").as("se"))))
+          .select(col("vec_id"), sqDist("e", "se").as("pd2"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("pd2")).as("md2"))
+          .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .agg(min(struct((lit(0L) - col("md2")).as("neg"), col("vec_id"))).as("m"))
+          .select(col("m.vec_id").as("vec_id"), lit(i.toLong).as("sel_order"),
+            (lit(0L) - col("m.neg")).as("d2"))
+        sel = sel.unionByName(pick.join(emb, "vec_id")
+            .select(col("vec_id"), col("sel_order"), col("d2"), col("e")))
+          .localCheckpoint(eager = false)
+        i += 1
+      }
+      sel.select(col("sel_order"), col("vec_id"), col("d2")).orderBy("sel_order")
+    }),
+
     // Size-balanced CONTIGUOUS output sharding — the "write the corpus as
     // S balanced shards" step before a training job: shard(doc) =
     // cum_bytes_before div ceil(total/S), so shard boundaries fall exactly
@@ -532,6 +576,38 @@ object Corpus {
        |SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cluster, n.nn_id, n.pd2 AS nn_d2
        |FROM rk r LEFT JOIN nn n ON r.vec_id = n.vec_id ORDER BY r.vec_id""".stripMargin
 
+  /** Generated FPS oracle: one (min-distance, argmax, accumulate) CTE
+    * triple per selection round, materialized — same discipline as the
+    * Lloyd pyramid. All-integer, zero tolerance. */
+  private def coresetOracle: String = {
+    val head = Seq(
+      s"""emb AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 1000000) AS e
+         |  FROM embeddings)""".stripMargin,
+      s"""s1 AS MATERIALIZED (
+         |  SELECT vec_id, CAST(1 AS BIGINT) AS sel_order, CAST(0 AS BIGINT) AS d2, e
+         |  FROM emb ORDER BY vec_id LIMIT 1)""".stripMargin)
+    val rounds = (2 to CoreK).flatMap { i =>
+      val p = i - 1
+      Seq(
+        s"""m$i AS MATERIALIZED (
+           |  SELECT v.vec_id, min(${sqDistSql("v.e", "s.e")}) AS md2
+           |  FROM emb v, s$p s GROUP BY v.vec_id)""".stripMargin,
+        s"""p$i AS MATERIALIZED (
+           |  SELECT vec_id, CAST($i AS BIGINT) AS sel_order, md2 AS d2 FROM m$i
+           |  WHERE vec_id NOT IN (SELECT vec_id FROM s$p)
+           |  ORDER BY md2 DESC, vec_id LIMIT 1)""".stripMargin,
+        s"""s$i AS MATERIALIZED (
+           |  SELECT * FROM s$p
+           |  UNION ALL SELECT q.vec_id, q.sel_order, q.d2, v.e
+           |             FROM p$i q JOIN emb v USING (vec_id))""".stripMargin)
+    }
+    s"""WITH ${(head ++ rounds).mkString(",\n")}
+       |SELECT sel_order, vec_id, d2 FROM s$CoreK ORDER BY sel_order""".stripMargin
+  }
+
   private def sampleDiversityOracle: String =
     s"""WITH $kmWithBody
        |SELECT CAST(cid AS BIGINT) AS cluster, CAST(rk AS BIGINT) AS "rank", vec_id, d2
@@ -544,6 +620,7 @@ object Corpus {
     "embedding_kmeans" -> kmeansOracle,
     "dedup_semantic" -> dedupSemanticOracle,
     "sample_diversity" -> sampleDiversityOracle,
+    "sample_coreset" -> coresetOracle,
 
     "doc_shard_assign" ->
       s"""WITH b AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes FROM documents),

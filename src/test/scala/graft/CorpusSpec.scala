@@ -6,7 +6,9 @@ import graft.queries.Corpus
 
 /** Round-9 corpus-pipeline widening (SURVEY.md §2.19): boilerplate segment
   * removal, duplicated-substring spans, domain quota sampling, mixture
-  * weights, exact EWMA, LPA communities, neighbor Jaccard.
+  * weights, exact EWMA, LPA communities, neighbor Jaccard, the Lloyd
+  * clustering family (k-means / semantic dedup / diversity sample),
+  * size-balanced sharding, temperature mixture allocation.
   */
 class CorpusSpec extends SparkSpec {
 
@@ -104,6 +106,18 @@ class CorpusSpec extends SparkSpec {
     sorted.sliding(2).foreach {
       case Array(a, b) => assert(b.getLong(3) === a.getLong(4) + 1)
       case _           =>
+    }
+  }
+
+  test("sample_coreset radii are monotone non-increasing (the k-center certificate)") {
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf).isDirectory, "driver testdata not present")
+    val rows = SparkEntry.queries("sample_coreset")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.length === 8 && rows.head === ((1L, 0L)))
+    rows.drop(1).sliding(2).foreach {
+      case Array((_, a), (_, b)) => assert(b <= a)
+      case _                     =>
     }
   }
 

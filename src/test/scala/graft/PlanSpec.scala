@@ -81,7 +81,8 @@ class PlanSpec extends SparkSpec {
     val bnljAllowed = Set("join_cross", "sim_knn_cosine", "text_tfidf",
       "text_unigram_lm", "graph_triangles", "skyline_pareto", "text_keyword_topk",
       "agg_weighted_median", "data_mixture_weights", "embedding_kmeans",
-      "dedup_semantic", "sample_diversity", "doc_shard_assign", "sample_temperature")
+      "dedup_semantic", "sample_diversity", "doc_shard_assign", "sample_temperature",
+      "sample_coreset")
     // these run real jobs at construction time (quantizer-sample collect,
     // iterative label rounds), and for the localCheckpoint-based ones the
     // executedPlan is a truncated checkpoint scan this test couldn't see

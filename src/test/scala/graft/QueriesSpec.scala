@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 191 declared queries (53 SURVEY §2 + 138 extras), 182 with oracles") {
-    assert(SparkEntry.queries.size === 191)
-    assert(SparkEntry.oracleSql.size === 182)
+  test("inventory: 192 declared queries (53 SURVEY §2 + 139 extras), 183 with oracles") {
+    assert(SparkEntry.queries.size === 192)
+    assert(SparkEntry.oracleSql.size === 183)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
