@@ -11,20 +11,33 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark 4.1.2
-    * rejects with PARQUET_TYPE_ILLEGAL (SURVEY.md §1.2). Read ns as raw long
-    * via `spark.sql.legacy.parquet.nanosAsLong` and derive `ts_us` (BIGINT
-    * µs, integer floor-div) — exactly the µs value DuckDB sees when it
-    * truncates ns→µs on read (validated: both engines agree). Every
-    * event-time comparison/ordering/output in the engine uses `ts_us`, never
-    * raw ns, so oracle parity holds at µs precision.
+  /** Schema-adaptive events reader. `events.parquet` has shipped with two
+    * on-disk types for `ts` across testdata generations:
     *
-    * The conf is set inside this reader because the driver's Verify/Bench
-    * sessions do not set it (SURVEY.md §5.3); it is runtime-settable.
+    *  - INT64 TIMESTAMP(NANOS): Spark 4.1.2 rejects it with
+    *    PARQUET_TYPE_ILLEGAL unless `spark.sql.legacy.parquet.nanosAsLong`
+    *    is set, which surfaces it as a raw BIGINT of nanoseconds. `ts_us`
+    *    is then `ts div 1000` (integer floor-div) — exactly the µs value
+    *    DuckDB sees when it truncates ns→µs on read.
+    *  - `timestamp[us]` (TIMESTAMP_NTZ in Spark): `ts_us` is
+    *    `unix_micros(cast(ts as timestamp))`. Both the build and the
+    *    driver's Verify sessions force UTC, so the NTZ→LTZ cast is
+    *    value-preserving; DuckDB's `epoch_us(ts)` yields the same value.
+    *
+    * Every event-time comparison/ordering/output in the engine uses `ts_us`
+    * (BIGINT µs), never the raw column, so oracle parity holds at µs
+    * precision regardless of which schema the file carries. The nanosAsLong
+    * conf is set unconditionally (runtime-settable, harmless on µs files)
+    * because the driver's Verify/Bench sessions do not set it.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val df = t(spark, sfDir, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    df.withColumn("ts_us", tsUs)
   }
 
   /** Normalized document text: lower → trim → collapse internal whitespace.

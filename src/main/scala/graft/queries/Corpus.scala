@@ -259,11 +259,11 @@ object Corpus {
     // value with zero tolerance. Normalized by the closed-form geometric
     // weight sum 1 − 2^−m.
     "window_ewma" -> ((s, d) => {
-      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val frame = ord.rowsBetween(-(EwmaFrame - 1), 0)
       graft.Tables.events(s, d)
         .select(
-          col("user_id"), col("ts"), col("event_id"),
+          col("user_id"), col("ts_us"), col("event_id"),
           floor(col("value") * 100 + 0.5).as("cents"))
         .withColumn("seq", row_number().over(ord))
         .withColumn("arr", collect_list(col("cents")).over(frame))

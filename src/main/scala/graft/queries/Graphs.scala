@@ -14,10 +14,10 @@ import graft.Tables.t
   *
   * Scale notes (100 TB):
   * - Edge building is the classic basket self-join: distinct (order, part)
-  *   pairs joined per order. Fan-out per order is C(basket, 2) — bounded by
-  *   basket size, not corpus size; a pathological mega-basket would be
-  *   capped by a per-order item limit upstream (same guard family as
-  *   MinHashLsh.maxBucketSize).
+  *   pairs joined per order. Fan-out per order is C(basket, 2), hard-capped
+  *   at C(MaxBasket, 2) by slicing each sorted basket to its MaxBasket
+  *   smallest part keys (mirrored in the oracle edge CTE), so one
+  *   pathological mega-basket cannot go quadratic.
   * - Triangle counting runs on the ORIENTED edge list (a < b), so each
   *   triangle is generated exactly once and wedge fan-out is bounded by
   *   oriented out-degree. The standard refinement at extreme scale —
@@ -35,24 +35,56 @@ object Graphs {
   /** Minimum co-purchase support for an edge. */
   private val MinSupport = 2
 
+  /** Per-order item cap: each basket keeps only its MaxBasket smallest part
+    * keys before the C(k, 2) pair fan-out, bounding per-row work at
+    * C(64, 2) = 2016 pairs no matter how pathological one order is (the
+    * same guard family as MinHashLsh.maxBucketSize). TPC-H-shaped orders
+    * have ≤ 7 distinct parts, so the cap is inert on the driver data —
+    * it exists for the 100-TB mega-basket case, and the oracle edge CTE
+    * applies the identical rank-by-partkey cut so capped results stay
+    * oracle-exact. Deterministic (smallest keys, not arbitrary sample).
+    */
+  private[graft] val MaxBasket = 64
+
   /** Oriented (a_id < b_id) support-thresholded co-purchase edges.
     *
-    * One aggregation to per-order sorted part SETS, then a codegen'd lambda
-    * fans each basket out to its C(k, 2) ordered pairs map-side — no
-    * distinct pre-pass and no self-join (the naive distinct ⋈ distinct form
-    * costs two extra 600k-row exchanges; profiled 2.3 s → 1.3 s at sf0.1).
-    * Fan-out is C(basket, 2), bounded by basket size; a pathological
-    * mega-basket would be capped by a per-order item limit upstream (same
-    * guard family as MinHashLsh.maxBucketSize).
+    * One aggregation to per-order sorted part SETS (sliced to [[MaxBasket]]),
+    * then a codegen'd lambda fans each basket out to its C(k, 2) ordered
+    * pairs map-side — no distinct pre-pass and no self-join (the naive
+    * distinct ⋈ distinct form costs two extra 600k-row exchanges; profiled
+    * 2.3 s → 1.3 s at sf0.1).
     */
   private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val baskets = t(s, d, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("pks"))
+      .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, MaxBasket).as("pks"))
     baskets
       .select(explode(flatten(transform(col("pks"), (x, i) =>
         transform(slice(col("pks"), i + lit(2), size(col("pks"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** A/B twin of [[copurchaseEdges]] for AbBench: fans out the FULL basket
+    * first and only then filters pairs to the capped set (pks is sorted and
+    * a < b, so "both endpoints among the MaxBasket smallest" ⟺
+    * b ≤ pks[MaxBasket]). Row-identical to the declared slice-first form —
+    * the difference is purely the C(k, 2) vs C(MaxBasket, 2) fan-out work,
+    * which is what the mega-basket AbBench row quantifies.
+    */
+  private[graft] def copurchaseEdgesPostFilter(s: SparkSession, d: String): DataFrame = {
+    val baskets = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("pks"))
+    baskets
+      .select(col("pks"), explode(flatten(transform(col("pks"), (x, i) =>
+        transform(slice(col("pks"), i + lit(2), size(col("pks"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(size(col("pks")) <= MaxBasket ||
+        col("p.b") <= element_at(col("pks"), MaxBasket))
       .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= MinSupport)
@@ -216,7 +248,11 @@ object Graphs {
   // syntax is fine here: the graph oracles are not in the ANSI-portable
   // set SqlSurfaceSpec replays through spark.sql.
   private def edgeCte: String =
-    s"""op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    s"""op AS MATERIALIZED (
+       |      SELECT ok, pk FROM (
+       |        SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rk
+       |        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem))
+       |      WHERE rk <= $MaxBasket),
        |e AS MATERIALIZED (SELECT a.pk AS a_id, b.pk AS b_id
        |      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
        |      GROUP BY 1, 2 HAVING count(*) >= $MinSupport)""".stripMargin

@@ -21,26 +21,31 @@ object StreamingJobs {
   val WatermarkDelay = "10 minutes"
 
   /** File-source stream over an events parquet directory: the real
-    * `readStream → transforms → writeStream` entry point. The schema is
-    * pinned explicitly (streaming sources don't infer), with `ts` as raw
-    * ns-epoch BIGINT exactly as `Tables.events` reads the driver's
-    * TIMESTAMP(NANOS) column; `tsx` is the µs-truncated event-time used by
-    * every window below. At scale the directory is a landing zone new files
-    * roll into; each micro-batch picks up only unseen files.
+    * `readStream → transforms → writeStream` entry point. Streaming sources
+    * don't infer schemas, so the `ts` type is pinned from a one-off batch
+    * footer read of the same directory — the directory's files share one
+    * schema across the two generations the testdata has shipped
+    * (ns-as-BIGINT under the nanosAsLong conf, or `timestamp[us]`/NTZ), and
+    * `tsx` (µs-precision event time, TimestampType) is derived to match,
+    * mirroring `Tables.events`. At scale the directory is a landing zone new
+    * files roll into; each micro-batch picks up only unseen files.
     */
   def eventsFileStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val schema = spark.read.parquet(dir).schema
     val reader = spark.readStream.schema(schema)
     // >0 throttles ingestion to N files per micro-batch — the lever that
     // turns a landed directory into a genuinely incremental multi-batch run
     val throttled =
       if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader
+    val tsx = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
     throttled
       .parquet(dir)
-      .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("tsx", tsx)
   }
 
   /** Tumbling 1-hour counts — streaming twin of `stream_tumbling`. */

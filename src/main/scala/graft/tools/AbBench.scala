@@ -150,6 +150,15 @@ object AbBench {
     // row-identical, so the ratio is purely the candidate-generation cost
     "dedup_semantic_quadratic" -> ((s, d) =>
       graft.queries.Corpus.semanticNn(s, d, quadratic = true)),
+    // round-10 basket-cap A/B (VERDICT r9 item 5): the declared
+    // slice-before-fanout co-purchase edge build vs a row-identical twin
+    // that fans out the FULL basket then filters pairs to the capped set —
+    // on a mega-basket corpus the ratio is exactly the C(k,2)/C(64,2)
+    // quadratic work the cap removes
+    "copurchase_edges" -> ((s, d) =>
+      graft.queries.Graphs.copurchaseEdges(s, d).orderBy("a_id", "b_id")),
+    "copurchase_edges_postfilter" -> ((s, d) =>
+      graft.queries.Graphs.copurchaseEdgesPostFilter(s, d).orderBy("a_id", "b_id")),
     // text_ngram_containment before the diagonal rewrite: three consumers
     // of the shingle frame (both join sides + the per-doc count branch),
     // each re-running scan+normalize+explode — the form that grew 8.6× on

@@ -71,15 +71,16 @@ class Round5Spec extends SparkSpec {
     assume(new java.io.File("/root/testdata/sf0.01/events.parquet").exists)
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("r5_stream_events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    // Tables.events adapts to either on-disk ts schema (ns BIGINT or µs
+    // timestamp) and always exposes BIGINT ts_us — quantile/filter on that
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
     // quartile split points; double precision (~256 ns at this epoch) is
     // irrelevant — any consistent thresholds partition time correctly
-    val cuts = ev.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
+    val cuts = ev.stat.approxQuantile("ts_us", Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
     val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
     for (i <- 0 until 4) {
       val scratch = java.nio.file.Files.createTempDirectory(s"r5_quart_$i")
-      ev.filter(col("ts") >= bounds(i) && col("ts") < bounds(i + 1))
+      ev.filter(col("ts_us") >= bounds(i) && col("ts_us") < bounds(i + 1)).drop("ts_us")
         .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
       val part = new java.io.File(scratch.toString).listFiles()
         .find(f => f.getName.endsWith(".parquet")).get

@@ -8,24 +8,40 @@ import org.apache.spark.sql.SparkSession
   * `sfDir` (FIXTURES.md §3: unit tests must not read /root/testdata), so
   * specs can exercise the REAL `SparkEntry.queries` functions end-to-end.
   *
-  * events.ts is written as a plain BIGINT of ns-since-epoch — the same value
-  * `Tables.events` derives from the driver's TIMESTAMP(NANOS) column via the
-  * nanosAsLong conf, so `ts div 1000` behaves identically.
+  * The driver testdata has shipped events.ts under two schemas (Tables.events
+  * scaladoc): `timestamp[us]` (the CURRENT generation, TIMESTAMP_NTZ in
+  * Spark) and INT64 TIMESTAMP(NANOS) (legacy, surfaced as BIGINT ns under
+  * the nanosAsLong conf). [[dir]] mirrors the current µs schema;
+  * [[dirLegacyNs]] the legacy one — DualSchemaSpec runs the events-key
+  * queries against both so a regression in either reader path fails a unit
+  * test, not the driver gate.
   */
 object TestTables {
 
-  private var cached: Option[String] = None
+  private var cachedUs: Option[String] = None
+  private var cachedNs: Option[String] = None
 
+  /** Fixture with events.ts as `timestamp[us]` — the current driver schema. */
   def dir(spark: SparkSession): String = synchronized {
-    cached.getOrElse {
+    cachedUs.getOrElse {
       val d = Files.createTempDirectory("graft-test-sf").toString
-      write(spark, d)
-      cached = Some(d)
+      write(spark, d, eventsTsNs = false)
+      cachedUs = Some(d)
       d
     }
   }
 
-  private def write(spark: SparkSession, d: String): Unit = {
+  /** Fixture with events.ts as BIGINT ns — the legacy driver schema. */
+  def dirLegacyNs(spark: SparkSession): String = synchronized {
+    cachedNs.getOrElse {
+      val d = Files.createTempDirectory("graft-test-sf-ns").toString
+      write(spark, d, eventsTsNs = true)
+      cachedNs = Some(d)
+      d
+    }
+  }
+
+  private def write(spark: SparkSession, d: String, eventsTsNs: Boolean): Unit = {
     import spark.implicits._
 
     Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"))
@@ -68,18 +84,24 @@ object TestTables {
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
       .write.parquet(s"$d/lineitem.parquet")
 
-    // ns-epoch longs; user 7: events at 0, +10min, +50min, +55min → two
-    // 30-min-gap sessions of 2 events each. A view precedes each purchase.
+    // user 7: events at 0, +10min, +50min, +55min → two 30-min-gap sessions
+    // of 2 events each. A view precedes each purchase. Written either as
+    // ns-epoch BIGINT (legacy) or timestamp_ntz µs (current driver schema);
+    // under the UTC session the TimestampType→NTZ cast is value-preserving.
     val base = 1704067200L * 1000000000L // 2024-01-01 00:00:00 UTC in ns
     def ns(min: Long): Long = base + min * 60L * 1000000000L
-    Seq(
+    val eventsRaw = Seq(
       (1L, ns(0), 7L, "view", 1.0, """{"k": 1}"""),
       (2L, ns(10), 7L, "purchase", 2.0, """{"k": 2}"""),
       (3L, ns(50), 7L, "view", 3.0, """{"k": 3}"""),
       (4L, ns(55), 7L, "purchase", 4.0, """{"k": 4}"""),
       (5L, ns(20), 8L, "view", 5.0, """{"k": 5}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.parquet(s"$d/events.parquet")
+    val events =
+      if (eventsTsNs) eventsRaw
+      else eventsRaw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    events.write.parquet(s"$d/events.parquet")
 
     Seq(
       (0L, "a b c", "en", "src0", 5L),
