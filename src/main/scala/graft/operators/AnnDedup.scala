@@ -40,11 +40,18 @@ import org.apache.spark.sql.functions._
 object AnnDedup {
 
   /** Adaptive-plane bounds: 4 ⇒ ≥16 buckets/table even on tiny inputs;
-    * 16 ⇒ 64k buckets/table, enough for ~4M vectors at TargetBucket=64
-    * (beyond that, extend MaxPlanes and regenerate the oracle literals).
+    * 20 ⇒ 1M buckets/table, enough for ~67M vectors at TargetBucket=64
+    * (VERDICT r9 item 8 extended the r9 ceiling of 16). The oracle's plane
+    * literals and CASE ladder are GENERATED from this constant
+    * (queries.Extras.annDedupOracleSql) and AnnLsh.planes is row-major
+    * prefix-stable, so raising it regenerates both sides consistently.
+    * Beyond the ceiling the ladder CLAMPS: mean bucket occupancy grows as
+    * n/2^MaxPlanes·64 and per-bucket pair work with its square — raise
+    * MaxPlanes again before running corpora past ~67M vectors (Round9Spec
+    * pins the clamp boundary so the limit is visible, not silent).
     */
   val MinPlanes = 4
-  val MaxPlanes = 16
+  val MaxPlanes = 20
 
   /** Mean bucket occupancy the adaptive plane count aims for. */
   val TargetBucket = 64L

@@ -9,7 +9,7 @@ import graft.operators.AnnDedup
   */
 class Round9Spec extends SparkSpec {
 
-  test("adaptivePlanes follows the integer ladder, clamped to [4, 16]") {
+  test("adaptivePlanes follows the integer ladder, clamped to [4, 20]") {
     // ≤ 16 target-sized buckets → the 4-plane floor
     assert(AnnDedup.adaptivePlanes(0L) === 4)
     assert(AnnDedup.adaptivePlanes(1L) === 4)
@@ -19,9 +19,15 @@ class Round9Spec extends SparkSpec {
     // the sf0.01 / sf0.1 corpora land on 4 and 7
     assert(AnnDedup.adaptivePlanes(500L) === 4)
     assert(AnnDedup.adaptivePlanes(5000L) === 7)
-    // ceiling: beyond 4M vectors the count clamps at MaxPlanes
+    // the r9 ceiling (16 planes ≈ 4M vectors) is now interior ladder rungs
     assert(AnnDedup.adaptivePlanes(64L << 16) === 16)
-    assert(AnnDedup.adaptivePlanes(Long.MaxValue / 2) === 16)
+    assert(AnnDedup.adaptivePlanes((64L << 16) + 1) === 17)
+    assert(AnnDedup.adaptivePlanes(64L << 18) === 18)
+    assert(AnnDedup.adaptivePlanes((64L << 19) + 1) === 20)
+    // ceiling: beyond ~67M vectors (64·2^20) the count clamps at MaxPlanes —
+    // the documented raise-before-you-run-bigger boundary
+    assert(AnnDedup.adaptivePlanes(64L << 20) === 20)
+    assert(AnnDedup.adaptivePlanes(Long.MaxValue / 2) === 20)
   }
 
   test("declared dedup_embedding_ann equals the brute-force blocked-pair form") {
