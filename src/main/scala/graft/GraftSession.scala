@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
   *    overhead; at real scale, set explicitly per job);
   *  - AQE on (default in 4.x, pinned here against env drift): runtime
   *    coalescing, skew-join splitting, broadcast demotion;
-  *  - nanosAsLong: the events table's TIMESTAMP(NANOS) columns read as raw
-  *    ns longs everywhere, not just via Tables.events;
+  *  - nanosAsLong: legacy-generation events files (INT64 TIMESTAMP(NANOS))
+  *    read as raw ns longs instead of throwing; harmless on the current
+  *    timestamp[us] files (Tables.events adapts to either schema);
   *  - the graft extension functions (ppdb_split) registered.
   */
 object GraftSession {

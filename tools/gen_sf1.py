@@ -4,9 +4,11 @@
 Unlike tools.GenScaleProxy (10 key-shifted copies of sf0.1 -- right for
 scaling TRENDS, wrong for oracle verification because every row has 10 exact
 clones), this draws every row independently with the same schemas, physical
-parquet types (events keeps INT64 TIMESTAMP(NANOS), lineitem keeps
-timestamp[ms]), key ranges scaled 10x, and the same value distributions /
-category sets observed in the driver's sf0.1. Deterministic (fixed numpy
+parquet types (timestamp[us] everywhere since the 2026-08-13 testdata
+regeneration -- events used to be INT64 TIMESTAMP(NANOS) and date columns
+timestamp[ms]; Tables.events adapts to either events generation), key ranges
+scaled 10x, and the same value distributions / category sets observed in the
+driver's sf0.1. Deterministic (fixed numpy
 seed, no clock). Verification infrastructure like tools/compare.py -- NOT
 part of the engine; the Scala library never depends on it.
 
@@ -88,8 +90,8 @@ write("orders", pa.table({
     "o_custkey": pa.array(rng.integers(0, N_CUST, N_ORDERS), pa.int64()),
     "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, N_ORDERS)],
     "o_totalprice": np.round(rng.uniform(1000, 500000, N_ORDERS), 2),
-    "o_orderdate": pa.array(o_dates.astype("datetime64[ms]"),
-                            pa.timestamp("ms")),
+    "o_orderdate": pa.array(o_dates.astype("datetime64[us]"),
+                            pa.timestamp("us")),
     "o_orderpriority": np.array(
         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     )[rng.integers(0, 5, N_ORDERS)],
@@ -115,18 +117,19 @@ write("lineitem", pa.table({
     "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, N_LINE)],
     "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, N_LINE)],
     "l_shipdate": pa.array(
-        (base_day + ship_days.astype("timedelta64[D]")).astype("datetime64[ms]"),
-        pa.timestamp("ms")),
+        (base_day + ship_days.astype("timedelta64[D]")).astype("datetime64[us]"),
+        pa.timestamp("us")),
 }))
 
-# events: INT64 TIMESTAMP(NANOS) like the driver's file (Spark reads it via
-# nanosAsLong); ts monotone in event_id with exponential gaps over ~30 days
+# events: timestamp[us] like the regenerated driver file (TIMESTAMP_NTZ in
+# Spark; Tables.events derives ts_us via unix_micros); ts monotone in
+# event_id with exponential gaps over ~30 days
 gaps_ns = rng.exponential(2.592e9, N_EVENTS).astype(np.int64)
 ts_ns = np.datetime64("2024-01-01").astype("datetime64[ns]").astype(np.int64) \
     + np.cumsum(gaps_ns)
 write("events", pa.table({
     "event_id": pa.array(range(N_EVENTS), pa.int64()),
-    "ts": pa.array(ts_ns, pa.timestamp("ns")),
+    "ts": pa.array(ts_ns // 1000, pa.timestamp("us")),
     "user_id": pa.array(rng.integers(0, 15000, N_EVENTS), pa.int64()),
     "event_type": np.array(["error", "view", "signup", "click", "purchase"])
     [rng.integers(0, 5, N_EVENTS)],
