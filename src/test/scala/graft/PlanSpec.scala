@@ -66,6 +66,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("unpartitioned windows only over post-aggregate (bounded) frames") {
+    // Window.orderBy with no partition key serializes its whole input onto
+    // ONE task — THE 100 TB cliff (operators.PrefixScan scaladoc). Rule:
+    // an unpartitioned Window is acceptable ONLY over a post-aggregate
+    // frame (an Aggregate beneath it bounds the frame by group cardinality
+    // — PrefixScan's ≤16k-block offset scan, stream_late_drop's per-batch
+    // watermark log, sample_temperature's ≤n_langs rank); one sitting
+    // directly on row-cardinality data is the serialization bug this test
+    // exists to catch. The PrefixScan AUTO-CROSSOVER queries legitimately
+    // take the raw single-window branch BELOW CrossoverRows (fixture
+    // scale) and are exempted there, but their at-scale blocked branches
+    // are held to the full rule below.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val autoCrossover = Set("doc_shard_assign", "skyline_pareto", "agg_weighted_median")
+    val checkpointed = Set("dedup_components", "pipeline_corpus_clean", "sim_ann_ivf",
+      "graph_pagerank")
+    def rawGlobalWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+    for ((name, fn) <- SparkEntry.queries if !checkpointed(name) && !autoCrossover(name))
+      assert(rawGlobalWindows(fn(spark, d)).isEmpty,
+        s"$name plans an unpartitioned Window over row-cardinality data " +
+          "(global sort on one task)")
+    // the above-crossover (100 TB) branches must never serialize either
+    val blockedForms = Seq(
+      "doc_shard_assign" ->
+        graft.queries.Corpus.shardManifest(spark, d, blocked = Some(true)),
+      "skyline_pareto" -> {
+        import org.apache.spark.sql.functions.col
+        graft.queries.WindowOps.skylineTwoPass(
+          Tables.t(spark, d, "part")
+            .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+      },
+      "agg_weighted_median" ->
+        graft.queries.Analytics.weightedMedian(spark, d, force = Some(true)))
+    for ((name, df) <- blockedForms)
+      assert(rawGlobalWindows(df).isEmpty,
+        s"$name blocked branch plans an unpartitioned Window over row-cardinality data")
+  }
+
   test("no query plans a CartesianProduct; nested-loop joins only where declared") {
     // text_tfidf / text_unigram_lm broadcast a single-row aggregate (the
     // corpus total) — a deliberate 1×N nested-loop, not a join-order accident
