@@ -41,6 +41,27 @@ object TestTables {
     }
   }
 
+  private var cachedEmpty: Option[String] = None
+
+  /** Same schemas, ZERO rows in every table — the empty-partition/empty-dir
+    * robustness fixture (EmptyCorpusSpec): at 100 TB an operator will meet
+    * empty inputs routinely and must yield an empty (or identity) result,
+    * not a driver-side crash or a divide-by-zero.
+    */
+  def dirEmpty(spark: SparkSession): String = synchronized {
+    cachedEmpty.getOrElse {
+      val full = dir(spark)
+      val d = Files.createTempDirectory("graft-test-sf-empty").toString
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+        val df = spark.read.parquet(s"$full/$t.parquet")
+        df.limit(0).write.parquet(s"$d/$t.parquet")
+      }
+      cachedEmpty = Some(d)
+      d
+    }
+  }
+
   private def write(spark: SparkSession, d: String, eventsTsNs: Boolean): Unit = {
     import spark.implicits._
 
