@@ -153,6 +153,77 @@ object Corpus {
     assign(cent)
   }
 
+  /** Greedy farthest-point sampling, INCREMENTAL form (round 10): the state
+    * frame carries (vec_id, e, md2 = exact min distance to the selected set
+    * so far), so each round compares only against the NEWEST center — one
+    * 1-row broadcast cross join + `least` per round, no per-round
+    * k-row fan-out and no groupBy at all (md2 is already per-vector) —
+    * O(K·n·dim) total distance work vs the recompute twin's O(K²·n·dim).
+    * Output-identical to the twin (exact integers, same (−md2, vec_id)
+    * argmax tie-break; Round10Spec pins it, AbBench measures it as
+    * `sample_coreset_recompute`). Both state and pick frames are lazily
+    * localCheckpoint-ed per round so the K-deep pyramid never re-derives
+    * earlier rounds.
+    */
+  private[graft] def coresetFps(
+      s: SparkSession, d: String, recompute: Boolean = false): DataFrame = {
+    val emb = kmEmb(s, d)
+    if (recompute) {
+      var sel = emb.sort(col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(1L).as("sel_order"), lit(0L).as("d2"), col("e"))
+        .localCheckpoint(eager = false)
+      var i = 2
+      while (i <= CoreK) {
+        val pick = emb
+          .crossJoin(broadcast(sel.select(col("e").as("se"))))
+          .select(col("vec_id"), sqDist("e", "se").as("pd2"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("pd2")).as("md2"))
+          .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .agg(min(struct((lit(0L) - col("md2")).as("neg"), col("vec_id"))).as("m"))
+          .select(col("m.vec_id").as("vec_id"), lit(i.toLong).as("sel_order"),
+            (lit(0L) - col("m.neg")).as("d2"))
+        sel = sel.unionByName(pick.join(emb, "vec_id")
+            .select(col("vec_id"), col("sel_order"), col("d2"), col("e")))
+          .localCheckpoint(eager = false)
+        i += 1
+      }
+      sel.select(col("sel_order"), col("vec_id"), col("d2")).orderBy("sel_order")
+    } else {
+      val first = emb.sort(col("vec_id")).limit(1)
+        .localCheckpoint(eager = false)
+      var picks = first
+        .select(col("vec_id"), lit(1L).as("sel_order"), lit(0L).as("d2"))
+        .localCheckpoint(eager = false)
+      var state = emb
+        .crossJoin(broadcast(first.select(col("e").as("se"))))
+        .select(col("vec_id"), col("e"), sqDist("e", "se").as("md2"))
+        .localCheckpoint(eager = false)
+      var i = 2
+      while (i <= CoreK) {
+        // the empty-corpus agg yields one all-NULL row — filter it so a
+        // zero-row corpus yields a zero-row coreset, not K−1 null picks
+        val pick = state
+          .join(picks.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .agg(min(struct((lit(0L) - col("md2")).as("neg"), col("vec_id"))).as("m"))
+          .select(col("m.vec_id").as("vec_id"), lit(i.toLong).as("sel_order"),
+            (lit(0L) - col("m.neg")).as("d2"))
+          .filter(col("vec_id").isNotNull)
+          .localCheckpoint(eager = false) // feeds both the output and the center
+        picks = picks.unionByName(pick).localCheckpoint(eager = false)
+        if (i < CoreK) {
+          state = state
+            .crossJoin(broadcast(pick.join(emb, "vec_id").select(col("e").as("se"))))
+            .select(col("vec_id"), col("e"),
+              least(col("md2"), sqDist("e", "se")).as("md2"))
+            .localCheckpoint(eager = false)
+        }
+        i += 1
+      }
+      picks.select(col("sel_order"), col("vec_id"), col("d2")).orderBy("sel_order")
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Corpus-level boilerplate removal: non-overlapping SegWords-word
     // segments; a segment STRING seen in ≥ SegMinDocs distinct docs is
@@ -345,34 +416,10 @@ object Corpus {
     // anti-joined out so degenerate duplicate vectors can't be re-picked).
     // Reported d2 is the coverage radius at selection time — monotone
     // non-increasing, the k-center certificate. EXACT cross-engine via
-    // the shared fixed-point domain. Scale shape: each round is one
-    // ≤ CoreK-row BROADCAST fan-out + a hash min + a hash argmax (min
-    // over struct(-d2, vec_id) — no window, no sort); the accumulating
-    // selected-set frame is lazily localCheckpoint-ed per round so the
-    // K-deep plan pyramid never re-derives earlier rounds.
-    "sample_coreset" -> ((s, d) => {
-      val emb = kmEmb(s, d)
-      var sel = emb.sort(col("vec_id")).limit(1)
-        .select(col("vec_id"), lit(1L).as("sel_order"), lit(0L).as("d2"), col("e"))
-        .localCheckpoint(eager = false)
-      var i = 2
-      while (i <= CoreK) {
-        val pick = emb
-          .crossJoin(broadcast(sel.select(col("e").as("se"))))
-          .select(col("vec_id"), sqDist("e", "se").as("pd2"))
-          .groupBy(col("vec_id"))
-          .agg(min(col("pd2")).as("md2"))
-          .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
-          .agg(min(struct((lit(0L) - col("md2")).as("neg"), col("vec_id"))).as("m"))
-          .select(col("m.vec_id").as("vec_id"), lit(i.toLong).as("sel_order"),
-            (lit(0L) - col("m.neg")).as("d2"))
-        sel = sel.unionByName(pick.join(emb, "vec_id")
-            .select(col("vec_id"), col("sel_order"), col("d2"), col("e")))
-          .localCheckpoint(eager = false)
-        i += 1
-      }
-      sel.select(col("sel_order"), col("vec_id"), col("d2")).orderBy("sel_order")
-    }),
+    // the shared fixed-point domain. Round 10 made the scan INCREMENTAL —
+    // see [[coresetFps]] for the shape and the A/B against the recompute
+    // twin it replaced.
+    "sample_coreset" -> ((s, d) => coresetFps(s, d)),
 
     // Size-balanced CONTIGUOUS output sharding — the "write the corpus as
     // S balanced shards" step before a training job: shard(doc) =

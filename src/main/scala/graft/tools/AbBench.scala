@@ -150,6 +150,12 @@ object AbBench {
     // row-identical, so the ratio is purely the candidate-generation cost
     "dedup_semantic_quadratic" -> ((s, d) =>
       graft.queries.Corpus.semanticNn(s, d, quadratic = true)),
+    // round-10 coreset A/B: the recompute FPS form the incremental state
+    // frame replaced — every round re-derives min-distance against the
+    // WHOLE selected set (k-row fan-out + groupBy), O(K²·n·dim) total
+    // distance work vs the declared form's O(K·n·dim)
+    "sample_coreset_recompute" -> ((s, d) =>
+      graft.queries.Corpus.coresetFps(s, d, recompute = true)),
     // round-10 basket-cap A/B (VERDICT r9 item 5): the declared
     // slice-before-fanout co-purchase edge build vs a row-identical twin
     // that fans out the FULL basket then filters pairs to the capped set —

@@ -36,6 +36,20 @@ class Round10Spec extends SparkSpec {
     assert(a === b)
   }
 
+  test("incremental coreset FPS is row-identical to the recompute twin") {
+    val d = TestTables.dir(spark)
+    val a = graft.queries.Corpus.coresetFps(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.queries.Corpus.coresetFps(spark, d, recompute = true)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("incremental coreset FPS yields zero rows on a zero-row corpus") {
+    assert(graft.queries.Corpus.coresetFps(spark, TestTables.dirEmpty(spark)).count() === 0)
+  }
+
   test("cap is inert on TPC-H-shaped baskets (fixture max basket ≤ 7)") {
     val d = TestTables.dir(spark)
     val a = graft.queries.Graphs.copurchaseEdges(spark, d)
