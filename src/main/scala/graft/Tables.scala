@@ -19,10 +19,11 @@ object Tables {
     *    is set, which surfaces it as a raw BIGINT of nanoseconds. `ts_us`
     *    is then `ts div 1000` (integer floor-div) — exactly the µs value
     *    DuckDB sees when it truncates ns→µs on read.
-    *  - `timestamp[us]` (TIMESTAMP_NTZ in Spark): `ts_us` is
-    *    `unix_micros(cast(ts as timestamp))`. Both the build and the
-    *    driver's Verify sessions force UTC, so the NTZ→LTZ cast is
-    *    value-preserving; DuckDB's `epoch_us(ts)` yields the same value.
+    *  - `timestamp[us]` (TIMESTAMP_NTZ in Spark): `ts_us` is the µs count
+    *    since the NTZ epoch via `timestampdiff(MICROSECOND, …)` — a
+    *    timezone-INDEPENDENT derivation (an NTZ→LTZ cast would shift by the
+    *    session zone, silently diverging from DuckDB's `epoch_us(ts)` for a
+    *    library user running non-UTC).
     *
     * Every event-time comparison/ordering/output in the engine uses `ts_us`
     * (BIGINT µs), never the raw column, so oracle parity holds at µs
@@ -35,7 +36,9 @@ object Tables {
     val df = t(spark, sfDir, "events")
     val tsUs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => unix_micros(col("ts").cast("timestamp"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case _ => unix_micros(col("ts"))
     }
     df.withColumn("ts_us", tsUs)
   }

@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * The quantizer is fit EXECUTOR-SIDE over a bounded deterministic sample
   * (the FAISS `train()` pattern — VERDICT r9 item 7): the hash-ordered
   * top-`sampleCap` sample is funneled into ONE executor task that runs
-  * farthest-point init + Lloyd locally in that task, and only the ≤ nLists
+  * seeded-shuffle init + Lloyd locally in that task (farthest-point init was
+  * tried and reverted — it regressed recall@5 0.84 → 0.76 at sf0.1, see
+  * fitLocal and BASELINE.md), and only the ≤ nLists
   * FINAL centroids cross back to the driver (the assignment/probe closures
   * need them broadcast — k×dim doubles, trivially bounded at any corpus
   * size). No corpus vector is ever collected. A per-round distributed

@@ -27,21 +27,30 @@ object StreamingJobs {
     * schema across the two generations the testdata has shipped
     * (ns-as-BIGINT under the nanosAsLong conf, or `timestamp[us]`/NTZ), and
     * `tsx` (µs-precision event time, TimestampType) is derived to match,
-    * mirroring `Tables.events`. At scale the directory is a landing zone new
-    * files roll into; each micro-batch picks up only unseen files.
+    * mirroring `Tables.events`. A NOT-YET-POPULATED landing directory (no
+    * files to peek) falls back to the current-generation pinned DDL instead
+    * of erroring — the stream then starts empty and picks files up as they
+    * land. At scale the directory is a landing zone new files roll into;
+    * each micro-batch picks up only unseen files.
     */
   def eventsFileStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
+    val schema = scala.util.Try(spark.read.parquet(dir).schema).getOrElse(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"))
     val reader = spark.readStream.schema(schema)
     // >0 throttles ingestion to N files per micro-batch — the lever that
     // turns a landed directory into a genuinely incremental multi-batch run
     val throttled =
       if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader
+    // Timezone-independent event time, mirroring Tables.events: an NTZ→LTZ
+    // cast would shift by the session zone for a non-UTC library user.
     val tsx = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
-      case _ => col("ts").cast("timestamp")
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        expr("timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))")
+      case _ => col("ts")
     }
     throttled
       .parquet(dir)

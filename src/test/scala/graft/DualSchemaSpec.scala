@@ -43,6 +43,21 @@ class DualSchemaSpec extends SparkSpec {
     }
   }
 
+  test("ts_us is timezone-independent for the NTZ schema (ADVICE r10)") {
+    // a library user running a non-UTC session must see the same ts_us —
+    // the old unix_micros(NTZ→LTZ cast) derivation shifted by the zone
+    val d = TestTables.dir(spark)
+    val utc = Tables.events(spark, d)
+      .select("event_id", "ts_us").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val tokyo = Tables.events(spark, d)
+        .select("event_id", "ts_us").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(tokyo === utc, "ts_us shifted under a non-UTC session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("eventsFileStream adapts tsx to either schema (batch-peeked footer)") {
     // the streaming reader peeks the footer for the ts type; both fixtures
     // must yield the same µs event-time under the UTC session

@@ -136,6 +136,24 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("eventsFileStream on an empty landing directory falls back to the pinned schema") {
+    // ADVICE r10: the batch footer peek throws on a not-yet-populated landing
+    // zone; the fallback DDL must let the stream start (and produce nothing)
+    val dir = java.nio.file.Files.createTempDirectory("emptyland").toString
+    val stream = StreamingJobs.eventsFileStream(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema("tsx").dataType === org.apache.spark.sql.types.TimestampType)
+    val q = StreamingJobs.tumbling(stream)
+      .writeStream.format("memory").queryName("emptyland")
+      .outputMode(OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.table("emptyland").count() === 0L)
+    } finally q.stop()
+  }
+
   test("timeout sessionizer closes quiet sessions when the watermark passes") {
     implicit val sql = spark.sqlContext
     implicit val s = spark

@@ -31,7 +31,15 @@ object TestTables {
     }
   }
 
-  /** Fixture with events.ts as BIGINT ns — the legacy driver schema. */
+  /** Fixture with events.ts as BIGINT ns — the legacy driver schema.
+    *
+    * Fidelity gap: Spark cannot WRITE INT64 TIMESTAMP(NANOS) parquet, so
+    * this fixture carries a plain BIGINT column — it exercises the LongType
+    * branch of Tables.events (`ts div 1000`) but not the actual
+    * PARQUET_TYPE_ILLEGAL/nanosAsLong read path the legacy driver files
+    * trigger (that path needs a pyarrow-written true-NANOS file, which the
+    * pre-regeneration driver testdata provided).
+    */
   def dirLegacyNs(spark: SparkSession): String = synchronized {
     cachedNs.getOrElse {
       val d = Files.createTempDirectory("graft-test-sf-ns").toString
