@@ -84,7 +84,12 @@ object TextPipeline {
     // Brute-force cosine top-k — the exactness baseline for ANN. The 10-row
     // query side is broadcast; the scan side streams through a nested-loop
     // probe (10·n dot products, embarrassingly parallel). The bucketed scale
-    // path is sim_ann_lsh.
+    // path is sim_ann_lsh. Neighbors rank by the ROUNDED cosine (rd, the
+    // parity-safe floor formula) then nid — ranking by the full-precision
+    // value would let two cosines that tie within ulp order differently
+    // across engines' summation orders (SURVEY §5.4 risk, retired r11);
+    // the rounded key makes every near-tie break deterministically by nid
+    // on BOTH sides.
     "sim_knn_cosine" -> ((s, d) => {
       // norms projected per side pre-join (not per joined pair) — identical
       // float ops, fewer evaluations
@@ -93,12 +98,13 @@ object TextPipeline {
         .withColumn("nrm", l2(s, "vec"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"), col("nrm").as("qnrm"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
       emb.join(broadcast(q), col("vec_id") =!= col("qid"))
         .withColumn("cos", dot(s, "vec", "qvec") / (col("nrm") * col("qnrm")))
+        .withColumn("cos_sim", rd(col("cos"), 4))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
-        .select(col("qid"), col("rnk"), col("vec_id").as("nid"), rd(col("cos"), 4).as("cos_sim"))
+        .select(col("qid"), col("rnk"), col("vec_id").as("nid"), col("cos_sim"))
         .orderBy("qid", "rnk")
     }),
 
@@ -171,12 +177,12 @@ object TextPipeline {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |q AS (SELECT vec_id AS qid, vec AS qvec FROM e WHERE vec_id < 10),
         |p AS (SELECT q.qid, e.vec_id AS nid,
-        |             list_inner_product(e.vec, q.qvec)
+        |             floor(list_inner_product(e.vec, q.qvec)
         |               / (sqrt(list_inner_product(e.vec, e.vec))
-        |                  * sqrt(list_inner_product(q.qvec, q.qvec))) AS cos
+        |                  * sqrt(list_inner_product(q.qvec, q.qvec))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
         |      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid)
-        |SELECT qid, CAST(row_number() OVER w AS BIGINT) AS rnk, nid, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos_sim
-        |FROM p WINDOW w AS (PARTITION BY qid ORDER BY cos DESC, nid)
+        |SELECT qid, CAST(row_number() OVER w AS BIGINT) AS rnk, nid, cos_sim
+        |FROM p WINDOW w AS (PARTITION BY qid ORDER BY cos_sim DESC, nid)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY qid, rnk""".stripMargin,
     "multimodal_join_stats" ->
