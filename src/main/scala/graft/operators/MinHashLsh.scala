@@ -37,13 +37,27 @@ object MinHashLsh {
     (a, b)
   }
 
-  /** `shingleSize`-token shingles of a token array column, distinct. Built
-    * as `shingleSize` shifted slices folded with zip_with — a constant
-    * number of array passes, vs the naive transform-with-slice-per-position
-    * which allocates one sub-array per token (measured 5× slower). Docs
-    * shorter than the shingle size yield an empty array.
+  /** `shingleSize`-token shingles of a token array column, distinct
+    * (first-occurrence order). ONE native codegen'd kernel call
+    * (`plans.NGrams`) — the previous zip_with-fold form ran `shingleSize`
+    * slices + folds as interpreted CodegenFallback lambdas (each an array
+    * copy, and each breaking the surrounding whole-stage-codegen span);
+    * bit-identical semantics, spec-asserted ([[shinglesExpr]] is the
+    * retained parity reference). Docs shorter than the shingle size yield
+    * an empty array.
     */
-  def shingles(tokens: Column, shingleSize: Int): Column = {
+  def shingles(tokens: Column, shingleSize: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.plans.NGrams(
+        org.apache.spark.sql.GraftSqlShim.expression(tokens),
+        shingleSize, distinct = true))
+
+  /** The original pure-expression shingle form — parity reference for the
+    * native kernel: `shingleSize` shifted slices folded with zip_with, then
+    * array_distinct, with a when-guard for docs shorter than the shingle
+    * size.
+    */
+  def shinglesExpr(tokens: Column, shingleSize: Int): Column = {
     val n = size(tokens)
     val len = n - (shingleSize - 1)
     val shifted = (1 to shingleSize).map(j => slice(tokens, lit(j), len))

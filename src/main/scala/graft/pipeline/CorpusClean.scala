@@ -66,21 +66,25 @@ object CorpusClean {
 
     // exact dedup, slim-shuffle form: only (doc_id, 16-byte hash) pairs
     // enter the exchange — the document-bearing side is then filtered by a
-    // broadcast-friendly semi-join on keeper ids, so text never shuffles
-    val hashed = quality.withColumn("h", md5(col("norm")))
+    // broadcast-friendly semi-join on keeper ids, so text never shuffles.
+    // The normalize+hash pass is materialized ONCE (localCheckpoint:
+    // block-manager storage with GC-tied cleanup, unlike an unreleasable
+    // CacheManager entry) BEFORE it fans out — the keeper-id groupBy, the
+    // semi-join probe, the near-dup shingle build and the final anti-join
+    // probe all read the checkpoint instead of re-running the two regex
+    // passes per consumer (true-sf1 profile: normalize was ~1.7 s/pass and
+    // ran twice)
+    val hashed = quality.withColumn("h", md5(col("norm"))).localCheckpoint()
     val keeperIds = hashed
       .select(col("doc_id"), col("h"))
       .groupBy("h")
       .agg(min(col("doc_id")).as("doc_id"))
       .drop("h")
-    // materialize the survivor set once (localCheckpoint: block-manager
-    // storage with GC-tied cleanup, unlike an unreleasable CacheManager
-    // entry) — it feeds both the near-dup shingle build and the final
-    // anti-join probe
+    // cheap to recompute from the checkpoint (scan + one semi join), so no
+    // second materialization
     val keepers = hashed
       .join(keeperIds, Seq("doc_id"), "left_semi")
       .drop("h")
-      .localCheckpoint()
 
     if (cfg.nearDupJaccard == 1.0 && !cfg.forceLsh) {
       // FAST PATH — Jaccard 1.0 is shingle-SET IDENTITY, so "near"-dup
@@ -94,16 +98,21 @@ object CorpusClean {
       val sh = keepers.select(
         col("doc_id"),
         MinHashLsh.shingles(split(col("norm"), " "), shingleSize = 3).as("sh"))
-      // canonical fingerprint: sorted distinct shingles (shingles() already
-      // distincts) joined with a double space — unambiguous because tokens
-      // come from splitting whitespace-collapsed norm on single spaces, so
-      // no shingle can contain two adjacent spaces
+      // canonical set fingerprint: TWO independent-seed order-independent
+      // hash sums (plans.SetHashSum — commutative, so no array_sort +
+      // concat_ws + md5 cascade; 128-bit effective key, collision odds
+      // ~n²/2¹²⁸). Set identity is exactly what Jaccard-1.0 pairing means,
+      // so min-id-per-fingerprint ≡ drop-everything-paired-with-a-smaller-id
+      def fpc(seed: Long) = org.apache.spark.sql.GraftSqlShim.column(
+        graft.plans.SetHashSum(
+          org.apache.spark.sql.GraftSqlShim.expression(col("sh")), seed))
       val fp = sh
         .filter(size(col("sh")) > 0) // shingle-less docs never pair; always kept
-        .select(col("doc_id"), md5(concat_ws("  ", array_sort(col("sh")))).as("fp"))
+        .select(col("doc_id"), fpc(42L).as("fp1"), fpc(7L).as("fp2"))
       // slim shuffle, same discipline as the exact-dedup stage above:
-      // only (16-byte fingerprint, id) pairs enter the exchange
-      val keepIds = fp.groupBy("fp").agg(min(col("doc_id")).as("doc_id")).drop("fp")
+      // only (two 8-byte fingerprints, id) triples enter the exchange
+      val keepIds = fp.groupBy("fp1", "fp2").agg(min(col("doc_id")).as("doc_id"))
+        .drop("fp1", "fp2")
       val shingleless = sh.filter(size(col("sh")) === 0).select(col("doc_id"))
       keepers.join(keepIds.union(shingleless), Seq("doc_id"), "left_semi")
     } else {

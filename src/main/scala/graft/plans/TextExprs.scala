@@ -57,6 +57,97 @@ object TextExprs {
     * but the outer `array(...)` constructor is not).
     */
   def allNullSig(k: Int): ArrayData = new GenericArrayData(new Array[Any](k))
+
+  private val EmptyArray: ArrayData = new GenericArrayData(Array.empty[Any])
+
+  /** Space-joined n-grams of a token array in ONE pass, optionally distinct
+    * (first-occurrence order — exactly `array_distinct`'s). Bit-parity with
+    * the higher-order form it replaces
+    * (`zip_with(slice...,slice..., concat)` chains): a null token nulls its
+    * n-grams (as `concat` null-propagates), fewer than n tokens → EMPTY
+    * array (as the `when(size >= n, ...)` guard), and a NULL input array →
+    * empty array (ANSI `size(NULL) >= n` is NULL → otherwise branch).
+    */
+  def ngrams(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    if (arr == null) return EmptyArray
+    val len = arr.numElements()
+    val out = len - n + 1
+    if (out <= 0) return EmptyArray
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    if (!distinct) {
+      val res = new Array[Any](out)
+      i = 0
+      while (i < out) {
+        res(i) = joinGram(toks, i, n, space)
+        i += 1
+      }
+      new GenericArrayData(res)
+    } else {
+      // LinkedHashSet ≡ array_distinct: keep first occurrence, in order.
+      // UTF8String#equals/hashCode are byte-wise, so set semantics match
+      // Spark's binary string equality; at most one null survives (a null
+      // n-gram equals every other null n-gram, as in array_distinct).
+      val seen = new java.util.LinkedHashSet[Any]()
+      i = 0
+      while (i < out) {
+        seen.add(joinGram(toks, i, n, space))
+        i += 1
+      }
+      val res = new Array[Any](seen.size)
+      val it = seen.iterator()
+      i = 0
+      while (it.hasNext) { res(i) = it.next(); i += 1 }
+      new GenericArrayData(res)
+    }
+  }
+
+  /** Order-independent 64-bit set fingerprint: the wrapping Long SUM of
+    * `xxhash64(elem, seed)` over the array (null elements hash to the seed,
+    * as the builtin does; a NULL array sums to 0). Commutative, so identical
+    * shingle SETS fingerprint identically with NO array_sort + concat_ws +
+    * md5 cascade (true-sf1 profile: that cascade was ~1.8 s of
+    * pipeline_corpus_clean); two instances with independent seeds give a
+    * 128-bit effective key.
+    */
+  def setHashSum(arr: ArrayData, seed: Long): Long = {
+    if (arr == null) return 0L
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += (if (arr.isNullAt(i)) seed
+              else XxHash64Function.hash(arr.getUTF8String(i), StringType, seed))
+      i += 1
+    }
+    acc
+  }
+
+  /** concat-with-space of toks[i..i+n): null token → null gram (concat). */
+  private def joinGram(
+      toks: Array[org.apache.spark.unsafe.types.UTF8String],
+      i: Int, n: Int,
+      space: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    var j = 0
+    while (j < n) {
+      if (toks(i + j) == null) return null
+      j += 1
+    }
+    if (n == 1) return toks(i)
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+    j = 0
+    while (j < n) {
+      parts(2 * j) = toks(i + j)
+      if (j < n - 1) parts(2 * j + 1) = space
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+  }
 }
 
 /** `minhash_sig(shingles)` — the k-hash MinHash signature as one codegen'd
@@ -112,5 +203,95 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], prime: Long
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `ngrams(tokens, n, distinct)` — space-joined n-grams as one codegen'd
+  * kernel call, replacing the interpreted higher-order cascade
+  * (`shingleSize` slices + `zip_with` concat folds + `array_distinct`, each
+  * an interpreted lambda walk with an intermediate array copy — higher-order
+  * functions are CodegenFallback, so they also broke the surrounding
+  * whole-stage-codegen span). Semantics are bit-identical to that form (see
+  * [[TextExprs.ngrams]]); used by `MinHashLsh.shingles` (distinct) and
+  * `text_bigrams` (non-distinct).
+  */
+case class NGrams(child: Expression, n: Int, distinct: Boolean)
+  extends UnaryExpression {
+
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "ngrams"
+
+  // NULL input array → EMPTY array (the when-guard of the expression form
+  // under ANSI), so the result is never null.
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    TextExprs.ngrams(v.asInstanceOf[ArrayData], n, distinct)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("ngrams")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData $out =
+          graft.plans.TextExprs.ngrams(${c.isNull} ? null : ${c.value}, $n, $distinct);
+      """,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(out, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGrams =
+    copy(child = newChild)
+}
+
+/** `set_hash_sum(arr, seed)` — order-independent set fingerprint as one
+  * codegen'd kernel call (see [[TextExprs.setHashSum]]).
+  */
+case class SetHashSum(child: Expression, seed: Long)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "set_hash_sum"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    TextExprs.setHashSum(v.asInstanceOf[ArrayData], seed)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("setHashSum")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long $out = graft.plans.TextExprs.setHashSum(${c.isNull} ? null : ${c.value}, ${seed}L);
+      """,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(out, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SetHashSum =
     copy(child = newChild)
 }

@@ -343,15 +343,20 @@ object Events {
 
     // Keep-first dedup per (user_id, event_type) — the batch twin of
     // streaming dropDuplicatesWithinWatermark (StreamingJobs.dedupWithinWatermark).
-    // One shuffle on the dedup key; row_number+filter never materializes
-    // the duplicate rows past the exchange.
+    // min(struct(ts_us, event_id)) with PARTIAL aggregation (the cdc_latest
+    // max_by pattern): each map task combines its rows down to one per key
+    // before the exchange, so only n_keys rows shuffle — the previous
+    // row_number window sorted ALL rows through the exchange first (true-sf1
+    // profile: 4.6× growth from real distinct-key variety; struct-min
+    // lexicographic (ts_us, event_id) ≡ first row of the (ts_us, event_id)
+    // sort order, event_id unique ⇒ deterministic).
     "stream_dedup" -> ((s, d) => {
-      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
       events(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("m"))
+        .select(
+          col("m.event_id").as("event_id"), col("user_id"),
+          col("event_type"), col("m.ts_us").as("ts_us"))
         .orderBy("user_id", "event_type")
     }),
 
