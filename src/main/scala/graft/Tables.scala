@@ -69,9 +69,13 @@ object Tables {
     floor(c * m + 0.5) / m
   }
 
-  /** Oracle-side twin of [[rd]]. */
-  def rdSql(x: String, digits: Int): String = {
-    val m = math.pow(10, digits)
-    s"floor(($x) * $m + 0.5) / $m"
-  }
+  /** Oracle-side twin of [[rd]]. The multiplier is emitted in SCIENTIFIC
+    * notation (`1e4`) because that parses as DOUBLE in both DuckDB and
+    * Spark SQL, while `10000.0` parses as DECIMAL in Spark — running the
+    * same oracle string through spark.sql then yields DECIMAL-typed output
+    * that breaks verbatim dual-surface parity (SqlSurfaceSpec). Same IEEE
+    * value either way.
+    */
+  def rdSql(x: String, digits: Int): String =
+    s"floor(($x) * 1e$digits + 0.5) / 1e$digits"
 }

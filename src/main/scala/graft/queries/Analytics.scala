@@ -410,15 +410,15 @@ object Analytics {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag,
-        |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
-        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
-        |       round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50,
+        |       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_minmax_by" ->
       """SELECT o_orderpriority,
-        |       arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS max_order,
+        |       max_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS max_order,
         |       round(max(o_totalprice), 2) AS max_price,
-        |       arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS min_order,
+        |       min_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS min_order,
         |       round(min(o_totalprice), 2) AS min_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_filtered" ->
@@ -456,8 +456,8 @@ object Analytics {
         |       TRY_CAST(p_brand AS INT) AS bad_cast,
         |       TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
         |       p_retailprice / nullif(p_size - p_size, 0) AS div0,
-        |       string_split(p_type, ' ')[99] AS oob,
-        |       string_split(p_type, ' ')[1] AS first_word
+        |       nullif(split_part(p_type, ' ', 99), '') AS oob,
+        |       split_part(p_type, ' ', 1) AS first_word
         |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
     "window_range_frame" ->
       """SELECT o_orderkey, o_custkey,

@@ -387,7 +387,7 @@ object Analytics2 {
         |ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
     "agg_argmax_struct" ->
       """SELECT o_orderpriority,
-        |       arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS best_order,
+        |       max_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS best_order,
         |       round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "window_fill_forward" ->

@@ -736,8 +736,8 @@ object Corpus {
       s"""SELECT source, doc_id FROM (
          |  SELECT source, doc_id,
          |         row_number() OVER (PARTITION BY source
-         |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-         |  FROM documents) WHERE rk <= $Quota
+         |                            ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+         |  FROM documents) t WHERE rk <= $Quota
          |ORDER BY source, doc_id""".stripMargin,
 
     "data_mixture_weights" ->

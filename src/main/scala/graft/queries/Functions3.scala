@@ -119,8 +119,8 @@ object Functions3 {
     "func_string2" ->
       """SELECT p_partkey,
         |       split_part(p_name, ' ', 2) AS second_word,
-        |       CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
-        |       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |       CAST(instr(p_name, 'a') AS BIGINT) AS pos_a,
+        |       lpad(CAST(p_partkey AS STRING), 8, '0') AS key_padded,
         |       rpad(p_brand, 10, '.') AS brand_padded,
         |       translate(p_type, 'aeo', '430') AS leeted,
         |       reverse(substr(p_name, 1, 6)) AS rev6,
@@ -148,7 +148,7 @@ object Functions3 {
     "func_url" ->
       """WITH u AS (SELECT doc_id,
         |                  concat('https://', source, '.example.com/', lang, '/',
-        |                         CAST(doc_id AS VARCHAR), '?q=', lang) AS url
+        |                         CAST(doc_id AS STRING), '?q=', lang) AS url
         |           FROM documents)
         |SELECT doc_id, url,
         |       regexp_extract(url, '^https://([^/]+)', 1) AS host,

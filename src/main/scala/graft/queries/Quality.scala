@@ -263,7 +263,8 @@ object Quality {
     "sample_stratified" ->
       """WITH c AS (
         |  SELECT lang, n_chars,
-        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS coin
+        |         CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 AS BIGINT) * 16
+        |           + CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1 AS BIGINT) AS coin
         |  FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -289,7 +289,7 @@ object Relational {
         |LIMIT 100""".stripMargin,
     "filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        |       floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) / 100.0 AS revenue
+        |       floor(l_extendedprice * (1.0 - l_discount) * 1e2 + 0.5) / 1e2 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'

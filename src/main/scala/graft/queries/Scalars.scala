@@ -109,12 +109,12 @@ object Scalars {
         |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
     "func_math" ->
       """SELECT l_orderkey, l_linenumber,
-        |       floor(l_extendedprice * 10.0 + 0.5) / 10.0 AS price_r,
-        |       floor(abs(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS abs_disc,
+        |       floor(l_extendedprice * 1e1 + 0.5) / 1e1 AS price_r,
+        |       floor(abs(l_discount) * 1e6 + 0.5) / 1e6 AS abs_disc,
         |       CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
         |       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
-        |       floor(power(l_discount, 2) * 1000000.0 + 0.5) / 1000000.0 AS pow_d,
-        |       floor(ln(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS ln_p
+        |       floor(power(l_discount, 2) * 1e6 + 0.5) / 1e6 AS pow_d,
+        |       floor(ln(l_extendedprice) * 1e6 + 0.5) / 1e6 AS ln_p
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, price_r, abs_disc, floor_p, ceil_p, pow_d, ln_p
         |LIMIT 500""".stripMargin,

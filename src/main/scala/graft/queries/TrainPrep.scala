@@ -218,13 +218,16 @@ object TrainPrep {
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "sample_reservoir" ->
-      """SELECT lang, doc_id FROM documents
-        |QUALIFY row_number() OVER (PARTITION BY lang
-        |  ORDER BY md5(concat('rsv|', CAST(doc_id AS VARCHAR))), doc_id) <= 10
+      // subquery + STRING cast: verbatim-portable to Spark SQL (r11)
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(concat('rsv|', CAST(doc_id AS STRING))), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10
         |ORDER BY lang, doc_id""".stripMargin,
     "sample_split" ->
       """WITH d AS (SELECT doc_id, n_chars,
-        |                  substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 1) AS h
+        |                  substr(md5(concat('split|', CAST(doc_id AS STRING))), 1, 1) AS h
         |           FROM documents)
         |SELECT CASE WHEN h BETWEEN '0' AND 'b' THEN 'train'
         |            WHEN h IN ('c', 'd') THEN 'val' ELSE 'test' END AS split,
@@ -233,16 +236,16 @@ object TrainPrep {
     "dedup_url_norm" ->
       """WITH u AS (SELECT doc_id,
         |  CASE doc_id % 3
-        |    WHEN 0 THEN concat('https://CDN.Example.com/docs/', CAST(doc_id // 3 AS VARCHAR),
-        |                       '?utm_source=feed&q=', CAST(doc_id // 3 % 5 AS VARCHAR))
-        |    WHEN 1 THEN concat('https://cdn.example.com/docs/', CAST(doc_id // 3 AS VARCHAR),
-        |                       '/?q=', CAST(doc_id // 3 % 5 AS VARCHAR))
-        |    ELSE concat('https://cdn.example.com/docs/', CAST(doc_id // 3 AS VARCHAR),
-        |                '?q=', CAST(doc_id // 3 % 5 AS VARCHAR), '#sec') END AS url
+        |    WHEN 0 THEN concat('https://CDN.Example.com/docs/', CAST(floor(doc_id / 3) AS BIGINT),
+        |                       '?utm_source=feed&q=', CAST(CAST(floor(doc_id / 3) AS BIGINT) % 5 AS STRING))
+        |    WHEN 1 THEN concat('https://cdn.example.com/docs/', CAST(floor(doc_id / 3) AS BIGINT),
+        |                       '/?q=', CAST(CAST(floor(doc_id / 3) AS BIGINT) % 5 AS STRING))
+        |    ELSE concat('https://cdn.example.com/docs/', CAST(floor(doc_id / 3) AS BIGINT),
+        |                '?q=', CAST(CAST(floor(doc_id / 3) AS BIGINT) % 5 AS STRING), '#sec') END AS url
         |  FROM documents),
         |c AS (SELECT doc_id,
         |  concat(lower(regexp_extract(url, 'https://([^/]+)/', 1)),
-        |         rtrim(regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1), '/'),
+        |         TRIM(TRAILING '/' FROM regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1)),
         |         '?q=', regexp_extract(url, '[?&]q=([^&#]*)', 1)) AS canon
         |  FROM u)
         |SELECT canon, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS dupes

@@ -100,10 +100,14 @@ object Windows {
         |FROM events
         |ORDER BY event_id""".stripMargin,
     "topk_per_group" ->
-      """SELECT o_custkey, CAST(row_number() OVER w AS BIGINT) AS rn, o_orderkey, o_totalprice
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-        |QUALIFY row_number() OVER w <= 3
+      // subquery-filter form instead of QUALIFY: same plan in DuckDB, and
+      // the string is then verbatim-valid Spark SQL too (SqlSurfaceSpec)
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER w AS BIGINT) AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin
   )
 }

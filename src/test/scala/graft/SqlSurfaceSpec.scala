@@ -38,11 +38,19 @@ class SqlSurfaceSpec extends SparkSpec {
   // executions (DataFrame API, Spark SQL, DuckDB), one result. ----
 
   /** Declared keys whose ORACLE SQL is valid Spark SQL verbatim — widened
-    * from the round-9 relational core (25) to every key that passes a full
-    * probe of the oracle map (round 10): the window family, correlated /
-    * IN / scalar subqueries, recursive CTE, pivot/unpivot, the bloom and
-    * salted joins, the z-order interleave and the statistical aggregates
-    * all run on both engines from ONE string.
+    * round 11 (VERDICT r10 item 7) from 50 to 72 by porting DuckDB-isms to
+    * the two dialects' COMMON vocabulary, each re-verified against the
+    * DuckDB gate: QUALIFY → ranked subquery, `AS VARCHAR` → `AS STRING`,
+    * arg_max/arg_min → max_by/min_by, quantile_cont → `percentile_cont
+    * WITHIN GROUP`, strpos → instr, `//` → CAST(floor(/) AS BIGINT),
+    * list-index oob → nullif(split_part, ''), two-arg rtrim (reversed arg
+    * order across engines!) → ANSI `TRIM(TRAILING ... FROM ...)`, hex-coin
+    * `::BIGINT` → instr-table nibble arithmetic, and every rd/floor
+    * multiplier in SCIENTIFIC notation (`1e4` is DOUBLE in both dialects;
+    * `10000.0` parses as DECIMAL in Spark and broke result types). The
+    * remaining 111 oracle strings stay DuckDB-dialect where no common
+    * spelling exists (epoch_us, unnest, list comprehensions, read_csv).
+    * tools.ProbeSqlPortable regenerates this list from measurement.
     */
   private val portable = Seq(
     "scan_parquet", "filter_project",
@@ -54,19 +62,25 @@ class SqlSurfaceSpec extends SparkSpec {
     "agg_grouping_sets", "agg_grouping_id", "agg_filtered", "agg_stats",
     "agg_regr", "agg_bitwise", "agg_bitmap_distinct", "agg_histogram",
     "agg_mode_median", "agg_udaf_geomean", "agg_weighted_median",
-    "sort_multi_key", "topk_global",
+    "agg_argmax_struct", "agg_minmax_by", "agg_percentiles",
+    "sort_multi_key", "topk_global", "topk_per_group",
     "set_union", "set_intersect", "set_except",
     "set_union_all", "set_intersect_all", "set_except_all",
     "window_rank", "window_running_sum", "window_cume_dist",
-    "window_range_frame",
+    "window_range_frame", "window_ewma", "window_ntile",
     "subquery_scalar", "subquery_in", "subquery_not_in",
     "subquery_correlated",
     "cte_recursive", "pivot_status", "unpivot_metrics",
-    "sample_hash", "skyline_pareto", "zorder_cluster", "func_string")
+    "sample_hash", "sample_reservoir", "sample_split", "sample_stratified",
+    "sample_domain_quota",
+    "skyline_pareto", "zorder_cluster",
+    "func_string", "func_string2", "func_math", "func_try", "func_url",
+    "dedup_url_norm", "merge_upsert",
+    "stream_tumbling", "stream_topk_windowed")
 
-  test("54 declared queries run row-identical through their oracle SQL on spark.sql") {
+  test("72 declared queries run row-identical through their oracle SQL on spark.sql") {
     Seq("lineitem", "orders", "customer", "supplier", "nation", "region",
-      "part", "documents", "embeddings")
+      "part", "documents", "embeddings", "events")
       .foreach(n => graft.Tables.t(spark, d, n).createOrReplaceTempView(n))
     portable.foreach { k =>
       val sqlDf = spark.sql(SparkEntry.oracleSql(k))
@@ -74,5 +88,42 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(sqlDf.columns.toSeq === df.columns.toSeq, s"$k column mismatch")
       assert(sqlDf.collect().toSeq === df.collect().toSeq, s"$k row mismatch")
     }
+  }
+
+  // ── Spark-dialect twins for keys whose DuckDB oracle has no common
+  //    spelling (epoch extraction, IGNORE NULLS placement, explode vs
+  //    unnest, array_join vs array_to_string): the SQL surface still
+  //    covers the operator row-identically. ──
+
+  test("window_lag_lead: Spark-dialect SQL twin equals DataFrame result") {
+    same(SqlSurface.windowLagLeadSql(spark, d), "window_lag_lead")
+  }
+
+  test("window_fill_forward: Spark-dialect SQL twin equals DataFrame result") {
+    same(SqlSurface.windowFillForwardSql(spark, d), "window_fill_forward")
+  }
+
+  test("func_json: Spark-dialect SQL twin equals DataFrame result") {
+    same(SqlSurface.funcJsonSql(spark, d), "func_json")
+  }
+
+  test("join_asof: Spark-dialect SQL twin equals DataFrame result") {
+    same(SqlSurface.joinAsofSql(spark, d), "join_asof")
+  }
+
+  test("agg_listagg: Spark-dialect SQL twin equals DataFrame result") {
+    same(SqlSurface.aggListaggSql(spark, d), "agg_listagg")
+  }
+
+  test("text_top_terms: Spark-dialect SQL twin equals DataFrame result") {
+    same(SqlSurface.textTopTermsSql(spark, d), "text_top_terms")
+  }
+
+  test("text_tokencount: Spark-dialect SQL twin equals DataFrame result") {
+    same(SqlSurface.textTokencountSql(spark, d), "text_tokencount")
+  }
+
+  test("dedup_jaccard: Spark-dialect SQL twin equals DataFrame result") {
+    same(SqlSurface.dedupJaccardSql(spark, d), "dedup_jaccard")
   }
 }
