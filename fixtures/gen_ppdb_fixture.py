@@ -43,3 +43,22 @@ for i in range(4):
         with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:
             f.write("".join(lines[i * 3:(i + 1) * 3]).encode("utf-8"))
     print(f"wrote {part}")
+
+# Release-size ladder (round 11): real PPDB ships S -> XXXL packs where each
+# larger pack is a SUPERSET of the smaller one, extended with lower-scoring
+# rules (the packs are score-pruned prefixes of one ranked rule list). The
+# fixture mirrors that: rules sorted by PPDB2.0Score descending, pack k =
+# the top 3*k rules. Parsing the ladder exercises the multi-file glob +
+# per-file lineage (_metadata.file_name / read_csv filename=true).
+import re
+def score(line):
+    return float(re.search(r"PPDB2\.0Score=([0-9.]+)", line).group(1))
+ranked = sorted(LINES.splitlines(keepends=True), key=score, reverse=True)
+release = pathlib.Path(__file__).resolve().parent / "ppdb_release"
+release.mkdir(exist_ok=True)
+for name, k in [("s", 3), ("m", 6), ("l", 9), ("xl", 12)]:
+    part = release / f"ppdb-2.0-{name}.txt.gz"
+    with open(part, "wb") as raw:
+        with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:
+            f.write("".join(ranked[:k]).encode("utf-8"))
+    print(f"wrote {part}")

@@ -123,4 +123,49 @@ object Ppdb {
     * so this glob's scan parallelism = 4 — one task per part.
     */
   val MultiFixtureDir = "/root/repo/fixtures/ppdb_multi"
+
+  /** Release-size ladder (round 11): S ⊂ M ⊂ L ⊂ XL packs, each the top-k
+    * score-ranked prefix of the rule list — the shape real PPDB releases
+    * ship in (score-pruned pack sizes S→XXXL).
+    */
+  val ReleaseDir = "/root/repo/fixtures/ppdb_release"
+
+  /** [[parse]] plus per-file lineage: `pack` is the release-size tag cut
+    * from the source FILE NAME via the `_metadata` hidden column (the
+    * engine's per-file lineage surface, same mechanism as `scan_metadata`).
+    * One glob scan; every pack parses in the same job, one task per .gz.
+    */
+  def parseWithPack(spark: SparkSession, dir: String = ReleaseDir): DataFrame = {
+    val f = split(col("value"), " \\|\\|\\| ")
+    spark.read
+      .text(s"$dir/*.txt.gz")
+      .select(
+        regexp_extract(col("_metadata.file_name"), "ppdb-2\\.0-([a-z]+)\\.txt\\.gz", 1)
+          .as("pack"),
+        f.getItem(0).as("lhs"),
+        f.getItem(1).as("phrase"),
+        f.getItem(2).as("paraphrase"),
+        f.getItem(3).as("features_raw"),
+        f.getItem(5).as("entailment"))
+      .withColumn(
+        "ppdb2score",
+        element_at(str_to_map(col("features_raw"), lit(" "), lit("=")), "PPDB2.0Score")
+          .cast("double"))
+  }
+
+  /** DuckDB twin of [[parseWithPack]]: `filename=true` is read_csv's
+    * per-file lineage column, mirroring Spark's `_metadata.file_name`.
+    */
+  def oracleCteWithPack(dir: String = ReleaseDir): String =
+    s"""WITH ppdb AS (
+       |  SELECT regexp_extract(fn, 'ppdb-2\\.0-([a-z]+)\\.txt\\.gz', 1) AS pack,
+       |         f[1] AS lhs, f[2] AS phrase, f[3] AS paraphrase,
+       |         f[4] AS features_raw, f[6] AS entailment,
+       |         CAST(regexp_extract(f[4], 'PPDB2\\.0Score=([-+]?[0-9.]+([eE][-+]?[0-9]+)?)', 1) AS DOUBLE) AS ppdb2score
+       |  FROM (SELECT string_split(column0, ' ||| ') AS f, filename AS fn
+       |        FROM read_csv('$dir/*.txt.gz',
+       |                      delim=e'\\x01', header=false, quote='', escape='',
+       |                      filename=true,
+       |                      columns={'column0': 'VARCHAR'}))
+       |)""".stripMargin
 }

@@ -139,6 +139,25 @@ object PpdbQueries {
           split(col("pair"), "-").getItem(0).cast("long").as("src"),
           split(col("pair"), "-").getItem(1).cast("long").as("tgt"))
         .orderBy("phrase", "paraphrase", "src", "tgt")
+    }),
+
+    // Release-size ladder stats (round 11): PPDB ships S→XXXL packs, each a
+    // score-pruned superset of the one below; parse the whole ladder in ONE
+    // glob scan, recover the pack from per-file lineage (_metadata.file_name)
+    // and aggregate per-pack rule counts + score distribution. The nesting
+    // property (bigger pack ⊇ smaller, min_score non-increasing) is what a
+    // release engineer checks before shipping; PpdbReleaseSpec pins it.
+    "ppdb_release_stats" -> ((s, _) => {
+      Ppdb.parseWithPack(s)
+        .groupBy(col("pack"))
+        .agg(
+          count(lit(1)).as("n_rules"),
+          countDistinct(col("phrase")).as("n_phrases"),
+          round(min(col("ppdb2score")), 2).as("min_score"),
+          round(max(col("ppdb2score")), 2).as("max_score"),
+          round(avg(col("ppdb2score")), 4).as("avg_score"),
+          count(when(col("entailment") === "Equivalence", 1)).as("n_equiv"))
+        .orderBy(col("n_rules"))
     })
   )
 
@@ -158,6 +177,15 @@ object PpdbQueries {
          |SELECT paraphrase, ppdb2score, entailment FROM ppdb
          |WHERE phrase = 'happy'
          |ORDER BY ppdb2score DESC, paraphrase""".stripMargin,
+    "ppdb_release_stats" ->
+      s"""${Ppdb.oracleCteWithPack()}
+         |SELECT pack, CAST(count(*) AS BIGINT) AS n_rules,
+         |       CAST(count(DISTINCT phrase) AS BIGINT) AS n_phrases,
+         |       round(min(ppdb2score), 2) AS min_score,
+         |       round(max(ppdb2score), 2) AS max_score,
+         |       round(avg(ppdb2score), 4) AS avg_score,
+         |       CAST(count(CASE WHEN entailment = 'Equivalence' THEN 1 END) AS BIGINT) AS n_equiv
+         |FROM ppdb GROUP BY pack ORDER BY n_rules""".stripMargin,
     "func_map" ->
       s"""$cte
          |SELECT phrase, paraphrase,

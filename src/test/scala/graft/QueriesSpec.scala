@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 192 declared queries (53 SURVEY §2 + 139 extras), 183 with oracles") {
-    assert(SparkEntry.queries.size === 192)
-    assert(SparkEntry.oracleSql.size === 183)
+  test("inventory: 193 declared queries (53 SURVEY §2 + 140 extras), 184 with oracles") {
+    assert(SparkEntry.queries.size === 193)
+    assert(SparkEntry.oracleSql.size === 184)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
