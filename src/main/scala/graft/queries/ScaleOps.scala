@@ -120,6 +120,18 @@ object ScaleOps {
         .orderBy("doc_id")
     }),
 
+    // Bucketed co-located join (graft.operators.BucketedJoin): both sides
+    // hash-bucketed on the join key at WRITE time, so the SortMergeJoin
+    // runs with NO Exchange on either side — the write-time amortization
+    // of the join shuffle (vs join_salted's runtime skew-break and
+    // join_bloom's runtime row-prune). Oracle = the PLAIN join aggregate:
+    // bucketing is pure execution strategy and must not change a row.
+    "join_bucketed" -> ((s, d) =>
+      graft.operators.BucketedJoin.joined(s, d)
+        .groupBy(col("l_returnflag"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("l_returnflag", "o_orderpriority")),
+
     // Bloom-filter-pruned semi join — the runtime-filter pattern for 100 TB
     // fact scans: a compact sketch of the (small) selective dim-key set is
     // broadcast and applied DURING the fact scan, so non-matching rows die
@@ -283,6 +295,12 @@ object ScaleOps {
          |WHERE NOT EXISTS (SELECT 1 FROM tri t2
          |                  WHERE t2.shset = t.shset AND t2.doc_id < t.doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "join_bucketed" ->
+      """SELECT l_returnflag, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag, o_orderpriority
+        |ORDER BY l_returnflag, o_orderpriority""".stripMargin,
     "join_bloom" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(l_extendedprice), 2) AS sum_price

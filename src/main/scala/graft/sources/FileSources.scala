@@ -20,6 +20,8 @@ object FileSources {
   val JsonlPath = "/root/repo/fixtures/sample_events.jsonl"
   val DocsPartPath = "/root/repo/fixtures/docs_part"
   val LangDimPath = "/root/repo/fixtures/lang_dim.parquet"
+  val OrcPath = "/root/repo/fixtures/docs_orc"
+  val OrcTwinPath = "/root/repo/fixtures/docs_orc_twin.parquet"
 
   val csvSchema: StructType = StructType(Seq(
     StructField("id", LongType),
@@ -57,6 +59,19 @@ object FileSources {
     "scan_jsonl" -> ((s, _) =>
       readJsonl(s)
         .select(col("id"), col("kind"), col("score"), col("meta.k").as("meta_k"))
+        .orderBy("id")),
+
+    // ORC — the second columnar format Spark ships a vectorized reader for
+    // (a warehouse migrating from Hive arrives with ORC data; the engine
+    // must read it in place, pushdown and pruning included — FormatSpec
+    // asserts the ORC scan pushes its filter like the parquet scans do).
+    // DuckDB has no ORC reader, so the oracle reads the committed parquet
+    // TWIN written from the same frame (tools.GenOrcFixture); FormatSpec
+    // pins ORC ≡ twin row-identity in Spark, closing the triangle.
+    "scan_orc" -> ((s, _) =>
+      s.read.orc(OrcPath)
+        .filter(col("score") >= 0.25)
+        .select(col("id"), col("lang"), col("n_chars"), col("score"), col("title"))
         .orderBy("id")),
 
     // Hive-partitioned directory layout (lang=XX/…): the partition column
@@ -103,6 +118,11 @@ object FileSources {
       s"""SELECT id, kind, score, meta.k AS meta_k
          |FROM read_json('$JsonlPath', format='newline_delimited',
          |  columns={'id':'BIGINT','kind':'VARCHAR','score':'DOUBLE','meta':'STRUCT(k BIGINT)'})
+         |ORDER BY id""".stripMargin,
+    "scan_orc" ->
+      s"""SELECT id, lang, n_chars, score, title
+         |FROM read_parquet('$OrcTwinPath/*.parquet')
+         |WHERE score >= 0.25
          |ORDER BY id""".stripMargin,
     "scan_partitioned" ->
       s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n,

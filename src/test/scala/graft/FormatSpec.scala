@@ -27,6 +27,17 @@ class FormatSpec extends SparkSpec {
       src.filter(col("o_totalprice") > 100000).count())
   }
 
+  test("scan_orc fixture: ORC directory is row-identical to its parquet oracle twin") {
+    // the DuckDB oracle reads the parquet TWIN (DuckDB has no ORC reader);
+    // this identity closes the triangle: ORC ≡ twin (here, in Spark) and
+    // twin ≡ oracle result (driver hash gate) ⇒ the ORC read path is pinned
+    val orc = spark.read.orc(graft.sources.FileSources.OrcPath)
+      .orderBy("id").collect().toSeq
+    val twin = spark.read.parquet(graft.sources.FileSources.OrcTwinPath)
+      .orderBy("id").collect().toSeq
+    assert(orc == twin && orc.size == 100)
+  }
+
   test("CSV writer roundtrips through the engine's CSV reader including nulls") {
     val out = Files.createTempDirectory("csvw").toString
     val src = graft.sources.FileSources.readCsv(spark)

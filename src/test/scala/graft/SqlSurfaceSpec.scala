@@ -57,7 +57,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "join_inner", "join_broadcast", "join_left_outer", "join_full_outer",
     "join_left_semi", "join_left_anti", "join_cross", "join_interval",
     "join_star", "join_salted", "join_bloom", "join_bloom_native",
-    "join_lateral_topk",
+    "join_bucketed", "join_lateral_topk",
     "agg_groupby", "agg_global", "agg_distinct", "agg_rollup", "agg_cube",
     "agg_grouping_sets", "agg_grouping_id", "agg_filtered", "agg_stats",
     "agg_regr", "agg_bitwise", "agg_bitmap_distinct", "agg_histogram",
@@ -78,7 +78,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_url_norm", "merge_upsert",
     "stream_tumbling", "stream_topk_windowed")
 
-  test("72 declared queries run row-identical through their oracle SQL on spark.sql") {
+  test("73 declared queries run row-identical through their oracle SQL on spark.sql") {
     Seq("lineitem", "orders", "customer", "supplier", "nation", "region",
       "part", "documents", "embeddings", "events")
       .foreach(n => graft.Tables.t(spark, d, n).createOrReplaceTempView(n))
