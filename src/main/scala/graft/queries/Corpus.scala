@@ -114,11 +114,29 @@ object Corpus {
     s"""CAST(list_sum(list_transform(range(1, ${KmDim + 1}),
        |              j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))) AS BIGINT)""".stripMargin
 
+  /** Session-scoped cache of the final Lloyd assignment, keyed by
+    * (session, sfDir) — the graph-family edge-cache pattern (round 11):
+    * `embedding_kmeans`, `dedup_semantic` and `sample_diversity` all
+    * consume the SAME (vec_id, cid, d2) frame, and each previously re-ran
+    * the KmIters-deep iteration pyramid. The first caller per (session,
+    * dir) pays the clustering and localCheckpoints the n-row assignment;
+    * later callers reuse the checkpointed blocks. Every query stays a pure
+    * (spark, sfDir) => DataFrame — the cache deduplicates deterministic
+    * work, never changes a result, and a fresh session (every driver
+    * Verify/Bench run) starts empty.
+    */
+  private val kmCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def kmAssignShared(s: SparkSession, d: String): DataFrame =
+    kmCache.computeIfAbsent((s, d), _ => kmAssign(s, d).localCheckpoint())
+
   /** Final Lloyd assignment (vec_id, cid, d2) after KmIters synchronous
     * rounds — the shared clustering core behind `embedding_kmeans`,
-    * `dedup_semantic` and `sample_diversity`. Each round's centroid frame
-    * is lazily localCheckpoint-ed, so consumers that branch twice off the
-    * result re-run only the final broadcast fan-out, never the iteration
+    * `dedup_semantic` and `sample_diversity` (always reached through
+    * [[kmAssignShared]]). Each round's centroid frame is lazily
+    * localCheckpoint-ed, so consumers that branch twice off the result
+    * re-run only the final broadcast fan-out, never the iteration
     * pyramid. See the embedding_kmeans entry for the exactness argument. */
   private def kmAssign(s: SparkSession, d: String): DataFrame = {
     val emb = kmEmb(s, d)
@@ -365,7 +383,7 @@ object Corpus {
     // final pass re-assigns against the converged centroids and reports
     // the exact squared distance.
     "embedding_kmeans" -> ((s, d) =>
-      kmAssign(s, d)
+      kmAssignShared(s, d)
         .select(col("vec_id"), col("cid").cast("long").as("cluster"), col("d2").as("dist2"))
         .orderBy("vec_id")),
 
@@ -393,7 +411,7 @@ object Corpus {
     // input-partition) prefilter bounds what the per-cluster window ever
     // sorts, the sample_domain_quota discipline.
     "sample_diversity" -> ((s, d) => {
-      val local = kmAssign(s, d)
+      val local = kmAssignShared(s, d)
         .withColumn("pid", spark_partition_id())
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("cid"), col("pid")).orderBy(col("d2"), col("vec_id"))))
@@ -473,7 +491,7 @@ object Corpus {
     * materializes N²/k matches per cluster before filtering. */
   private[graft] def semanticNn(
       s: SparkSession, d: String, quadratic: Boolean = false): DataFrame = {
-    val rk = kmAssign(s, d)
+    val rk = kmAssignShared(s, d)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cid")).orderBy(col("d2"), col("vec_id"))))
     val withVec = rk.join(kmEmb(s, d), "vec_id")
