@@ -49,6 +49,19 @@ object FileSources {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-JVM unique root for sink outputs (same rationale as
+    * BucketedJoin.procRoot: directories outlive the JVM; a fresh process
+    * must never collide with a prior run's output).
+    */
+  private lazy val sinkRoot =
+    java.nio.file.Files.createTempDirectory("graft_sink").toString
+
+  private[graft] def sinkDirFor(sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new java.io.File(sinkRoot, s"docs_by_lang_$h").getAbsolutePath
+  }
+
   val queries: Map[String, Q] = Map(
     // d emitted as midnight timestamp: the comparator canonicalizes
     // timestamps across engines but not DATE objects
@@ -73,6 +86,35 @@ object FileSources {
         .filter(col("score") >= 0.25)
         .select(col("id"), col("lang"), col("n_chars"), col("score"), col("title"))
         .orderBy("id")),
+
+    // Partitioned SINK — the write half of the format surface: the corpus
+    // is written as a lang=XX/ hive layout (the layout every downstream
+    // `scan_partitioned` consumer prunes on) and the query's RESULT is the
+    // read-back aggregate of the files just written, so the oracle (the
+    // same aggregate computed from the SOURCE table) gates a full
+    // write→read round trip, not just a write that didn't throw. Each call
+    // rewrites (mode overwrite, per-JVM tmp root) — the write is the
+    // operator under test, so bench reps honestly pay it. At 100 TB:
+    // partitionBy on a bounded-cardinality column (language), shuffled by
+    // partition key first so each task writes one directory (one file per
+    // partition here; maxRecordsPerFile splits further at real scale).
+    "sink_partitioned" -> ((s, d) => {
+      val out = sinkDirFor(d)
+      val src = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      src.repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      // explicit schema: a zero-row corpus writes an empty directory, and
+      // schema inference on it would throw rather than yield 0 rows
+      val backSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType),
+        StructField("lang", StringType)))
+      s.read.schema(backSchema).parquet(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
 
     // Hive-partitioned directory layout (lang=XX/…): the partition column
     // comes from the PATH, not the file, and a filter on it prunes whole
@@ -124,6 +166,11 @@ object FileSources {
          |FROM read_parquet('$OrcTwinPath/*.parquet')
          |WHERE score >= 0.25
          |ORDER BY id""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "scan_partitioned" ->
       s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 195 declared queries (53 SURVEY §2 + 142 extras), 186 with oracles") {
-    assert(SparkEntry.queries.size === 195)
-    assert(SparkEntry.oracleSql.size === 186)
+  test("inventory: 196 declared queries (53 SURVEY §2 + 143 extras), 187 with oracles") {
+    assert(SparkEntry.queries.size === 196)
+    assert(SparkEntry.oracleSql.size === 187)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",

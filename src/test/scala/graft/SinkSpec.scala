@@ -28,6 +28,25 @@ class SinkSpec extends SparkSpec {
     assert(back.count() === expected)
   }
 
+  test("sink_partitioned writes one file per lang directory and round-trips the aggregate") {
+    val got = SparkEntry.queries("sink_partitioned")(spark, d).collect().toSeq
+    val want = spark.read.parquet(s"$d/documents.parquet")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // the pre-write repartition(col(lang)) routes each partition to ONE
+    // task → exactly one file under each lang=XX/ directory
+    val outRoot = new java.io.File(graft.sources.FileSources.sinkDirFor(d))
+    val langDirs = outRoot.listFiles().filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+    langDirs.foreach { dir =>
+      val pq = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(pq.length == 1, s"${dir.getName}: expected 1 file, got ${pq.length}")
+    }
+  }
+
   test("repartitionByRange write produces key-disjoint files (min/max skipping layout)") {
     val out = Files.createTempDirectory("rsink").toString
     spark.read.parquet(s"$d/orders.parquet")

@@ -53,7 +53,7 @@ class SqlSurfaceSpec extends SparkSpec {
     * tools.ProbeSqlPortable regenerates this list from measurement.
     */
   private val portable = Seq(
-    "scan_parquet", "filter_project",
+    "scan_parquet", "filter_project", "sink_partitioned",
     "join_inner", "join_broadcast", "join_left_outer", "join_full_outer",
     "join_left_semi", "join_left_anti", "join_cross", "join_interval",
     "join_star", "join_salted", "join_bloom", "join_bloom_native",
@@ -78,7 +78,7 @@ class SqlSurfaceSpec extends SparkSpec {
     "dedup_url_norm", "merge_upsert",
     "stream_tumbling", "stream_topk_windowed")
 
-  test("73 declared queries run row-identical through their oracle SQL on spark.sql") {
+  test("74 declared queries run row-identical through their oracle SQL on spark.sql") {
     Seq("lineitem", "orders", "customer", "supplier", "nation", "region",
       "part", "documents", "embeddings", "events")
       .foreach(n => graft.Tables.t(spark, d, n).createOrReplaceTempView(n))
