@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -129,12 +129,24 @@ object AnnIvf {
     * queries: (qid, qvec array<double>).
     */
   def topK(
-      emb: DataFrame,
-      queries: DataFrame,
+      emb0: DataFrame,
+      queries0: DataFrame,
       k: Int = 5,
       nLists: Int = 16,
       nProbe: Int = 4,
       sampleCap: Int = 4096): DataFrame = {
+
+    // ANN family input contract (same as AnnLsh.tableBuckets): vectors are
+    // non-null — a null cannot be quantized, and silently dropping it from
+    // the index or probe set is invisible recall loss at scale. Fail with a
+    // CLEAR per-row error instead of the bare executor NPE the fit's
+    // getSeq(...).toArray would otherwise throw (NullCorpusSpec pins the
+    // message).
+    def requireVec(vec: Column, side: String): Column =
+      when(vec.isNotNull, vec).otherwise(raise_error(lit(
+        s"AnnIvf: null $side vector (ANN input contract: filter null embeddings upstream)")))
+    val emb = emb0.withColumn("vec", requireVec(col("vec"), "corpus"))
+    val queries = queries0.withColumn("qvec", requireVec(col("qvec"), "query"))
 
     val centers = fitCentroids(emb, nLists, iters = 5, sampleCap = sampleCap)
     if (centers.isEmpty) {

@@ -39,7 +39,15 @@ object CosinePairs {
       threshold: Double,
       maxBuildRows: Int = 100000): DataFrame = {
     import spark.implicits._
-    val rows = df.selectExpr("id", "vec").as[(Long, Array[Double])]
+    // same input contract as AnnLsh/AnnIvf: vectors are non-null — cosine
+    // with a null vector is undefined, and a bare NPE from the kernel loop
+    // is not an error message (NullCorpusSpec pins the refusal)
+    val rows = df.selectExpr(
+        "id",
+        "CASE WHEN vec IS NOT NULL THEN vec ELSE " +
+          "raise_error('CosinePairs: null vector (ANN/cosine input contract: " +
+          "filter null embeddings upstream)') END AS vec")
+      .as[(Long, Array[Double])]
     val capped = rows.limit(maxBuildRows + 1).collect()
     require(
       capped.length <= maxBuildRows,

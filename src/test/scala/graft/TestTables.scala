@@ -70,6 +70,40 @@ object TestTables {
     }
   }
 
+  private var cachedNulls: Option[String] = None
+
+  /** Same schemas and row counts, but every non-key VALUE column carries
+    * scattered NULLs (deterministic ~1/3 of rows per column) — the
+    * null-robustness fixture (NullCorpusSpec): at 100 TB nulls appear in
+    * every nullable column (failed scrapes, absent metadata, partial
+    * records), and an operator must produce a result — not an ANSI cast
+    * error, an NPE in a UDF, or a driver crash — when they do. Key
+    * columns (ids, the event time) stay non-null, mirroring the driver
+    * data's actual invariants.
+    */
+  def dirNulls(spark: SparkSession): String = synchronized {
+    cachedNulls.getOrElse {
+      import org.apache.spark.sql.functions._
+      val full = dir(spark)
+      val d = Files.createTempDirectory("graft-test-sf-nulls").toString
+      val keep = Set("r_regionkey", "n_nationkey", "c_custkey", "s_suppkey",
+        "p_partkey", "o_orderkey", "l_orderkey", "l_linenumber", "event_id",
+        "doc_id", "vec_id", "ts")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+        val df = spark.read.parquet(s"$full/$t.parquet")
+        val out = df.columns.foldLeft(df) { (acc, c) =>
+          if (keep(c)) acc
+          else acc.withColumn(c,
+            when(abs(hash(col(c), lit(t))) % 3 === 0, lit(null)).otherwise(col(c)))
+        }
+        out.write.parquet(s"$d/$t.parquet")
+      }
+      cachedNulls = Some(d)
+      d
+    }
+  }
+
   private def write(spark: SparkSession, d: String, eventsTsNs: Boolean): Unit = {
     import spark.implicits._
 
