@@ -277,12 +277,15 @@ object Corpus {
     // present in ≥ 2 distinct docs marks a duplicated span position.
     // Per-doc span statistics (the Lee et al. 2022 dedup signal).
     "dedup_substring_spans" -> ((s, d) => {
+      // NON-distinct overlapping grams (multiplicity counts in n_grams)
+      // straight from the native kernel — bit-identical to the old
+      // interpreted CASE/transform/slice cascade incl. the short-doc →
+      // empty-array branch (NGramsSpec parity pins)
       val grams = toks(s, d).select(
         col("doc_id"),
-        explode(expr(
-          s"CASE WHEN size(w) >= $GramWords THEN transform(sequence(1, size(w) - ${GramWords - 1})," +
-            s" i -> array_join(slice(w, i, $GramWords), ' ')) ELSE CAST(array() AS array<string>) END"))
-          .as("gram"))
+        explode(org.apache.spark.sql.GraftSqlShim.column(graft.plans.NGrams(
+          org.apache.spark.sql.GraftSqlShim.expression(col("w")),
+          GramWords, distinct = false))).as("gram"))
       val dup = grams
         .groupBy(col("gram"))
         .agg(countDistinct(col("doc_id")).as("dc"))

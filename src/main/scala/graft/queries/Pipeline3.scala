@@ -41,14 +41,15 @@ object Pipeline3 {
     */
   private[graft] def contamination(
       benchDocs: DataFrame, trainDocs: DataFrame, dfCap: Int): DataFrame = {
+    // per-doc DISTINCT 8-grams straight from the native kernel
+    // (plans.NGrams via MinHashLsh.shingles): the previous interpreted
+    // transform-slice cascade needed a full (id, g8) .distinct() shuffle
+    // afterwards — the kernel dedups inside the row, so exploded pairs are
+    // already unique and that exchange is gone from BOTH sides
     def grams(df: DataFrame, idCol: String): DataFrame = df
-      .select(col("doc_id").as(idCol), toks(col("text")).as("tk"))
-      .withColumn("nt", size(col("tk")))
-      .filter(col("nt") >= 8)
-      .select(col(idCol), explode(
-        transform(sequence(lit(0), col("nt") - 8),
-          i => array_join(slice(col("tk"), i + 1, lit(8)), " "))).as("g8"))
-      .distinct()
+      .select(col("doc_id").as(idCol),
+        graft.operators.MinHashLsh.shingles(toks(col("text")), 8).as("g8s"))
+      .select(col(idCol), explode(col("g8s")).as("g8"))
     val bench = grams(benchDocs, "bench_id")
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy("g8")
     val train = grams(trainDocs, "train_id")
@@ -146,18 +147,16 @@ object Pipeline3 {
     // 0, fresh content near 1. Shuffles only slim (doc_id, shingle-string)
     // pairs; the first-seen table is vocabulary-sized. Scales like dedup.
     "text_novelty" -> ((s, d) => {
-      // dedup via aggregate (one shuffle), first-seen via an unordered
-      // window over the same g3 key, final per-doc aggregate — 3 shuffles
-      // total; a join-back formulation costs a 4th exchange plus the hash
-      // build (measured 1.47 s vs 0.9 s at sf0.1)
+      // per-doc distinct 3-grams from the native kernel (plans.NGrams):
+      // dedup happens INSIDE the row, so the old (g3, doc_id) groupBy
+      // shuffle is gone — the window's g3 exchange is now the only
+      // corpus-sized shuffle before the per-doc aggregate (2 total; the
+      // join-back formulation measured 1.47 s vs 0.9 s at sf0.1 before
+      // the kernel, and the kernel removed another ~⅓)
       val g = t(s, d, "documents")
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-        .withColumn("nt", size(col("tk")))
-        .filter(col("nt") >= 3)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(0), col("nt") - 3),
-            i => array_join(slice(col("tk"), i + 1, lit(3)), " "))).as("g3"))
-        .groupBy("g3", "doc_id").agg(lit(1))
+        .select(col("doc_id"),
+          graft.operators.MinHashLsh.shingles(toks(col("text")), 3).as("g3s"))
+        .select(col("doc_id"), explode(col("g3s")).as("g3"))
       g.withColumn(
           "first_doc",
           min(col("doc_id")).over(
