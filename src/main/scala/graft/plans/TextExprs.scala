@@ -128,6 +128,34 @@ object TextExprs {
     acc
   }
 
+  /** Shannon entropy (natural log) of the token distribution of ONE array,
+    * in a single pass: counts via a LinkedHashMap (byte-wise UTF8String
+    * equality — Spark's binary string equality; null tokens form one group,
+    * as `explode` + groupBy groups them), then `-Σ (c/len)·ln(c/len)` with
+    * terms accumulated in FIRST-OCCURRENCE order (deterministic; the
+    * aggregate form it replaces summed in nondeterministic shuffle order,
+    * and both meet the oracle at 4-dp rounding). Caller guards empty/null
+    * arrays (→ SQL NULL, matching the aggregate form where such docs
+    * vanish: explode of empty/NULL emits no rows).
+    */
+  def tokenEntropy(arr: ArrayData): Double = {
+    val len = arr.numElements()
+    val counts = new java.util.LinkedHashMap[Any, Int]()
+    var i = 0
+    while (i < len) {
+      val k: Any = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      counts.put(k, counts.getOrDefault(k, 0) + 1)
+      i += 1
+    }
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / len
+      acc += p * math.log(p)
+    }
+    -acc
+  }
+
   /** concat-with-space of toks[i..i+n): null token → null gram (concat). */
   private def joinGram(
       toks: Array[org.apache.spark.unsafe.types.UTF8String],
@@ -254,6 +282,49 @@ case class NGrams(child: Expression, n: Int, distinct: Boolean)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NGrams =
+    copy(child = newChild)
+}
+
+/** `token_entropy(tokens)` — per-row Shannon entropy of the token
+  * distribution as one codegen'd kernel call, replacing the two-shuffle
+  * aggregate form (explode → (doc, token) count → per-doc Σ): the entire
+  * per-document computation is row-local, so the query that uses it needs
+  * NO corpus-sized shuffle at all. NULL or empty input → SQL NULL (such
+  * docs vanish from the aggregate form's output; the caller filters NULL
+  * to match).
+  */
+case class TokenEntropy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "token_entropy"
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() == 0) null else TextExprs.tokenEntropy(a)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull} || ${c.value}.numElements() == 0;
+      double ${ev.value} = ${ev.isNull} ? 0.0 : graft.plans.TextExprs.tokenEntropy(${c.value});
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropy =
     copy(child = newChild)
 }
 

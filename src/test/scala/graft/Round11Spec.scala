@@ -133,4 +133,41 @@ class Round11Spec extends SparkSpec {
     assert(plan.contains("partial_min"), s"expected map-side partial aggregation:\n${plan.take(1500)}")
     assert(!plan.contains("Window"), s"window operator survived the rewrite:\n${plan.take(1500)}")
   }
+
+  test("native token_entropy matches the explode-aggregate form (incl. edge arrays)") {
+    import org.apache.spark.sql.GraftSqlShim
+    val fx = tokenFixture
+    val native = fx.select(col("id"),
+        round(GraftSqlShim.column(graft.plans.TokenEntropy(
+          GraftSqlShim.expression(col("tk")))), 4).as("entropy"))
+      .filter(col("entropy").isNotNull)
+    val agg = fx
+      .select(col("id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
+      .groupBy("id", "token", "len")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("p", col("cnt").cast("double") / col("len"))
+      .groupBy(col("id"), col("len"))
+      .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy"))
+      .select(col("id"), col("entropy"))
+    val n = native.orderBy("id").collect().toSeq
+    val a = agg.orderBy("id").collect().toSeq
+    assert(n == a)
+    // empty (id 0) and NULL (id 5) arrays vanish, as in the aggregate form;
+    // single-token and all-duplicate docs (ids 1, 4) score exactly 0
+    assert(n.size == 298)
+    val byId = n.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!byId.contains(0L) && !byId.contains(5L))
+    assert(byId(1L) == 0.0 && byId(4L) == 0.0)
+  }
+
+  test("text_entropy plan has no shuffle before the final sort (row-local kernel)") {
+    val d = TestTables.dir(spark)
+    val plan = SparkEntry.queries("text_entropy")(spark, d)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("token_entropy"), s"kernel missing from plan:\n${plan.take(1200)}")
+    // the only exchange allowed is the final total-order sort's range
+    // partitioning; the per-doc computation itself must be shuffle-free
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus-sized hash shuffle survived the rewrite:\n${plan.take(1500)}")
+  }
 }
