@@ -39,6 +39,9 @@ class KmvDistinct(k: Int) extends Aggregator[Long, List[Long], Long] {
       math.round((k - 1) / uK)
     }
 
-  override def bufferEncoder: Encoder[List[Long]] = Encoders.kryo[List[Long]]
+  // native array<bigint> buffer (codegen'd), not Encoders.kryo: Kryo needs
+  // JPMS --add-opens under Java 17+ launchers that don't pass them
+  override def bufferEncoder: Encoder[List[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

@@ -88,6 +88,9 @@ class WeightedMedianSketch(k: Int)
       vals((vals.length - 1) / 2)
     }
 
-  override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+  // native nested-product buffer (codegen'd), not Encoders.kryo: Kryo needs
+  // JPMS --add-opens under Java 17+ launchers that don't pass them
+  override def bufferEncoder: Encoder[Buf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Buf]()
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

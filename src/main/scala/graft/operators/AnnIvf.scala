@@ -103,8 +103,14 @@ object AnnIvf {
     */
   private[operators] def fitCentroids(
       emb: DataFrame, k: Int, iters: Int, sampleCap: Int): Array[Array[Double]] = {
-    import org.apache.spark.sql.{Encoder, Encoders, Row}
-    implicit val enc: Encoder[Seq[Seq[Double]]] = Encoders.kryo[Seq[Seq[Double]]]
+    import org.apache.spark.sql.{Encoder, Row}
+    // NATIVE encoder (catalyst array<array<double>>), not Encoders.kryo:
+    // Kryo's FieldSerializer needs `--add-opens java.base/java.nio` on
+    // Java 17+, so the kryo form worked under spark-submit/sbt (which pass
+    // the opens) but threw InaccessibleObjectException under a plain
+    // `java -cp` launch — a library must not depend on launcher JVM flags.
+    implicit val enc: Encoder[Seq[Seq[Double]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Double]]]()
     emb
       .select(col("vec_id"), col("vec"),
         pmod(xxhash64(col("vec_id")), lit(1000000007L)).as("hk"))
