@@ -195,12 +195,52 @@ object Quality {
           aggregate(tk, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
           exists(tk, x => x.startsWith("data")).as("has_data"))
         .orderBy("doc_id")
+    }),
+
+    // Zipf-law fit of the corpus bigram frequency distribution: the
+    // vocabulary-health diagnostic a training-data pipeline runs per shard
+    // (a slope far from the corpus's reference band flags boilerplate
+    // floods or template spam). ln(freq) regressed on ln(rank) over the
+    // top-1000 bigrams — the cap is the scale bound (top-k via
+    // TakeOrderedAndProject, rank window over the post-aggregate ≤1000-row
+    // frame, regression is one partial-aggregating regr_slope pass).
+    // Bigrams ride the native NGrams kernel like text_bigrams.
+    "text_zipf_fit" -> ((s, d) => {
+      val toks = split(normText(col("text")), " ")
+      val bigrams = org.apache.spark.sql.GraftSqlShim.column(
+        graft.plans.NGrams(
+          org.apache.spark.sql.GraftSqlShim.expression(toks), 2, distinct = false))
+      val freq = t(s, d, "documents")
+        .filter(size(toks) >= 2)
+        .select(explode(bigrams).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("g"))
+        .limit(1000)
+      val w = Window.orderBy(col("f").desc, col("g"))
+      freq.withColumn("r", row_number().over(w))
+        .agg(
+          count(lit(1)).as("n_terms"),
+          round(regr_slope(log(col("f")), log(col("r"))), 3).as("slope"),
+          round(regr_intercept(log(col("f")), log(col("r"))), 3).as("icept"),
+          round(regr_r2(log(col("f")), log(col("r"))), 3).as("r2"))
     })
   )
 
   private val norm = normTextSql("text")
 
   val oracle: Map[String, String] = Map(
+    "text_zipf_fit" ->
+      s"""WITH toks AS (SELECT string_split($norm, ' ') AS tk FROM documents),
+         |bg AS (SELECT unnest([tk[i] || ' ' || tk[i + 1] FOR i IN range(1, len(tk))]) AS g
+         |       FROM toks WHERE len(tk) >= 2),
+         |f AS (SELECT g, count(*) AS f FROM bg GROUP BY g
+         |      ORDER BY f DESC, g LIMIT 1000),
+         |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, g) AS r FROM f)
+         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |       round(regr_slope(ln(f), ln(r)), 3) AS slope,
+         |       round(regr_intercept(ln(f), ln(r)), 3) AS icept,
+         |       round(regr_r2(ln(f), ln(r)), 3) AS r2
+         |FROM rk""".stripMargin,
     "text_tfidf" ->
       s"""WITH docs AS (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents),
          |n AS (SELECT count(*)::DOUBLE AS n_docs FROM docs),

@@ -95,7 +95,36 @@ object TextSim {
     // at the gate's data — see the constant's scaladoc).
     "text_ngram_containment" -> ((s, d) => ngramContainment(
       t(s, d, "documents").filter(col("doc_id") < 500).select(col("doc_id"), col("text")),
-      n = 3, minC = 0.3, dfCap = MaxShingleDf)))
+      n = 3, minC = 0.3, dfCap = MaxShingleDf)),
+
+    // Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09): merge two
+    // rankings of the corpus — token count and char length here; in a
+    // retrieval stack, BM25 and embedding-cosine — by summing 1/(60+rank)
+    // over each system's TOP-500 list. RRF is DEFINED over truncated lists
+    // (docs outside every list are simply absent), which is also the scale
+    // contract: each system contributes candidates via TakeOrderedAndProject
+    // (per-partition heaps, no global sort), the rank window runs over the
+    // limit-bounded 500-row frame, and the fuse is a hash agg over ≤ 2
+    // contributions per doc (sum of ≤ 2 doubles is commutative ⇒ rd() is
+    // bit-exact cross-engine, not a tolerance).
+    "rank_fusion" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(normText(col("text")), " ")).cast("long").as("n_tok"),
+          col("n_chars"))
+      def contribs(key: String) = {
+        val w = Window.orderBy(col(key).desc, col("doc_id"))
+        base.orderBy(col(key).desc, col("doc_id")).limit(500)
+          .withColumn("r", row_number().over(w))
+          .select(col("doc_id"), (lit(1.0) / (lit(60) + col("r"))).as("contrib"))
+      }
+      contribs("n_tok").unionAll(contribs("n_chars"))
+        .groupBy("doc_id")
+        .agg(rd(sum(col("contrib")), 6).as("rrf"),
+          count(lit(1)).as("n_systems"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(50)
+    }))
 
   private val norm = normTextSql("text")
 
@@ -122,5 +151,20 @@ object TextSim {
          |SELECT a_id, b_id, ${rdSql("CAST(isect AS DOUBLE) / na.ns", 4)} AS containment
          |FROM inter JOIN n na ON na.doc_id = a_id
          |WHERE CAST(isect AS DOUBLE) / na.ns >= 0.3
-         |ORDER BY a_id, b_id""".stripMargin)
+         |ORDER BY a_id, b_id""".stripMargin,
+    "rank_fusion" ->
+      s"""WITH t AS (SELECT doc_id, len(string_split($norm, ' ')) AS n_tok, n_chars
+         |           FROM documents),
+         |a AS (SELECT doc_id, r FROM
+         |        (SELECT doc_id, row_number() OVER (ORDER BY n_tok DESC, doc_id) AS r
+         |         FROM t) WHERE r <= 500),
+         |b AS (SELECT doc_id, r FROM
+         |        (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+         |         FROM t) WHERE r <= 500),
+         |u AS (SELECT doc_id, 1e0 / (60 + r) AS contrib FROM a
+         |      UNION ALL SELECT doc_id, 1e0 / (60 + r) FROM b)
+         |SELECT doc_id, ${rdSql("sum(contrib)", 6)} AS rrf,
+         |       CAST(count(*) AS BIGINT) AS n_systems
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 50""".stripMargin)
 }

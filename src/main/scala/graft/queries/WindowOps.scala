@@ -192,6 +192,37 @@ object WindowOps {
         .orderBy("user_id")
     }),
 
+    // Global (per-type) robust outliers via MEDIAN absolute deviation —
+    // the Iglewicz-Hoaglin modified z-score companion to anomaly_zscore's
+    // trailing window: mean/stddev are themselves dragged by the outliers
+    // they're meant to expose, median/MAD are not. Two aggregate passes
+    // over events (median, then MAD around it) + a broadcast of the
+    // ≤ n_event_types stats row back onto the stream — at 100 TB the
+    // per-group state is O(groups), the data shuffles only on the
+    // low-cardinality type key, and rows never move twice.
+    // FIXED-POINT: value is 2dp in the source, so per-row integer cents
+    // make both medians EXACT in binary (integer midpoints are .0/.5 —
+    // Spark's a+(b-a)*0.5 and DuckDB's (a+b)/2 interpolations agree
+    // bit-for-bit on them, which is NOT true of raw doubles); the mz
+    // formula then runs on bit-identical operands on both engines.
+    "anomaly_mad" -> ((s, d) => {
+      val e = events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          floor(col("value") * 100 + 0.5).as("c"))
+      val med = e.groupBy("event_type")
+        .agg(median(col("c")).as("med"))
+      val stats = e.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(median(abs(col("c") - col("med"))).as("mad"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("mz",
+          when(col("mad") > 0, lit(0.6745) * (col("c") - col("med")) / col("mad")))
+        .filter(abs(col("mz")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          rd(col("mz"), 4).as("mz"))
+        .orderBy("event_id")
+    }),
+
     // Time-weighted average (TWAP): each value weighted by the µs until
     // the user's next event (the duration it was "current"); the open last
     // span is excluded. One lead() per user then a plain aggregate —
@@ -410,6 +441,17 @@ object WindowOps {
         |       CAST(count(CASE WHEN abs((value - mu) / sd) > 2.0 THEN 1 END) AS BIGINT) AS n_anomalies
         |FROM w WHERE nprev >= 5 AND sd > 0
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "anomaly_mad" ->
+      s"""WITH e AS (SELECT event_id, event_type, value,
+         |                  floor(value * 100 + 0.5) AS c FROM events),
+         |m AS (SELECT event_type, median(c) AS med FROM e GROUP BY event_type),
+         |s AS (SELECT e.event_type, med, median(abs(c - med)) AS mad
+         |      FROM e JOIN m USING (event_type) GROUP BY e.event_type, med)
+         |SELECT event_id, e.event_type, value,
+         |       ${rdSql("0.6745e0 * (c - med) / mad", 4)} AS mz
+         |FROM e JOIN s USING (event_type)
+         |WHERE mad > 0 AND abs(0.6745e0 * (c - med) / mad) > 3.5
+         |ORDER BY event_id""".stripMargin,
     "time_weighted_avg" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),

@@ -22,6 +22,8 @@ object FileSources {
   val LangDimPath = "/root/repo/fixtures/lang_dim.parquet"
   val OrcPath = "/root/repo/fixtures/docs_orc"
   val OrcTwinPath = "/root/repo/fixtures/docs_orc_twin.parquet"
+  val XmlPath = "/root/repo/fixtures/docs_xml"
+  val XmlTwinPath = "/root/repo/fixtures/docs_xml_twin.parquet"
 
   val csvSchema: StructType = StructType(Seq(
     StructField("id", LongType),
@@ -47,6 +49,13 @@ object FileSources {
   def readJsonl(spark: SparkSession, path: String = JsonlPath): DataFrame =
     spark.read.schema(jsonlSchema).json(path)
 
+  val xmlSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType),
+    StructField("score", DoubleType),
+    StructField("title", StringType)))
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Per-JVM unique root for sink outputs (same rationale as
@@ -60,6 +69,15 @@ object FileSources {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     new java.io.File(sinkRoot, s"docs_by_lang_$h").getAbsolutePath
+  }
+
+  /** compact_files scratch dirs, per (sfDir, stage), under the same per-JVM
+    * root as the sink outputs.
+    */
+  private[graft] def compactDirFor(sfDir: String, stage: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new java.io.File(sinkRoot, s"compact_${stage}_$h").getAbsolutePath
   }
 
   val queries: Map[String, Q] = Map(
@@ -86,6 +104,61 @@ object FileSources {
         .filter(col("score") >= 0.25)
         .select(col("id"), col("lang"), col("n_chars"), col("score"), col("title"))
         .orderBy("id")),
+
+    // XML — Spark 4's built-in XML data source (SPARK-44265): the format a
+    // feed-ingest pipeline meets when an upstream exports <doc>…</doc>
+    // records; the fixture's titles carry &/< so entity UNescaping is on
+    // the tested path. Explicit schema (inference is an extra full pass —
+    // same rationale as csv/jsonl above). DuckDB has no XML reader, so the
+    // oracle reads the committed parquet TWIN written from the same frame
+    // (tools.GenXmlFixture); FormatSpec pins XML ≡ twin row-identity in
+    // Spark, closing the scan_orc triangle for a third format.
+    "scan_xml" -> ((s, _) =>
+      s.read.schema(xmlSchema).option("rowTag", "doc").format("xml").load(XmlPath)
+        .filter(col("score") <= 0.7)
+        .select(col("id"), col("lang"), col("n_chars"), col("score"), col("title"))
+        .orderBy("id")),
+
+    // Small-file COMPACTION — the lakehouse maintenance op every streaming
+    // or per-partition-append pipeline eventually needs: a landing zone of
+    // many tiny files (here ceil(n/16) files, written by this query so the
+    // fragmentation is real and sf-proportional) is rewritten into
+    // ceil(n/200) right-sized files, and the result reports both file
+    // counts (from read-back `_metadata.file_name` — the scan_metadata
+    // lineage mechanism, so the counts measure what is actually on disk)
+    // plus content aggregates over the COMPACTED copy, gating the full
+    // fragment→compact→read round trip. File counts are made deterministic
+    // (and therefore oracle-expressible as ceil(count(*)/k)) by writing
+    // from one task with maxRecordsPerFile as the splitter; at 100 TB the
+    // single task becomes repartition(bytes/256 MB) with the SAME
+    // maxRecordsPerFile mechanism bounding each file — the constant is the
+    // fixture-determinism choice, not the algorithm.
+    "compact_files" -> ((s, d) => {
+      val frag = compactDirFor(d, "frag")
+      val comp = compactDirFor(d, "comp")
+      val src = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      src.coalesce(1)
+        .write.mode("overwrite").option("maxRecordsPerFile", 16).parquet(frag)
+      val backSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      val fragBack = s.read.schema(backSchema).parquet(frag)
+      fragBack.coalesce(1)
+        .write.mode("overwrite").option("maxRecordsPerFile", 200).parquet(comp)
+      val nFrag = s.read.schema(backSchema).parquet(frag)
+        .select(col("_metadata.file_name").as("f"))
+        .agg(count_distinct(col("f")).as("n"))
+      val compBack = s.read.schema(backSchema).parquet(comp)
+      compBack
+        .select(col("_metadata.file_name").as("f"), col("doc_id"), col("n_chars"))
+        .agg(count_distinct(col("f")).as("n_files_after"),
+          count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .join(nFrag.select(col("n").as("n_files_before")))
+        .select(col("n_files_before"), col("n_files_after"), col("n_rows"),
+          col("sum_chars"), col("min_id"), col("max_id"))
+    }),
 
     // Partitioned SINK — the write half of the format surface: the corpus
     // is written as a lang=XX/ hive layout (the layout every downstream
@@ -166,6 +239,21 @@ object FileSources {
          |FROM read_parquet('$OrcTwinPath/*.parquet')
          |WHERE score >= 0.25
          |ORDER BY id""".stripMargin,
+    "scan_xml" ->
+      s"""SELECT id, lang, n_chars, score, title
+         |FROM read_parquet('$XmlTwinPath/*.parquet')
+         |WHERE score <= 0.7
+         |ORDER BY id""".stripMargin,
+    // file counts are deterministic functions of the row count (see the
+    // query comment): frag = one task split every 16 records, compacted =
+    // one task split every 200
+    "compact_files" ->
+      """SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS n_files_before,
+        |       CAST(ceil(count(*) / 200.0) AS BIGINT) AS n_files_after,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents""".stripMargin,
     "sink_partitioned" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -38,6 +38,31 @@ class FormatSpec extends SparkSpec {
     assert(orc == twin && orc.size == 100)
   }
 
+  test("scan_xml fixture: XML directory is row-identical to its parquet oracle twin") {
+    // same triangle as scan_orc: DuckDB has no XML reader, so the oracle
+    // reads the parquet twin; XML ≡ twin here (in Spark) + twin ≡ oracle
+    // (driver hash gate) pins the XML read path — including entity
+    // UNescaping (fixture titles carry & and <)
+    val xml = spark.read.schema(graft.sources.FileSources.xmlSchema)
+      .option("rowTag", "doc").format("xml")
+      .load(graft.sources.FileSources.XmlPath)
+      .orderBy("id").collect().toSeq
+    val twin = spark.read.parquet(graft.sources.FileSources.XmlTwinPath)
+      .orderBy("id").collect().toSeq
+    assert(xml == twin && xml.size == 100)
+    assert(xml.head.getString(4) == "feed 0 <en> & more",
+      "XML entity escaping must round-trip")
+  }
+
+  test("compact_files: fragment and compacted file counts match the declared splitters") {
+    val df = SparkEntry.queries("compact_files")(spark, d)
+    val r = df.collect().head
+    val n = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(r.getLong(0) === (n + 15) / 16, "n_files_before = ceil(n/16)")
+    assert(r.getLong(1) === (n + 199) / 200, "n_files_after = ceil(n/200)")
+    assert(r.getLong(2) === n, "compacted copy must preserve every row")
+  }
+
   test("CSV writer roundtrips through the engine's CSV reader including nulls") {
     val out = Files.createTempDirectory("csvw").toString
     val src = graft.sources.FileSources.readCsv(spark)

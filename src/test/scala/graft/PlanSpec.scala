@@ -78,14 +78,18 @@ class PlanSpec extends SparkSpec {
     // take the raw single-window branch BELOW CrossoverRows (fixture
     // scale) and are exempted there, but their at-scale blocked branches
     // are held to the full rule below.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
     val autoCrossover = Set("doc_shard_assign", "skyline_pareto", "agg_weighted_median")
     val checkpointed = Set("dedup_components", "pipeline_corpus_clean", "sim_ann_ivf",
       "graph_pagerank")
+    // a GlobalLimit beneath the window bounds the frame just like an
+    // Aggregate does (rank_fusion ranks within each system's top-500
+    // candidate list — a constant-size frame at any corpus scale)
     def rawGlobalWindows(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty &&
-          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty &&
+          w.child.collectFirst { case l: GlobalLimit => l }.isEmpty => w
       }
     for ((name, fn) <- SparkEntry.queries if !checkpointed(name) && !autoCrossover(name))
       assert(rawGlobalWindows(fn(spark, d)).isEmpty,
@@ -124,7 +128,11 @@ class PlanSpec extends SparkSpec {
       "text_unigram_lm", "graph_triangles", "skyline_pareto", "text_keyword_topk",
       "agg_weighted_median", "data_mixture_weights", "embedding_kmeans",
       "dedup_semantic", "sample_diversity", "doc_shard_assign", "sample_temperature",
-      "sample_coreset")
+      "sample_coreset",
+      // compact_files joins its two SINGLE-ROW file-count/content
+      // aggregates into the one-row report — a 1×1 nested loop, not a
+      // join-order accident
+      "compact_files")
     // these run real jobs at construction time (quantizer-sample collect,
     // iterative label rounds), and for the localCheckpoint-based ones the
     // executedPlan is a truncated checkpoint scan this test couldn't see

@@ -76,9 +76,10 @@ class SqlSurfaceSpec extends SparkSpec {
     "skyline_pareto", "zorder_cluster",
     "func_string", "func_string2", "func_math", "func_try", "func_url",
     "dedup_url_norm", "merge_upsert",
-    "stream_tumbling", "stream_topk_windowed")
+    "stream_tumbling", "stream_topk_windowed",
+    "compact_files", "anomaly_mad")
 
-  test("74 declared queries run row-identical through their oracle SQL on spark.sql") {
+  test("76 declared queries run row-identical through their oracle SQL on spark.sql") {
     Seq("lineitem", "orders", "customer", "supplier", "nation", "region",
       "part", "documents", "embeddings", "events")
       .foreach(n => graft.Tables.t(spark, d, n).createOrReplaceTempView(n))
