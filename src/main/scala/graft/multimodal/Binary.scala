@@ -266,4 +266,109 @@ object Binary {
       }
     }
   }
+
+  // ---- perceptual-hash image dedup (round 11): the decode → downscale →
+  // featurize → banded-join pipeline an image-corpus curation stage runs.
+  // The 8×8 average-hash is the classic perceptual fingerprint (equal
+  // images and mild re-encodes collide; unrelated images differ in ~32
+  // bits); pair generation is EXACT via the SimHash 4-band pigeonhole
+  // (operators.SimHash), here on 4 × 16-bit bands of the 64-bit hash. ----
+
+  /** Committed fixture of real PNG payloads with near-duplicate pairs (see
+    * tools.GenPhashFixture): (doc_id, payload, exp_ahash) where exp_ahash
+    * was round-tripped through [[aHash]] at generation time — the DuckDB
+    * oracle computes the SAME banded-hamming pairs from the recorded
+    * hashes, so a hash-match proves the pixels were decoded AND hashed
+    * identically. PNG only: lossless, so no jpeg-style masking.
+    */
+  val PhashFixturePath = "/root/repo/fixtures/media_phash.parquet"
+
+  case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** 64-bit average-hash with fully DETERMINISTIC integer arithmetic — no
+    * Graphics2D interpolation (whose kernels vary across JDK builds): each
+    * source pixel maps to one 8×8 grid cell (cx = x·8/w), cells average
+    * integer luminance (299r+587g+114b)/1000, and bit i is cell_i > mean.
+    * Flat images hash to 0L (strict >), a useful degenerate-detector.
+    */
+  def aHash(bytes: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "no ImageIO reader recognizes this payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val c = cy * 8 + cx
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = new Array[Long](64)
+    var i = 0
+    var tot = 0L
+    while (i < 64) {
+      cells(i) = if (counts(i) > 0) sums(i) / counts(i) else 0L
+      tot += cells(i)
+      i += 1
+    }
+    val mean = tot / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= 1L << (63 - i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Distributed hash pass: decode + hash inside `mapPartitions` (no
+    * shuffle; pixels never leave their partition), narrow (id, 8-byte hash)
+    * output — the only thing a 100 TB image corpus ships downstream.
+    */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[ImageRow].mapPartitions { it =>
+      it.map(r => ImageHash(r.doc_id, aHash(r.payload)))
+    }
+  }
+
+  /** All pairs (a_id < b_id) with Hamming(ahash) ≤ maxHamming via the
+    * 4 × 16-bit band pigeonhole join (exact for maxHamming ≤ 3 — any such
+    * pair agrees on a whole band; the operators.SimHash design on the
+    * 64-bit perceptual hash). Shuffle carries (id, hash, band), never
+    * pixels; degenerate buckets (e.g. many flat images at hash 0) are
+    * bounded by the same declared-cap discipline as MinHashLsh buckets at
+    * corpus scale.
+    */
+  def phashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit pigeonhole is exact only to hamming 3")
+    val banded = sigs.select(
+      col("doc_id"), col("ahash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), k -> shiftright(ahash, 16 * k) & 65535L)")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val a = banded.select(
+      col("band_idx"), col("band_val"), col("doc_id").as("a_id"), col("ahash").as("a_sig"))
+    val b = banded.select(
+      col("band_idx").as("bk"), col("band_val").as("bv"),
+      col("doc_id").as("b_id"), col("ahash").as("b_sig"))
+    a.join(b, col("band_idx") === col("bk") && col("band_val") === col("bv") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_sig ^ b_sig)").cast("long").as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+  }
 }

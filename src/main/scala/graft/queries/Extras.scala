@@ -261,6 +261,22 @@ object Extras {
         .sampleFrames(s, s.read.parquet(graft.multimodal.Binary.VideoFixturePath))
         .toDF()
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Perceptual-hash image dedup (round 11): REAL decode → deterministic
+    // integer 8×8 average-hash → 4×16-bit band pigeonhole join (exact for
+    // hamming ≤ 3, the operators.SimHash design) — the image-corpus
+    // near-dup pass next to the text family's dedup_simhash. The oracle
+    // computes the SAME pair set from the fixture's round-trip-recorded
+    // exp_ahash, so a hash-match proves the pixels were decoded AND hashed
+    // identically; the fixture commits 6 engineered near-dup pairs plus 12
+    // mutually-distant bases, exercising both sides of the threshold.
+    "multimodal_phash_dedup" -> ((s, _) => {
+      val sigs = graft.multimodal.Binary
+        .imageHashes(s, s.read.parquet(graft.multimodal.Binary.PhashFixturePath))
+        .toDF()
+      graft.multimodal.Binary.phashPairs(sigs, maxHamming = 3)
+        .orderBy("a_id", "b_id")
     })
   )
 
@@ -418,6 +434,21 @@ object Extras {
          |       CASE WHEN exp_format = 'jpeg' THEN NULL ELSE exp_pixsum END AS pix_sum
          |FROM read_parquet('${graft.multimodal.Binary.MediaFixturePath}/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    // band extraction mirrors the engine bit-for-bit: >> then & 65535 is
+    // shift-semantics-proof (arithmetic vs logical shift only differ in the
+    // masked-away high bits)
+    "multimodal_phash_dedup" ->
+      s"""WITH s AS (SELECT doc_id, exp_ahash AS h
+         |           FROM read_parquet('${graft.multimodal.Binary.PhashFixturePath}/*.parquet')),
+         |bands AS (SELECT doc_id, h, k, (h >> (16 * k)) & 65535 AS bv
+         |          FROM s, LATERAL (SELECT unnest(range(0, 4)) AS k)),
+         |p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |             bit_count(xor(a.h, b.h)) AS hamming
+         |      FROM bands a JOIN bands b
+         |        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+         |FROM p WHERE hamming <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
     "multimodal_audio" ->
       s"""SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS byte_len,
          |       exp_rate AS sample_rate, exp_channels AS channels,

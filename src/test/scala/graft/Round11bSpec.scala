@@ -78,6 +78,19 @@ class Round11bSpec extends SparkSpec {
     assert(got.size === math.min(50, (ra.keySet ++ rb.keySet).size))
   }
 
+  test("multimodal_phash_dedup: engine hashes equal recorded truth; exactly the engineered pairs surface") {
+    val fixture = spark.read.parquet(graft.multimodal.Binary.PhashFixturePath)
+    val got = graft.multimodal.Binary.imageHashes(spark, fixture)
+      .collect().map(h => h.doc_id -> h.ahash).toMap
+    val exp = fixture.select("doc_id", "exp_ahash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === exp, "aHash from pixels must reproduce the recorded round-trip hashes")
+    val pairs = SparkEntry.queries("multimodal_phash_dedup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0 until 6).map(b => (b.toLong, 100L + b)).toSet,
+      "exactly the 6 engineered near-dup pairs, no base-base aliases")
+  }
+
   test("text_zipf_fit matches a closed-form least-squares over the bigram ranks") {
     val bigrams = Tables.t(spark, d, "documents")
       .select(split(Tables.normText(col("text")), " ").as("tk"))
