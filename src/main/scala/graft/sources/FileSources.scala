@@ -24,6 +24,7 @@ object FileSources {
   val OrcTwinPath = "/root/repo/fixtures/docs_orc_twin.parquet"
   val XmlPath = "/root/repo/fixtures/docs_xml"
   val XmlTwinPath = "/root/repo/fixtures/docs_xml_twin.parquet"
+  val RawFilesPath = "/root/repo/fixtures/raw_files"
 
   val csvSchema: StructType = StructType(Seq(
     StructField("id", LongType),
@@ -118,6 +119,24 @@ object FileSources {
         .filter(col("score") <= 0.7)
         .select(col("id"), col("lang"), col("n_chars"), col("score"), col("title"))
         .orderBy("id")),
+
+    // Raw-blob ingest — spark.read.format("binaryFile"): where a
+    // multimodal pipeline STARTS (media as files on object storage, not
+    // yet in a table); each file becomes one row (path, modificationTime,
+    // length, content), with pathGlobFilter/recursiveFileLookup for
+    // selection at scale. The result is content-addressed (name, length,
+    // md5 of the bytes) — modificationTime is checkout-dependent and never
+    // enters. DuckDB reads the SAME committed directory via read_blob, so
+    // the oracle gates the actual bytes ingested, not a twin.
+    "scan_binaryfile" -> ((s, _) =>
+      s.read.format("binaryFile").load(RawFilesPath)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length").as("byte_len"),
+          // full hex of the payload: an exact byte-for-byte witness both
+          // engines spell identically (DuckDB 1.0's md5 is VARCHAR-only)
+          hex(col("content")).as("content_hex"))
+        .orderBy("file_name")),
 
     // Small-file COMPACTION — the lakehouse maintenance op every streaming
     // or per-partition-append pipeline eventually needs: a landing zone of
@@ -244,6 +263,12 @@ object FileSources {
          |FROM read_parquet('$XmlTwinPath/*.parquet')
          |WHERE score <= 0.7
          |ORDER BY id""".stripMargin,
+    "scan_binaryfile" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+         |       CAST(size AS BIGINT) AS byte_len,
+         |       hex(content) AS content_hex
+         |FROM read_blob('$RawFilesPath/*')
+         |ORDER BY file_name""".stripMargin,
     // file counts are deterministic functions of the row count (see the
     // query comment): frag = one task split every 16 records, compacted =
     // one task split every 200

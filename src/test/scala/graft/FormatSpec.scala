@@ -63,6 +63,19 @@ class FormatSpec extends SparkSpec {
     assert(r.getLong(2) === n, "compacted copy must preserve every row")
   }
 
+  test("scan_binaryfile: pathGlobFilter selects a subset without listing-side surprises") {
+    // the selection mechanism a 100 TB blob-store ingest leans on: the
+    // glob prunes at FILE-LISTING time, before any content I/O
+    val pngs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(graft.sources.FileSources.RawFilesPath)
+    assert(pngs.count() === 2)
+    val all = SparkEntry.queries("scan_binaryfile")(spark, d).collect()
+    assert(all.length === 4)
+    assert(all.map(_.getString(0)).toSeq ===
+      Seq("data.bin", "img_a.png", "img_b.png", "notes.txt"))
+  }
+
   test("CSV writer roundtrips through the engine's CSV reader including nulls") {
     val out = Files.createTempDirectory("csvw").toString
     val src = graft.sources.FileSources.readCsv(spark)

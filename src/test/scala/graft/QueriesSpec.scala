@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 202 declared queries (53 SURVEY §2 + 149 extras), 193 with oracles") {
-    assert(SparkEntry.queries.size === 202)
-    assert(SparkEntry.oracleSql.size === 193)
+  test("inventory: 203 declared queries (53 SURVEY §2 + 150 extras), 194 with oracles") {
+    assert(SparkEntry.queries.size === 203)
+    assert(SparkEntry.oracleSql.size === 194)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
