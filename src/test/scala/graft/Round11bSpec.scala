@@ -91,6 +91,38 @@ class Round11bSpec extends SparkSpec {
       "exactly the 6 engineered near-dup pairs, no base-base aliases")
   }
 
+  test("aHash is invariant under uniform brightness shift and integer upscaling") {
+    // the properties that make the average-hash PERCEPTUAL: re-exposure
+    // (all pixels +c, no clipping) shifts every cell and the mean equally,
+    // and integer upscaling maps whole pixels onto the same 8x8 cells —
+    // neither changes any bit. A pattern change must.
+    def img(f: (Int, Int) => Int, size: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(size, size,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until size; x <- 0 until size) {
+        val v = f(x, y) & 0xff
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def pngBytes(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def pattern(x: Int, y: Int) = 40 + ((x / 8) * 13 + (y / 8) * 29) % 150
+    val h0 = graft.multimodal.Binary.aHash(pngBytes(img(pattern, 64)))
+    val hBright = graft.multimodal.Binary.aHash(
+      pngBytes(img((x, y) => pattern(x, y) + 40, 64)))
+    val hUp = graft.multimodal.Binary.aHash(
+      pngBytes(img((x, y) => pattern(x / 2, y / 2), 128)))
+    val hOther = graft.multimodal.Binary.aHash(
+      pngBytes(img((x, y) => pattern(63 - x, y), 64)))
+    assert(hBright === h0, "uniform brightness shift must not change the hash")
+    assert(hUp === h0, "2x nearest upscale must not change the hash")
+    assert(java.lang.Long.bitCount(h0 ^ hOther) > 3, "a mirrored pattern must differ")
+  }
+
   test("text_zipf_fit matches a closed-form least-squares over the bigram ranks") {
     val bigrams = Tables.t(spark, d, "documents")
       .select(split(Tables.normText(col("text")), " ").as("tk"))
