@@ -30,6 +30,22 @@ object PpdbQueries {
       Ppdb.parse(s, Ppdb.MultiFixtureDir).orderBy("phrase", "paraphrase")
     }),
 
+    // The release format as a FIRST-CLASS source (round 11):
+    // spark.read.format("ppdb") through the DataSourceV2 reader
+    // (sources.ppdb.PpdbDataSource) — typed schema, column pruning pushed
+    // INSIDE the parser (a phrase-only projection never tokenizes
+    // features), one InputPartition per non-splittable .gz member.
+    // PpdbV2Spec pins pruning, partitioning, and row parity with the
+    // projection-form parse; the oracle is the same release-text CTE the
+    // rest of the family uses.
+    "ppdb_scan_v2" -> ((s, _) => {
+      s.read.format("ppdb").load(Ppdb.FixturePath)
+        .select(col("lhs"), col("phrase"), col("paraphrase"),
+          col("ppdb2score"), size(col("alignment")).cast("long").as("n_align"),
+          col("entailment"))
+        .orderBy("phrase", "paraphrase")
+    }),
+
     // The reference's signature query: paraphrases of one phrase, ranked by
     // PPDB2.0Score. In engine terms: an equi-filter over the parsed frame —
     // at scale, a parquet-persisted frame partitioned by phrase makes this a
@@ -171,6 +187,12 @@ object PpdbQueries {
     "ppdb_parse_multi" ->
       s"""${Ppdb.oracleCte(Ppdb.MultiFixtureDir + "/*.txt.gz")}
          |SELECT lhs, phrase, paraphrase, features_raw, alignment, entailment, ppdb2score
+         |FROM ppdb ORDER BY phrase, paraphrase""".stripMargin,
+    "ppdb_scan_v2" ->
+      s"""$cte
+         |SELECT lhs, phrase, paraphrase, ppdb2score,
+         |       CAST(len(string_split(alignment, ' ')) AS BIGINT) AS n_align,
+         |       entailment
          |FROM ppdb ORDER BY phrase, paraphrase""".stripMargin,
     "ppdb_lookup" ->
       s"""$cte
