@@ -46,6 +46,19 @@ object PpdbQueries {
         .orderBy("phrase", "paraphrase")
     }),
 
+    // The reference's signature lookup THROUGH the V2 source: the phrase
+    // equality pushes into the reader (SupportsPushDownFilters) and
+    // evaluates at the LINE level before any column materializes — the
+    // point-lookup shape a release-scale deployment gets from the custom
+    // seam without a parquet conversion. Same oracle as ppdb_lookup: a
+    // pushed filter must not change a row.
+    "ppdb_lookup_v2" -> ((s, _) => {
+      s.read.format("ppdb").load(Ppdb.FixturePath)
+        .filter(col("phrase") === "happy")
+        .select(col("paraphrase"), col("ppdb2score"), col("entailment"))
+        .orderBy(col("ppdb2score").desc, col("paraphrase"))
+    }),
+
     // The reference's signature query: paraphrases of one phrase, ranked by
     // PPDB2.0Score. In engine terms: an equi-filter over the parsed frame —
     // at scale, a parquet-persisted frame partitioned by phrase makes this a
@@ -194,6 +207,11 @@ object PpdbQueries {
          |       CAST(len(string_split(alignment, ' ')) AS BIGINT) AS n_align,
          |       entailment
          |FROM ppdb ORDER BY phrase, paraphrase""".stripMargin,
+    "ppdb_lookup_v2" ->
+      s"""$cte
+         |SELECT paraphrase, ppdb2score, entailment FROM ppdb
+         |WHERE phrase = 'happy'
+         |ORDER BY ppdb2score DESC, paraphrase""".stripMargin,
     "ppdb_lookup" ->
       s"""$cte
          |SELECT paraphrase, ppdb2score, entailment FROM ppdb

@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.SupportsPushDownFilters
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -103,35 +104,61 @@ class PpdbTable(path: String) extends Table with SupportsRead {
 }
 
 class PpdbScanBuilder(path: String)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = PpdbDataSource.Schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PpdbScan(path, required)
+  /** String equality on the four raw text fields evaluates EXACTLY at the
+    * line level (one substring compare, before any column materializes), so
+    * supported filters return no residual — `SELECT … WHERE phrase = 'x'`
+    * over a release never tokenizes features for non-matching rules.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, rest) = filters.partition {
+      case EqualTo(a, _: String) => PpdbScanBuilder.Pushable.contains(a)
+      case _ => false
+    }
+    pushed = sup
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new PpdbScan(path, required, pushed)
 }
 
-class PpdbScan(path: String, required: StructType) extends Scan with Batch {
+object PpdbScanBuilder {
+  private[ppdb] val Pushable: Map[String, Int] =
+    Map("lhs" -> 0, "phrase" -> 1, "paraphrase" -> 2, "entailment" -> 5)
+}
+
+class PpdbScan(path: String, required: StructType, pushed: Array[Filter])
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"PpdbScan(path=$path)"
+  override def description(): String =
+    s"PpdbScan(path=$path, pushed=[${pushed.mkString(", ")}])"
   override def planInputPartitions(): Array[InputPartition] =
     PpdbDataSource.listFiles(path).map(PpdbInputPartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new PpdbReaderFactory(required)
+    new PpdbReaderFactory(required, pushed)
+  private[graft] def pushedForTest: Array[Filter] = pushed
 }
 
 case class PpdbInputPartition(file: String) extends InputPartition
 
-class PpdbReaderFactory(required: StructType) extends PartitionReaderFactory {
+class PpdbReaderFactory(required: StructType, pushed: Array[Filter])
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PpdbPartitionReader(
-      partition.asInstanceOf[PpdbInputPartition].file, required)
+      partition.asInstanceOf[PpdbInputPartition].file, required, pushed)
 }
 
 /** Streams one release file; materializes ONLY the pruned columns — a
   * `SELECT phrase` never tokenizes features or alignment.
   */
-class PpdbPartitionReader(file: String, required: StructType)
+class PpdbPartitionReader(
+    file: String, required: StructType, pushed: Array[Filter] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   private val in = {
@@ -140,20 +167,31 @@ class PpdbPartitionReader(file: String, required: StructType)
       if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw
     new java.io.BufferedReader(new java.io.InputStreamReader(stream, "UTF-8"))
   }
-  private var line: String = _
+  private var fields: Array[String] = _
 
-  // resolve required ordinals once per partition, not per row
+  // resolve required ordinals + pushed-filter ordinals once per partition
   private val fieldNames = required.fields.map(_.name)
   private val needsFeatures =
     fieldNames.contains("features") || fieldNames.contains("ppdb2score")
+  private val lineFilters: Array[(Int, String)] = pushed.collect {
+    case EqualTo(a, v: String) => PpdbScanBuilder.Pushable(a) -> v
+  }
 
   override def next(): Boolean = {
-    line = in.readLine()
-    line != null
+    var line = in.readLine()
+    while (line != null) {
+      val f = PpdbDataSource.splitFields(line)
+      // pushed equality evaluates here, BEFORE any column materializes —
+      // a filtered scan splits each line but tokenizes nothing else
+      val pass = lineFilters.forall { case (i, v) => i < f.length && f(i) == v }
+      if (pass) { fields = f; return true }
+      line = in.readLine()
+    }
+    false
   }
 
   override def get(): InternalRow = {
-    val f = PpdbDataSource.splitFields(line)
+    val f = fields
     def field(i: Int): String = if (i < f.length) f(i) else null
 
     // features tokenize once, shared by the map column and the score

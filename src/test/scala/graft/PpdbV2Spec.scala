@@ -67,6 +67,20 @@ class PpdbV2Spec extends SparkSpec {
     }
   }
 
+  test("phrase equality pushes into the reader and returns exactly the lookup rows") {
+    val df = spark.read.format("ppdb").load(Ppdb.FixturePath)
+      .filter(col("phrase") === "happy")
+      .select("paraphrase")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val pushed = scans.head.scan.asInstanceOf[graft.sources.ppdb.PpdbScan].pushedForTest
+    assert(pushed.nonEmpty && pushed.head ===
+      org.apache.spark.sql.sources.EqualTo("phrase", "happy"),
+      s"phrase equality must reach the reader; pushed=${pushed.mkString(",")}")
+    assert(df.collect().map(_.getString(0)).sorted === Array("cheerful", "content", "glad"))
+  }
+
   test("malformed lines null-fill missing fields instead of erroring") {
     val dir = java.nio.file.Files.createTempDirectory("ppdbv2").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.txt"),
