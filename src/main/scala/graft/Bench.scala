@@ -19,6 +19,24 @@ object Bench {
     // read path once, so the first timed query doesn't absorb session startup
     spark.range(1000).selectExpr("sum(id)").count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    // ---- ambient-load sentinel (round 12, VERDICT r11 item 6) ----
+    // A fixed CPU-bound probe the REPO'S CODE CAN NEVER TOUCH (spark.range +
+    // a sum — pure engine), timed before and after the query sweep: its
+    // median tracks host contention directly, so a bench taken while the
+    // machine is busy is machine-flagged instead of masquerading as a code
+    // regression (four same-code same-day runs spanned 41.8→98.3 s in round
+    // 11; BASELINE.md:59 proved the inflation ambient with a worktree A/B).
+    // The committed reference band lives in bench/sentinel_ref.json, keyed
+    // by cpu count; no reference for this cpu count ⇒ stamp-only, never
+    // block.
+    def sentinelProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinelMedian(k: Int): Seq[Double] = Seq.fill(k)(sentinelProbe())
+    val sentinelPre = sentinelMedian(3)
     // sorted for run-to-run comparability (Map iteration order is
     // hash-dependent and would reshuffle warm-cache effects across rounds)
     var failed = List.empty[String]
@@ -69,10 +87,30 @@ object Bench {
     val failedSet = failed.toSet
     val total = results.collect { case (k, v, _) if v >= 0 && !failedSet(k) => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // close the sentinel window: 3 more probes AFTER the sweep catch load
+    // that arrived mid-run; the stamped value is the median of all 6
+    val sentinelAll = (sentinelPre ++ sentinelMedian(3)).sorted
+    val sentinel = sentinelAll((sentinelAll.length - 1) / 2)
+    // reference band: committed quiet-host medians per cpu count (JSON of
+    // the shape {"32": 0.62, "16": 1.1}); overridable for local experiments
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REF", "bench/sentinel_ref.json")
+    val sentinelRef: Option[Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)), "UTF-8")
+      s""""$cpus"\\s*:\\s*([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+    // 1.25×: comfortably outside the ±10% same-code quiet band BASELINE.md
+    // measured, well inside the 2–6× inflation contention produces
+    val contended = sentinelRef.exists(ref => sentinel > ref * 1.25)
+    def ms3(v: Double): Double = math.rint(v * 1000) / 1000 // locale-safe 3dp
+    val ambientJson =
+      s"""{"sentinel_sec":${ms3(sentinel)},"probes":[${sentinelAll.map(ms3).mkString(",")}],""" +
+        s""""ref_sec":${sentinelRef.map(ms3).getOrElse(-1.0)},"contended":$contended}"""
     // schema 2: `value` sums FULLY-successful queries only (schema 1 — rounds
     // ≤6 — included partial-rep medians of queries that later failed), so
     // cross-round total comparisons can detect the semantics change
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","schema":2,"queries":$qs,"reps":$reps,"reps_ok":$repsOk,"failed":$failedJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","schema":2,"queries":$qs,"reps":$reps,"reps_ok":$repsOk,"failed":$failedJson,"ambient":$ambientJson,"sf":"$sfDir"}"""
     println(fullLine)
     // durable copy of the COMPLETE per-query record: the driver keeps only a
     // 2 KB stdout tail, so without this file regression hunts are blind below
@@ -80,8 +118,19 @@ object Bench {
     // (committed per round as bench_<sf>_rNN.json); override or disable
     // ("") via SPARK_GRAFT_BENCH_OUT. Best-effort — a read-only cwd must
     // not fail the bench itself.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+    val outPathWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"bench/latest_${new java.io.File(sfDir).getName}.json")
+    // a CONTENDED run must not overwrite the canonical latest_* pointer
+    // (round 11's 98.3 s driver run sat there showing phantom 6–19×
+    // regressions on untouched queries) — it lands beside it with a
+    // .contended suffix, so the data survives but nothing diffs against it
+    // by default
+    val outPath =
+      if (contended && outPathWanted.contains("latest_")) {
+        System.err.println(s"[bench] AMBIENT CONTENTION: sentinel ${ms3(sentinel)}s vs " +
+          s"ref ${sentinelRef.map(ms3).getOrElse(-1.0)}s (cpus=$cpus) — NOT updating $outPathWanted")
+        outPathWanted.replace(".json", ".contended.json")
+      } else outPathWanted
     if (outPath.nonEmpty) try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -90,7 +139,6 @@ object Bench {
     // compact summary LAST: the driver keeps only the tail of stdout (round-7
     // BENCH lost every per-query timing to the 2 KB cut), so the headline
     // numbers must survive on their own final line
-    def ms3(v: Double): Double = math.rint(v * 1000) / 1000 // locale-safe 3dp
     // exclude failed queries' partial-rep medians here too — the summary is
     // the line most likely to be read, and a broken query must be visible
     // in `failed`, not dressed as a normal top-10 timing
@@ -99,7 +147,7 @@ object Bench {
       .sortBy(-_._2).take(10)
       .map { case (k, v, _) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total_sec":${ms3(total)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"schema":2,"reps":$reps,"sf":"$sfDir","top10_slowest":$top}""")
+    println(s"""{"metric":"summary","total_sec":${ms3(total)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"schema":2,"reps":$reps,"ambient":$ambientJson,"sf":"$sfDir","top10_slowest":$top}""")
     spark.stop()
   }
 }

@@ -294,6 +294,22 @@ object Binary {
   def aHash(bytes: Array[Byte]): Long = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "no ImageIO reader recognizes this payload")
+    aHashOf(img)
+  }
+
+  /** Corruption-tolerant twin of [[aHash]] for the DISTRIBUTED path (round
+    * 12, ADVICE r11): at corpus scale undecodable blobs are EXPECTED — a
+    * curation pipeline flags and routes around them; it must never let one
+    * truncated download abort a whole partition. None ⇔ ImageIO either
+    * recognizes no reader or throws while decoding. The strict throwing
+    * [[aHash]] remains for the fixture generator, where a decode failure IS
+    * a bug.
+    */
+  def aHashOpt(bytes: Array[Byte]): Option[Long] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes))).map(aHashOf)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def aHashOf(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth
     val h = img.getHeight
     val sums = new Array[Long](64)
@@ -335,11 +351,31 @@ object Binary {
   /** Distributed hash pass: decode + hash inside `mapPartitions` (no
     * shuffle; pixels never leave their partition), narrow (id, 8-byte hash)
     * output — the only thing a 100 TB image corpus ships downstream.
+    * Undecodable payloads are SKIPPED (round 12, ADVICE r11 — one corrupt
+    * blob must not abort the partition); use [[imageHashStatus]] when the
+    * pipeline needs the failures routed to a quarantine table instead of
+    * dropped.
     */
   def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
     import spark.implicits._
     media.select("doc_id", "payload").as[ImageRow].mapPartitions { it =>
-      it.map(r => ImageHash(r.doc_id, aHash(r.payload)))
+      it.flatMap(r => aHashOpt(r.payload).map(h => ImageHash(r.doc_id, h)))
+    }
+  }
+
+  case class ImageHashStatus(doc_id: Long, ahash: Option[Long], decode_ok: Boolean)
+
+  /** Flagged variant of [[imageHashes]]: every input row survives, corrupt
+    * payloads carry `decode_ok = false` and a null hash — the shape that
+    * feeds a quarantine/ retry table in a real curation run.
+    */
+  def imageHashStatus(spark: SparkSession, media: DataFrame): Dataset[ImageHashStatus] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[ImageRow].mapPartitions { it =>
+      it.map { r =>
+        val h = aHashOpt(r.payload)
+        ImageHashStatus(r.doc_id, h, h.isDefined)
+      }
     }
   }
 

@@ -40,18 +40,22 @@ import org.apache.spark.sql.functions._
 object AnnDedup {
 
   /** Adaptive-plane bounds: 4 ⇒ ≥16 buckets/table even on tiny inputs;
-    * 20 ⇒ 1M buckets/table, enough for ~67M vectors at TargetBucket=64
-    * (VERDICT r9 item 8 extended the r9 ceiling of 16). The oracle's plane
-    * literals and CASE ladder are GENERATED from this constant
+    * 26 ⇒ 67M buckets/table, enough for ~4.3 BILLION vectors at
+    * TargetBucket=64 — above the O(10⁹)-vector embedding table a 100 TB
+    * corpus implies (VERDICT r11 item 2 raised the r9→r11 ceiling of 20 ≈
+    * 67M vectors, which sat BELOW that bar). The oracle's plane literals
+    * and CASE ladder are GENERATED from this constant
     * (queries.Extras.annDedupOracleSql) and AnnLsh.planes is row-major
-    * prefix-stable, so raising it regenerates both sides consistently.
-    * Beyond the ceiling the ladder CLAMPS: mean bucket occupancy grows as
-    * n/2^MaxPlanes·64 and per-bucket pair work with its square — raise
-    * MaxPlanes again before running corpora past ~67M vectors (Round9Spec
-    * pins the clamp boundary so the limit is visible, not silent).
+    * prefix-stable, so raising it regenerates both sides consistently; the
+    * packed (table, bucket) key stays well inside a long
+    * (nTables·2^MaxPlanes = 8·2^26 ≈ 5.4e8). Beyond the ceiling the ladder
+    * CLAMPS: mean bucket occupancy grows as n/(2^MaxPlanes·64) and
+    * per-bucket pair work with its square — raise MaxPlanes again before
+    * running corpora past ~4.3B vectors (Round9Spec pins the clamp boundary
+    * so the limit is visible, not silent).
     */
   val MinPlanes = 4
-  val MaxPlanes = 20
+  val MaxPlanes = 26
 
   /** Mean bucket occupancy the adaptive plane count aims for. */
   val TargetBucket = 64L

@@ -15,6 +15,17 @@ object PpdbQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Scratch root for the release-conversion output (per-JVM temp dir +
+    * per-invocation counter, so concurrent constructions — parallel suites,
+    * overlapping bench reps — never race on the same directory the way the
+    * pre-round-12 compact_files scratch could).
+    */
+  private lazy val convertRoot =
+    java.nio.file.Files.createTempDirectory("graft_ppdb_convert").toString
+  private val convertSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def convertDir(): String =
+    new java.io.File(convertRoot, s"rel_${convertSeq.incrementAndGet()}").getAbsolutePath
+
   // sfDir is ignored: the PPDB fixture lives at a stable absolute path so
   // both engines read the identical bytes (FIXTURES.md §2).
   val queries: Map[String, Q] = Map(
@@ -57,6 +68,59 @@ object PpdbQueries {
         .filter(col("phrase") === "happy")
         .select(col("paraphrase"), col("ppdb2score"), col("entailment"))
         .orderBy(col("ppdb2score").desc, col("paraphrase"))
+    }),
+
+    // Score-pruned scan THROUGH the V2 source (round 12): the threshold on
+    // ppdb2score pushes into the reader (SupportsPushDownFilters handles the
+    // comparison family, not just equality) and evaluates per LINE with a
+    // single-token score parse — the defining query of the S→XXXL release
+    // ladder (each smaller pack = the rules above a score cut) never
+    // tokenizes the feature map for sub-threshold rules. PpdbV2Spec pins
+    // that the GreaterThanOrEqual actually reaches the reader AND that a
+    // no-score line is dropped (SQL null-comparison semantics).
+    "ppdb_scan_v2_scored" -> ((s, _) => {
+      s.read.format("ppdb").load(Ppdb.FixturePath)
+        .filter(col("ppdb2score") >= 4.0)
+        .select(col("phrase"), col("paraphrase"), col("ppdb2score"), col("entailment"))
+        .orderBy("phrase", "paraphrase")
+    }),
+
+    // Release CONVERSION (round 12): the one pipeline every release-scale
+    // user runs FIRST, per SURVEY §2.1's scale rule — "parse once →
+    // repartition → persist to parquet/zstd; never re-scan gzip twice" —
+    // promoted from design prose to a gated operator. The multi-file .gz
+    // pack parses in one glob scan (one task per non-splittable member),
+    // repartitions off the file-count parallelism ceiling, persists as
+    // zstd parquet, and the RESULT is the read-back aggregate of the files
+    // just written plus the on-disk file count from `_metadata.file_path`
+    // lineage — so the oracle (the same aggregate over the release TEXT)
+    // gates the full text→parquet→read round trip, not a write that merely
+    // didn't throw. repartition(2) here is the fixture-scale stand-in for
+    // repartition(input_bytes / 256 MB) at release scale; 2 targets stay
+    // deterministic (round-robin over 4×3-row inputs fills both slots, one
+    // file each). Scratch dir is per-invocation unique (see convertDir).
+    "ppdb_convert_release" -> ((s, _) => {
+      val out = convertDir()
+      Ppdb.parse(s, Ppdb.MultiFixtureDir + "/*.txt.gz")
+        .repartition(2)
+        .write.mode("overwrite").option("compression", "zstd").parquet(out)
+      import org.apache.spark.sql.types._
+      val backSchema = StructType(Seq(
+        StructField("lhs", StringType), StructField("phrase", StringType),
+        StructField("paraphrase", StringType), StructField("features_raw", StringType),
+        StructField("alignment", StringType), StructField("entailment", StringType),
+        StructField("ppdb2score", DoubleType)))
+      s.read.schema(backSchema).parquet(out)
+        .select(col("_metadata.file_path").as("fp"), col("phrase"),
+          col("ppdb2score"), col("entailment"))
+        .agg(
+          countDistinct(col("fp")).as("n_files"),
+          count(lit(1)).as("n_rules"),
+          countDistinct(col("phrase")).as("n_phrases"),
+          round(min(col("ppdb2score")), 2).as("min_score"),
+          round(max(col("ppdb2score")), 2).as("max_score"),
+          round(avg(col("ppdb2score")), 4).as("avg_score"),
+          count(when(col("entailment") === "Equivalence", 1)).as("n_equiv"))
     }),
 
     // The reference's signature query: paraphrases of one phrase, ranked by
@@ -212,6 +276,21 @@ object PpdbQueries {
          |SELECT paraphrase, ppdb2score, entailment FROM ppdb
          |WHERE phrase = 'happy'
          |ORDER BY ppdb2score DESC, paraphrase""".stripMargin,
+    "ppdb_scan_v2_scored" ->
+      s"""$cte
+         |SELECT phrase, paraphrase, ppdb2score, entailment FROM ppdb
+         |WHERE ppdb2score >= 4.0
+         |ORDER BY phrase, paraphrase""".stripMargin,
+    "ppdb_convert_release" ->
+      s"""${Ppdb.oracleCte(Ppdb.MultiFixtureDir + "/*.txt.gz")}
+         |SELECT CAST(2 AS BIGINT) AS n_files,
+         |       CAST(count(*) AS BIGINT) AS n_rules,
+         |       CAST(count(DISTINCT phrase) AS BIGINT) AS n_phrases,
+         |       round(min(ppdb2score), 2) AS min_score,
+         |       round(max(ppdb2score), 2) AS max_score,
+         |       round(avg(ppdb2score), 4) AS avg_score,
+         |       CAST(count(CASE WHEN entailment = 'Equivalence' THEN 1 END) AS BIGINT) AS n_equiv
+         |FROM ppdb""".stripMargin,
     "ppdb_lookup" ->
       s"""$cte
          |SELECT paraphrase, ppdb2score, entailment FROM ppdb

@@ -72,14 +72,23 @@ object FileSources {
     new java.io.File(sinkRoot, s"docs_by_lang_$h").getAbsolutePath
   }
 
-  /** compact_files scratch dirs, per (sfDir, stage), under the same per-JVM
-    * root as the sink outputs.
+  /** compact_files scratch dirs: per-invocation UNIQUE (round 12 — a
+    * monotone counter joins the (sfDir, stage) key), so two concurrent
+    * constructions for the same sfDir (parallel suites, overlapping bench
+    * reps) can never race one overwrite against the other's lazy read-back.
     */
-  private[graft] def compactDirFor(sfDir: String, stage: String): String = {
+  private val compactSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def compactDirFor(sfDir: String, stage: String, seq: Long): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new java.io.File(sinkRoot, s"compact_${stage}_$h").getAbsolutePath
+    new java.io.File(sinkRoot, s"compact_${stage}_${h}_$seq").getAbsolutePath
   }
+
+  /** Scratch dirs of the most recent compact_files construction — test-only
+    * visibility (FormatSpec inspects the physical layout the write left).
+    */
+  private[graft] val lastCompactDirs =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   val queries: Map[String, Q] = Map(
     // d emitted as midnight timestamp: the comparator canonicalizes
@@ -143,40 +152,55 @@ object FileSources {
     // many tiny files (here ceil(n/16) files, written by this query so the
     // fragmentation is real and sf-proportional) is rewritten into
     // ceil(n/200) right-sized files, and the result reports both file
-    // counts (from read-back `_metadata.file_name` — the scan_metadata
+    // counts (from read-back `_metadata.file_path` — the scan_metadata
     // lineage mechanism, so the counts measure what is actually on disk)
     // plus content aggregates over the COMPACTED copy, gating the full
-    // fragment→compact→read round trip. File counts are made deterministic
-    // (and therefore oracle-expressible as ceil(count(*)/k)) by writing
-    // from one task with maxRecordsPerFile as the splitter; at 100 TB the
-    // single task becomes repartition(bytes/256 MB) with the SAME
-    // maxRecordsPerFile mechanism bounding each file — the constant is the
-    // fixture-determinism choice, not the algorithm. The doc_id < 2000
-    // block is DECLARED semantics (the dedup_jaccard pattern): it bounds
-    // the fragment-CREATION cost the query pays to stage its own input
-    // (unbounded, the sf1 suite spent 38 s writing 3,125 fragment files —
-    // measuring the staging, not the compaction); real deployments compact
-    // one partition at a time, which is exactly a bounded slice.
+    // fragment→compact→read round trip.
+    //
+    // MULTI-TASK writes (round 12, retiring the coalesce(1) `weak`): each
+    // stage buckets rows by a contiguous doc_id range (512 rows per
+    // fragment bucket, 1000 per compaction bucket), shuffles ON the bucket
+    // column so every hive directory is written by exactly one task, and
+    // lets maxRecordsPerFile split inside each directory — the exact shape
+    // a 100 TB compactor uses (bucket ≈ bytes/256 MB, same splitter). File
+    // counts stay deterministic AND the ceil-formula oracle is UNCHANGED:
+    // with bucket sizes divisible by the per-file caps (512 % 16 == 0,
+    // 1000 % 200 == 0), sum-over-buckets(ceil(rows_b/k)) ≡ ceil(n/k) for
+    // contiguous ids — full buckets contribute exactly B/k files and only
+    // the remainder bucket rounds up. `file_path` (not file_name) is the
+    // distinct key because dynamic-partition writers reuse part-file names
+    // across directories. The doc_id < 2000 block is DECLARED semantics
+    // (the dedup_jaccard pattern): it bounds the fragment-CREATION cost the
+    // query pays to stage its own input; real deployments compact one
+    // partition at a time, which is exactly a bounded slice.
     "compact_files" -> ((s, d) => {
-      val frag = compactDirFor(d, "frag")
-      val comp = compactDirFor(d, "comp")
+      val seq = compactSeq.incrementAndGet()
+      val frag = compactDirFor(d, "frag", seq)
+      val comp = compactDirFor(d, "comp", seq)
+      lastCompactDirs.set((frag, comp))
       val src = s.read.parquet(s"$d/documents.parquet")
         .filter(col("doc_id") < 2000)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      src.coalesce(1)
-        .write.mode("overwrite").option("maxRecordsPerFile", 16).parquet(frag)
-      val backSchema = StructType(Seq(
+      src.withColumn("bkt", floor(col("doc_id") / 512))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .option("maxRecordsPerFile", 16).parquet(frag)
+      val fragSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("lang", StringType),
-        StructField("n_chars", LongType)))
-      val fragBack = s.read.schema(backSchema).parquet(frag)
-      fragBack.coalesce(1)
-        .write.mode("overwrite").option("maxRecordsPerFile", 200).parquet(comp)
-      val nFrag = s.read.schema(backSchema).parquet(frag)
-        .select(col("_metadata.file_name").as("f"))
+        StructField("n_chars", LongType), StructField("bkt", LongType)))
+      val fragBack = s.read.schema(fragSchema).parquet(frag)
+      fragBack
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("bkt", floor(col("doc_id") / 1000))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .option("maxRecordsPerFile", 200).parquet(comp)
+      val nFrag = s.read.schema(fragSchema).parquet(frag)
+        .select(col("_metadata.file_path").as("f"))
         .agg(count_distinct(col("f")).as("n"))
-      val compBack = s.read.schema(backSchema).parquet(comp)
+      val compBack = s.read.schema(fragSchema).parquet(comp)
       compBack
-        .select(col("_metadata.file_name").as("f"), col("doc_id"), col("n_chars"))
+        .select(col("_metadata.file_path").as("f"), col("doc_id"), col("n_chars"))
         .agg(count_distinct(col("f")).as("n_files_after"),
           count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))

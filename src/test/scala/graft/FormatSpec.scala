@@ -64,6 +64,44 @@ class FormatSpec extends SparkSpec {
     assert(r.getLong(2) === n, "compacted copy must preserve every row")
   }
 
+  test("compact_files writes multi-task bucketed layouts, not a coalesce(1) funnel (round 12)") {
+    // synthetic 2000-doc corpus so the bucket-by-512 layout actually fans
+    // out (TestTables' corpus is smaller than one bucket)
+    import spark.implicits._
+    val big = Files.createTempDirectory("compact-big").toString
+    (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L + i % 7))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.parquet(s"$big/documents.parquet")
+    // AQE rightly coalesces a KB-scale shuffle to one partition; disable
+    // coalescing here so the assertion sees the at-scale task layout
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.get(coalesceKey, "true")
+    val r = try {
+      spark.conf.set(coalesceKey, "false")
+      SparkEntry.queries("compact_files")(spark, big).collect().head
+    } finally spark.conf.set(coalesceKey, old)
+    assert(r.getLong(0) === 125, "n_files_before = ceil(2000/16)")
+    assert(r.getLong(1) === 10, "n_files_after = ceil(2000/200)")
+    assert(r.getLong(2) === 2000)
+    val (frag, comp) = graft.sources.FileSources.lastCompactDirs.get()
+    def bucketDirs(root: String): Seq[java.io.File] =
+      new java.io.File(root).listFiles().filter(f => f.isDirectory && f.getName.startsWith("bkt=")).toSeq
+    val fragDirs = bucketDirs(frag)
+    assert(fragDirs.map(_.getName).sorted === Seq("bkt=0", "bkt=1", "bkt=2", "bkt=3"),
+      "fragment stage must bucket by doc_id range (4 buckets of <=512)")
+    // full buckets split into exactly 512/16 = 32 files; remainder ceil(464/16) = 29
+    val perDir = fragDirs.map(dd => dd.getName -> dd.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(perDir("bkt=0") === 32 && perDir("bkt=1") === 32 && perDir("bkt=2") === 32
+      && perDir("bkt=3") === 29, s"per-bucket fragment file counts: $perDir")
+    // >1 distinct writer task across the layout = the write did NOT funnel
+    // through one task (part file names carry the task's split index)
+    val splits = fragDirs.flatMap(_.listFiles()).map(_.getName)
+      .filter(_.endsWith(".parquet")).map(_.split("-")(1)).distinct
+    assert(splits.length > 1, s"expected multiple writer tasks, saw split ids: $splits")
+    assert(bucketDirs(comp).map(_.getName).sorted === Seq("bkt=0", "bkt=1"),
+      "compaction stage must bucket by doc_id range (2 buckets of <=1000)")
+  }
+
   test("scan_binaryfile: pathGlobFilter selects a subset without listing-side surprises") {
     // the selection mechanism a 100 TB blob-store ingest leans on: the
     // glob prunes at FILE-LISTING time, before any content I/O

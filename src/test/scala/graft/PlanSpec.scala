@@ -78,18 +78,30 @@ class PlanSpec extends SparkSpec {
     // take the raw single-window branch BELOW CrossoverRows (fixture
     // scale) and are exempted there, but their at-scale blocked branches
     // are held to the full rule below.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LogicalPlan, Union, Window => LWindow}
     val autoCrossover = Set("doc_shard_assign", "skyline_pareto", "agg_weighted_median")
     val checkpointed = Set("dedup_components", "pipeline_corpus_clean", "sim_ann_ivf",
       "graph_pagerank")
-    // a GlobalLimit beneath the window bounds the frame just like an
-    // Aggregate does (rank_fusion ranks within each system's top-500
-    // candidate list — a constant-size frame at any corpus scale)
+    // A frame is BOUNDED iff every path from the window's input down to a
+    // leaf passes through an Aggregate (group-cardinality bound) or a
+    // GlobalLimit (rank_fusion ranks within each system's top-500 list —
+    // constant at any corpus scale) — computed STRUCTURALLY, not by
+    // collectFirst over the whole subtree (round 12, ADVICE r11: a limit on
+    // one side of a join below the window must NOT exempt the unbounded
+    // other side). Union/Join of bounded frames stay bounded (≤ sum /
+    // product of constants); any leaf reached without crossing a bound is
+    // row-cardinality data and flags.
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case u: Union => u.children.forall(bounded)
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case other if other.children.length == 1 => bounded(other.children.head)
+      case _ => false
+    }
     def rawGlobalWindows(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty &&
-          w.child.collectFirst { case a: Aggregate => a }.isEmpty &&
-          w.child.collectFirst { case l: GlobalLimit => l }.isEmpty => w
+        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
       }
     for ((name, fn) <- SparkEntry.queries if !checkpointed(name) && !autoCrossover(name))
       assert(rawGlobalWindows(fn(spark, d)).isEmpty,

@@ -81,6 +81,59 @@ class PpdbV2Spec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).sorted === Array("cheerful", "content", "glad"))
   }
 
+  test("score threshold pushes into the reader and prunes exactly (round 12)") {
+    val df = spark.read.format("ppdb").load(Ppdb.FixturePath)
+      .filter(col("ppdb2score") >= 4.0)
+      .select("phrase", "paraphrase", "ppdb2score")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val pushed = scans.head.scan.asInstanceOf[graft.sources.ppdb.PpdbScan].pushedForTest
+    assert(pushed.exists {
+      case org.apache.spark.sql.sources.GreaterThanOrEqual("ppdb2score", _) => true
+      case _ => false
+    }, s"score threshold must reach the reader; pushed=${pushed.mkString(",")}")
+    val rows = df.collect()
+    assert(rows.length === 7)
+    assert(rows.forall(_.getDouble(2) >= 4.0))
+    // parity with the projection-form parse under the same predicate
+    val twin = Ppdb.parse(spark).filter(col("ppdb2score") >= 4.0).count()
+    assert(rows.length.toLong === twin)
+  }
+
+  test("a line with no PPDB2.0Score token fails a pushed threshold (SQL null semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("ppdbv2ns").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/x.txt"),
+      ("[X] ||| a ||| b ||| p(e|f)=1.0 ||| 0-0 ||| Equivalence\n" +
+        "[X] ||| c ||| d ||| PPDB2.0Score=4.5 p(e|f)=1.0 ||| 0-0 ||| Equivalence\n")
+        .getBytes("UTF-8"))
+    val rows = spark.read.format("ppdb").load(s"$dir/x.txt")
+      .filter(col("ppdb2score") >= 0.0).select("phrase").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("c"))
+  }
+
+  test("glob paths plan one partition per matched member (Hadoop listing, round 12)") {
+    val df = spark.read.format("ppdb").load(s"${Ppdb.MultiFixtureDir}/*.txt.gz")
+    assert(df.rdd.getNumPartitions === 4)
+    // full row parity with the projection-form glob parse
+    val v2 = df.select("lhs", "phrase", "paraphrase", "entailment")
+      .orderBy("phrase", "paraphrase").collect().toSeq
+    val proj = Ppdb.parse(spark, s"${Ppdb.MultiFixtureDir}/*.txt.gz")
+      .select("lhs", "phrase", "paraphrase", "entailment")
+      .orderBy("phrase", "paraphrase").collect().toSeq
+    assert(v2 === proj)
+  }
+
+  test("a nonexistent path fails at planning time with the path in the message") {
+    val err = intercept[Exception] {
+      spark.read.format("ppdb").load("/no/such/ppdb/dir").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("/no/such/ppdb/dir")),
+      s"expected the offending path in the error; got: ${messages(err).mkString(" | ")}")
+  }
+
   test("malformed lines null-fill missing fields instead of erroring") {
     val dir = java.nio.file.Files.createTempDirectory("ppdbv2").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.txt"),

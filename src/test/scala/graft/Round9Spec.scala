@@ -9,7 +9,7 @@ import graft.operators.AnnDedup
   */
 class Round9Spec extends SparkSpec {
 
-  test("adaptivePlanes follows the integer ladder, clamped to [4, 20]") {
+  test("adaptivePlanes follows the integer ladder, clamped to [4, 26]") {
     // ≤ 16 target-sized buckets → the 4-plane floor
     assert(AnnDedup.adaptivePlanes(0L) === 4)
     assert(AnnDedup.adaptivePlanes(1L) === 4)
@@ -24,10 +24,16 @@ class Round9Spec extends SparkSpec {
     assert(AnnDedup.adaptivePlanes((64L << 16) + 1) === 17)
     assert(AnnDedup.adaptivePlanes(64L << 18) === 18)
     assert(AnnDedup.adaptivePlanes((64L << 19) + 1) === 20)
-    // ceiling: beyond ~67M vectors (64·2^20) the count clamps at MaxPlanes —
-    // the documented raise-before-you-run-bigger boundary
+    // the r11 ceiling (20 planes ≈ 67M vectors) is interior too (round 12,
+    // VERDICT r11 item 2: a 100 TB corpus implies O(10⁹) vectors)
     assert(AnnDedup.adaptivePlanes(64L << 20) === 20)
-    assert(AnnDedup.adaptivePlanes(Long.MaxValue / 2) === 20)
+    assert(AnnDedup.adaptivePlanes((64L << 20) + 1) === 21)
+    assert(AnnDedup.adaptivePlanes(64L << 23) === 23)
+    assert(AnnDedup.adaptivePlanes((64L << 25) + 1) === 26)
+    // ceiling: beyond ~4.3B vectors (64·2^26) the count clamps at MaxPlanes —
+    // the documented raise-before-you-run-bigger boundary
+    assert(AnnDedup.adaptivePlanes(64L << 26) === 26)
+    assert(AnnDedup.adaptivePlanes(Long.MaxValue / 2) === 26)
   }
 
   test("declared dedup_embedding_ann equals the brute-force blocked-pair form") {
