@@ -87,6 +87,33 @@ class StreamingSf01Spec extends SparkSpec {
     }
   }
 
+  test("multi-batch file stream: watermarked stream-stream join matches the batch twin over sf0.1") {
+    // VERDICT r11 item 8: the view→purchase interval join (both sides
+    // watermarked, event time bounded on BOTH ends so state stores evict)
+    // replayed as a real multi-batch stream must produce exactly the pairs
+    // the batch twin (`stream_join`) counts. Views from early batches must
+    // match purchases arriving several batches later — cross-batch join
+    // state is the thing under test. The sentinel row is one event of one
+    // type for user -1, so it can contribute no pair; it only flushes
+    // nothing here (inner joins emit on match, not on watermark) but keeps
+    // the landing layout shared across the suite's three gates.
+    assume(new java.io.File(s"$sfDir/events.parquet").exists)
+    val stream = StreamingJobs.eventsFileStream(spark, landing, maxFilesPerTrigger = 2)
+    val batches = runStream(
+      StreamingJobs.viewPurchaseJoin(stream), "sf01join", OutputMode.Append)
+    assert(batches >= 3, s"expected a genuinely multi-batch run, got $batches batches")
+    val got = spark.table("sf01join")
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val exp = SparkEntry.queries("stream_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.length === exp.length,
+      s"user count differs: streaming ${got.length} vs batch ${exp.length}")
+    assert(got.toSeq === exp.toSeq)
+  }
+
   test("multi-batch file stream: merging session windows match the batch twin over sf0.1") {
     assume(new java.io.File(s"$sfDir/events.parquet").exists)
     val stream = StreamingJobs.eventsFileStream(spark, landing, maxFilesPerTrigger = 2)

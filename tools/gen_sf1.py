@@ -12,7 +12,14 @@ driver's sf0.1. Deterministic (fixed numpy
 seed, no clock). Verification infrastructure like tools/compare.py -- NOT
 part of the engine; the Scala library never depends on it.
 
-Usage: python3 tools/gen_sf1.py [/tmp/sf1real]
+Usage: python3 tools/gen_sf1.py [/tmp/sf1real] [MULT]
+
+MULT (round 12, VERDICT r11 item 1: "add a ladder rung above sf1") scales
+every row count and key range by an integer factor — `gen_sf1.py /tmp/sf3real 3`
+writes a true sf3 (30x the driver's sf0.1) with the same schemas and
+distributions, so the crossover constants tuned at <= sf1 get re-proven a
+rung higher. The numpy seed is fixed per MULT, so any rung regenerates
+byte-identically.
 """
 import sys
 
@@ -21,11 +28,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1real"
+MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 rng = np.random.default_rng(42)
 
-N_CUST, N_SUPP, N_PART = 150_000, 10_000, 200_000
-N_ORDERS, N_LINE = 1_500_000, 6_000_000
-N_EVENTS, N_DOCS, N_VECS = 1_000_000, 50_000, 20_000
+N_CUST, N_SUPP, N_PART = 150_000 * MULT, 10_000 * MULT, 200_000 * MULT
+N_ORDERS, N_LINE = 1_500_000 * MULT, 6_000_000 * MULT
+N_EVENTS, N_DOCS, N_VECS = 1_000_000 * MULT, 50_000 * MULT, 20_000 * MULT
+N_USERS = 15_000 * MULT
 
 import os
 
@@ -130,7 +139,7 @@ ts_ns = np.datetime64("2024-01-01").astype("datetime64[ns]").astype(np.int64) \
 write("events", pa.table({
     "event_id": pa.array(range(N_EVENTS), pa.int64()),
     "ts": pa.array(ts_ns // 1000, pa.timestamp("us")),
-    "user_id": pa.array(rng.integers(0, 15000, N_EVENTS), pa.int64()),
+    "user_id": pa.array(rng.integers(0, N_USERS, N_EVENTS), pa.int64()),
     "event_type": np.array(["error", "view", "signup", "click", "purchase"])
     [rng.integers(0, 5, N_EVENTS)],
     "value": np.round(rng.uniform(0, 560, N_EVENTS), 2),
