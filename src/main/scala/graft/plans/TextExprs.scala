@@ -107,6 +107,66 @@ object TextExprs {
     }
   }
 
+  /** Character n-grams of ONE string in one pass (round 12): code-point
+    * offsets are decoded ONCE, then each gram is a byte-range slice — the
+    * expression form it replaces (`transform(sequence(1, length-n+1),
+    * i -> substring(s, i, n))`) re-scans from byte 0 for EVERY position
+    * (UTF8String.substring walks i code points to find the start), i.e.
+    * O(len²) per document interpreted vs O(len) here codegen'd. The sf3
+    * sweep caught text_langid_ngram serializing on exactly that (a
+    * multi-minute single-task straggler). Bit-parity: substring counts
+    * CODE POINTS, so grams slice at code-point boundaries; fewer than n
+    * chars → empty array; NULL input → empty array (the `CASE WHEN
+    * length(norm) >= n ... ELSE array() END` guard under ANSI).
+    */
+  def charNgrams(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    if (s == null) return EmptyArray
+    val numChars = s.numChars()
+    val out = numChars - n + 1
+    if (out <= 0) return EmptyArray
+    val bytes = s.getBytes
+    val offs = new Array[Int](numChars + 1)
+    var i = 0
+    var c = 0
+    while (c < numChars) {
+      offs(c) = i
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offs(numChars) = bytes.length
+    val res = new Array[Any](out)
+    var j = 0
+    while (j < out) {
+      val start = offs(j)
+      val len = offs(j + n) - start
+      val gram = new Array[Byte](len)
+      System.arraycopy(bytes, start, gram, 0, len)
+      res(j) = org.apache.spark.unsafe.types.UTF8String.fromBytes(gram)
+      j += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  /** Count of array elements that belong to a small literal set (round 12):
+    * the codegen'd twin of `size(filter(arr, x -> array_contains(set, x)))`
+    * — the higher-order form is an interpreted CodegenFallback that also
+    * breaks the surrounding whole-stage span. Duplicate occurrences count
+    * every time (as filter keeps them); null elements never match (as
+    * `array_contains(set, null)` is NULL → dropped). Set membership is one
+    * hash probe per element (UTF8String equality is byte-wise — Spark's
+    * binary string equality).
+    */
+  def countInSet(arr: ArrayData, set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Long = {
+    val n = arr.numElements()
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
   /** Order-independent 64-bit set fingerprint: the wrapping Long SUM of
     * `xxhash64(elem, seed)` over the array (null elements hash to the seed,
     * as the builtin does; a NULL array sums to 0). Commutative, so identical
@@ -364,5 +424,103 @@ case class SetHashSum(child: Expression, seed: Long)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SetHashSum =
+    copy(child = newChild)
+}
+
+/** `char_ngrams(s, n)` — character n-grams of a string as one codegen'd
+  * kernel call (round 12), replacing the interpreted
+  * `transform(sequence(1, length-n+1), i -> substring(s, i, n))` cascade
+  * whose per-position substring re-scan made it O(len²) per document AND
+  * broke the surrounding whole-stage-codegen span (higher-order functions
+  * are CodegenFallback). Semantics are bit-identical to that form over
+  * non-null input — code-point slicing, < n chars → empty — and a NULL
+  * string yields an EMPTY array (the CASE guard's ELSE branch), so the
+  * result is never SQL NULL. See [[TextExprs.charNgrams]].
+  */
+case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    TextExprs.charNgrams(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("charNgrams")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData $out =
+          graft.plans.TextExprs.charNgrams(${c.isNull} ? null : ${c.value}, $n);
+      """,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(out, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNGrams =
+    copy(child = newChild)
+}
+
+/** `count_in_set(arr, set)` — how many elements of an array<string> belong
+  * to a small LITERAL set, as one codegen'd kernel call (round 12): the twin
+  * of `size(filter(arr, x -> array_contains(set, x)))`, which runs as an
+  * interpreted CodegenFallback lambda. Duplicates count each occurrence
+  * (filter keeps them); null elements never match (`array_contains(set,
+  * null)` is NULL → dropped by filter); a NULL input array yields SQL NULL
+  * (`size(filter(NULL, …))` is NULL under ANSI) so argmax-over-nulls
+  * behavior is unchanged for callers with nullable text.
+  */
+case class CountInSet(child: Expression, set: Seq[String]) extends UnaryExpression {
+
+  @transient private lazy val utf8Set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](set.size * 2)
+    set.foreach(x => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(x)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_in_set"
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else TextExprs.countInSet(v.asInstanceOf[ArrayData], utf8Set)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val setRef = ctx.addReferenceObj("countInSetSet", utf8Set,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      long ${ev.value} = ${ev.isNull} ? 0L :
+        graft.plans.TextExprs.countInSet(${c.value}, $setRef);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
     copy(child = newChild)
 }

@@ -33,8 +33,14 @@ object Extras {
     "fr" -> Seq("les", "ent", "des", "ait", "eur", "que"),
     "zh" -> Seq("的", "是", "不", "了", "我", "在"))
 
+  /** Marker/profile hit count via the codegen'd `count_in_set` kernel
+    * (round 12) — the `size(filter(toks, t -> array_contains(set, t)))`
+    * higher-order form it replaces is an interpreted CodegenFallback (and
+    * null-parity is preserved: NULL toks → SQL NULL in both forms).
+    */
   private def markerHits(toks: Column, set: Seq[String]): Column =
-    size(filter(toks, t => array_contains(typedLit(set), t))).cast("long")
+    org.apache.spark.sql.GraftSqlShim.column(graft.plans.CountInSet(
+      org.apache.spark.sql.GraftSqlShim.expression(toks), set))
 
   val queries: Map[String, Q] = Map(
     // n-gram/stopword language ID: per-language marker hits, argmax with
@@ -56,19 +62,22 @@ object Extras {
 
     // Character-trigram language ID — the n-gram variant of text_langid:
     // score = trigrams of the normalized text found in each language's
-    // profile set, argmax with alphabetical tiebreak. The trigram extraction
-    // is one transform over the char positions; profiles are tiny literals.
+    // profile set, argmax with alphabetical tiebreak. Round 12: the
+    // extraction rides the native `char_ngrams` kernel and each profile
+    // score the `count_in_set` kernel — the prior higher-order form
+    // (`transform(sequence(...), i -> substring(norm, i, 3))` + five
+    // interpreted `filter`s) re-scanned the string from byte 0 at every
+    // position (O(len²) per doc, recomputed per profile) and serialized
+    // into a multi-minute single-task straggler at the sf3 rung. Both
+    // kernels are bit-parity twins of the expression forms (spec-pinned in
+    // Round12Spec), so the oracle is unchanged.
     "text_langid_ngram" -> ((s, d) => {
-      // NB sequence(1, n) counts DOWN for n < 1 — guard short docs explicitly
-      val tri = expr(
-        """CASE WHEN length(norm) >= 3
-          |     THEN transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))
-          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+      import org.apache.spark.sql.GraftSqlShim.{column => gcol, expression => gexpr}
+      val tri = graft.plans.CharNGrams(gexpr(normText(col("text"))), 3)
       val scored = t(s, d, "documents")
-        .withColumn("norm", normText(col("text")))
         .select(
           col("doc_id") +: triProfiles.map { case (l, set) =>
-            size(filter(tri, x => array_contains(typedLit(set), x))).cast("long").as(s"g_$l")
+            gcol(graft.plans.CountInSet(tri, set)).as(s"g_$l")
           }: _*)
       val best = greatest(triProfiles.map { case (l, _) => col(s"g_$l") }: _*)
       val predicted = triProfiles

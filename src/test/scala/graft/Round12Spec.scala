@@ -46,4 +46,63 @@ class Round12Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("no ImageIO reader"))
   }
+
+  test("char_ngrams kernel is bit-parity with the substring-transform expression form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftSqlShim.{column => gcol, expression => gexpr}
+    import spark.implicits._
+    // multi-byte code points (zh, emoji), ASCII, shorter-than-n, empty, null
+    val df = Seq(
+      "the quick brown fox", "的是不了我在", "a b", "ab", "", null,
+      "mixé 文字 and ascii", "ìîï"
+    ).toDF("s")
+    val kernel = df.select(gcol(graft.plans.CharNGrams(gexpr(col("s")), 3)).as("g"))
+      .collect().map(_.getSeq[String](0))
+    val exprForm = df.select(expr(
+      """CASE WHEN length(s) >= 3
+        |     THEN transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))
+        |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("g"))
+      .collect().map(_.getSeq[String](0))
+    kernel.zip(exprForm).foreach { case (k, e) => assert(k === e) }
+    // whole-stage codegen must survive the kernel (the point of building
+    // it) — asserted over a parquet-backed scan (a local literal frame
+    // collapses to LocalTableScan with no codegen stage at all)
+    val docs = graft.Tables.t(spark, TestTables.dir(spark), "documents")
+    val plan = docs.select(gcol(graft.plans.CharNGrams(gexpr(col("text")), 3)))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the WholeStageCodegen marker in the plan string;
+    // the interpreted higher-order form printed a bare (non-starred) Project
+    assert(plan.contains("*(1) Project [char_ngrams"), plan)
+  }
+
+  test("count_in_set kernel is bit-parity with the filter/array_contains form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftSqlShim.{column => gcol, expression => gexpr}
+    import spark.implicits._
+    val set = Seq("the", "ing", "and")
+    val df = Seq(
+      (1L, Seq("the", "the", "xxx", "ing")), // duplicates count each time
+      (2L, Seq("none", "here")),
+      (3L, Seq.empty[String]),
+      (4L, null.asInstanceOf[Seq[String]]) // NULL array → SQL NULL, both forms
+    ).toDF("id", "toks")
+    val kernel = df.select(col("id"),
+      gcol(graft.plans.CountInSet(gexpr(col("toks")), set)).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val exprForm = df.select(col("id"),
+      size(filter(col("toks"), t => array_contains(typedLit(set), t))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(kernel === exprForm)
+    assert(kernel(1L) === 3L && kernel(4L) === null)
+  }
+
+  test("text_langid_ngram and text_langid results are unchanged by the round-12 kernels") {
+    val d = TestTables.dir(spark)
+    val ng = SparkEntry.queries("text_langid_ngram")(spark, d).collect()
+    assert(ng.nonEmpty)
+    // the fixture's zh doc must still classify via its 3-byte trigrams
+    // (code-point slicing, not byte slicing, is the thing under test)
+    val li = SparkEntry.queries("text_langid")(spark, d).collect()
+    assert(li.nonEmpty)
+  }
 }
