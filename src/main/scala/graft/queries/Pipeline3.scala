@@ -92,16 +92,21 @@ object Pipeline3 {
     }),
 
     // Vocabulary blocklist masking (bad-word filtering): blocklisted tokens
-    // → '[MASK]', with the mask count and a stable 15-token preview.
+    // → '[MASK]', with the mask count and a stable 15-token preview. Round
+    // 12: the count rides the codegen'd count_in_set kernel (the filter/
+    // array_contains lambda was interpreted), and the preview transform runs
+    // AFTER the 15-token slice instead of over the whole document —
+    // element-wise identical, ~len/15 less lambda work per doc.
     "text_blocklist_mask" -> ((s, d) => {
       val tk = toks(col("text"))
       val bl = typedLit(Blocklist)
       t(s, d, "documents").select(
         col("doc_id"),
-        size(filter(tk, x => array_contains(bl, x))).cast("long").as("n_masked"),
+        org.apache.spark.sql.GraftSqlShim.column(graft.plans.CountInSet(
+          org.apache.spark.sql.GraftSqlShim.expression(tk), Blocklist)).as("n_masked"),
         array_join(
-          slice(transform(tk, x =>
-            when(array_contains(bl, x), lit("[MASK]")).otherwise(x)), 1, 15),
+          transform(slice(tk, 1, 15), x =>
+            when(array_contains(bl, x), lit("[MASK]")).otherwise(x)),
           " ").as("preview"))
         .orderBy("doc_id")
     }),

@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 205 declared queries (53 SURVEY §2 + 152 extras), 196 with oracles") {
-    assert(SparkEntry.queries.size === 205)
-    assert(SparkEntry.oracleSql.size === 196)
+  test("inventory: 207 declared queries (53 SURVEY §2 + 154 extras), 198 with oracles") {
+    assert(SparkEntry.queries.size === 207)
+    assert(SparkEntry.oracleSql.size === 198)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
