@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   *   count ≤ cap). Sized not to bind at any test scale.
   * - One shuffle on the packed (table, bucket) key; the index replicates
   *   each vector nTables times (the textbook LSH space/recall trade).
-  *   Candidate pairs dedup on (a_id, b_id) BEFORE the cosine so a pair
-  *   colliding in several tables pays one kernel call.
+  *   The cosine runs INSIDE the bucket-join stage (codegen'd, no shuffle)
+  *   and the (a_id, b_id) dedup happens AFTER the threshold filter, on
+  *   slim (a_id, b_id, cos) rows — see the note at the join below.
   *
   * Recall (vs true all-pairs) follows the Charikar collision bound
   * p = (1 − θ/π)^nPlanes per table, OR-amplified over nTables — tuned for
@@ -111,12 +112,21 @@ object AnnDedup {
     val dot = graft.functions.Vec.dotNative(s, "va", "vb")
     val (na, nb) = (graft.functions.Vec.l2Native(s, "va"),
       graft.functions.Vec.l2Native(s, "vb"))
+    // The cosine runs in the SAME stage as the bucket join (whole-stage
+    // codegen, zero extra shuffle) and the (a_id, b_id) dedup runs after
+    // the threshold filter on slim 24-byte rows. The pre-cosine dedup this
+    // replaces (round ≤11) shuffled every candidate pair CARRYING BOTH
+    // VECTORS — ~1 KB/row at dim 64, multi-GB once candidates hit O(10M) —
+    // and turned 18× superlinear at the sf3 rung from spill. A pair that
+    // collides in k tables now pays k kernel calls (~dim multiplies each,
+    // far cheaper than shuffling 2·dim doubles), every duplicate computes a
+    // BIT-IDENTICAL cos from the same vectors, so keeping an arbitrary
+    // duplicate is deterministic and the declared semantics are unchanged.
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("va"), col("vb"))
-      .dropDuplicates("a_id", "b_id")
       .withColumn("cos", dot / (na * nb))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
+      .dropDuplicates("a_id", "b_id")
   }
 }
