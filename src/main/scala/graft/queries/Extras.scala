@@ -203,10 +203,12 @@ object Extras {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-      // probing 8 of 16 cells: recall@5 ≥ 0.8 vs sim_knn_cosine on this
-      // corpus (Round5Spec harness) — random near-orthogonal vectors spread
-      // true neighbors across cells, so nProbe carries the recall
-      AnnIvf.topK(emb, q, k = 5, nLists = 16, nProbe = 8)
+      // adaptive quantizer width (AnnIvf.listsFor ≈ √n, nProbe = half the
+      // cells): the probed fraction stays 1/2 at every corpus size while
+      // cell granularity tracks n — recall@5 ≥ 0.8 is spec-pinned at five
+      // rungs (sf0.01 → sf10, Round5/8/11/12 specs); a FIXED nLists=16 was
+      // measured decaying 0.88 → 0.80 across the same ladder
+      AnnIvf.topKAdaptive(emb, q, k = 5)
         .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
         .orderBy("qid", "rnk")
     }),

@@ -105,4 +105,31 @@ class Round12Spec extends SparkSpec {
     val li = SparkEntry.queries("text_langid")(spark, d).collect()
     assert(li.nonEmpty)
   }
+
+  // ---- ANN recall at the round-12 ladder rungs (sf3, sf10) ----
+  // Round5Spec pins recall@5 ≥ 0.8 at sf0.01, Round8Spec at sf0.1,
+  // Round11Spec at the true sf1; these extend the gate to the rungs this
+  // round added (150k / 500k independently-drawn vectors). Same pattern:
+  // assume-gated on the generated dirs so a fresh checkout stays green.
+  private def recallAt5(ann: String, sf: String): Double = {
+    def top5(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, a) => (q, a.map(_._2).toSet) }
+    val exact = top5("sim_knn_cosine")
+    val approx = top5(ann)
+    val recalls = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty[Long]).intersect(ex).size / ex.size.toDouble
+    }
+    recalls.sum / recalls.size
+  }
+
+  for (rung <- Seq("sf3real", "sf10real"); ann <- Seq("sim_ann_lsh", "sim_ann_ivf")) {
+    test(s"$ann recall@5 >= 0.8 vs brute force at $rung") {
+      assume(new java.io.File(s"/tmp/$rung/embeddings.parquet").exists)
+      val r = recallAt5(ann, s"/tmp/$rung")
+      info(f"$ann mean recall@5 at $rung = $r%.3f")
+      assert(r >= 0.8, f"$ann mean recall@5 at $rung = $r%.3f")
+    }
+  }
 }
