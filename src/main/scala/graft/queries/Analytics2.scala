@@ -254,10 +254,20 @@ object Analytics2 {
 
     // Time-series resample: densify each user's activity to an hourly grid
     // (sequence-exploded spine, no recursion), LEFT JOIN the per-hour
-    // aggregate, forward-fill gaps with the last observed value. Spine size
-    // is bounded by the time RANGE per key, independent of event volume.
+    // aggregate, forward-fill gaps with the last observed value. The grid is
+    // the TRAILING 720 hours (30 days) of the corpus: an unbounded spine is
+    // O(users × total span) OUTPUT — quadratic when both grow with the
+    // corpus, and the sf10 rung measured exactly that (1.08B spine rows,
+    // 936 s, vs 97M/1.4 s at sf3 — the generator widens the span with
+    // scale). Densify-to-all-history is unbounded by construction at
+    // 100 TB; the declared operator resamples the trailing window —
+    // O(users × 720), linear — and forward-fills from observations INSIDE
+    // the window (both engines mirror the same cutoff, so parity is exact).
+    // Corpora spanning ≤ 720 h (sf0.001…sf1) are bit-identical to the
+    // unbounded form.
     "resample_hourly" -> ((s, d) => {
       val UsPerHour = 3600000000L
+      val TrailingHours = 720
       // integer `div`, not `/`: double division of µs-scale longs can land
       // a hair below the true quotient and floor to the previous hour
       val ev = events(s, d)
@@ -265,9 +275,17 @@ object Analytics2 {
           col("value"))
       val agg = ev.groupBy("user_id", "hr")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      // one-row global cutoff, broadcast into the per-user span clamp
+      val cut = ev.agg((max(col("hr")) - lit(TrailingHours - 1)).as("cut"))
       val spine = ev.groupBy("user_id")
         .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+        .crossJoin(broadcast(cut))
+        .select(col("user_id"), greatest(col("h0"), col("cut")).as("h0c"),
+          col("h1"))
+        // a user with no activity inside the window drops out (sequence
+        // with h0 > h1 would count DOWN in Spark; DuckDB range() is empty)
+        .where(col("h0c") <= col("h1"))
+        .select(col("user_id"), explode(sequence(col("h0c"), col("h1"))).as("hr"))
       val w = Window.partitionBy("user_id").orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(agg, Seq("user_id", "hr"), "left_outer")
@@ -413,8 +431,12 @@ object Analytics2 {
         |a AS (SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n,
         |             round(sum(value), 4) AS sum_v
         |      FROM e GROUP BY 1, 2),
-        |b AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM e GROUP BY 1),
-        |s AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM b)
+        |c AS (SELECT max(hr) - 719 AS cut FROM e),
+        |b AS (SELECT user_id, greatest(min(hr), (SELECT cut FROM c)) AS h0,
+        |             max(hr) AS h1
+        |      FROM e GROUP BY user_id),
+        |s AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM b
+        |      WHERE h0 <= h1)
         |SELECT s.user_id, s.hr, coalesce(a.n, 0) AS n,
         |       last_value(a.sum_v IGNORE NULLS) OVER (
         |         PARTITION BY s.user_id ORDER BY s.hr

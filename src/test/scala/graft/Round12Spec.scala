@@ -132,4 +132,64 @@ class Round12Spec extends SparkSpec {
       assert(r >= 0.8, f"$ann mean recall@5 at $rung = $r%.3f")
     }
   }
+
+  // ---- resample_hourly trailing-window clamp (round 12, the sf10 find) ----
+  // The unbounded per-user spine is O(users × total span) OUTPUT rows —
+  // 1.08B rows / 936 s at sf10 where the generator widens the span with
+  // scale. The declared form resamples the trailing 720 h; this pins the
+  // clamp semantics on a literal corpus spanning > 720 h: (a) the spine
+  // starts at max_hr - 719, (b) a user with no rows inside the window drops
+  // out entirely, (c) forward-fill starts from observations INSIDE the
+  // window, (d) a ≤ 720 h corpus is bit-identical to the unbounded form
+  // (which is why sf0.001…sf1 oracle hashes were unchanged by the clamp).
+  test("resample_hourly clamps the spine to the trailing 720 hours") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L, 1.0), (1L, 300L, 2.0), (1L, 1000L, 3.0), // active across 1001 h
+      (2L, 100L, 9.0),                                  // only before the window
+      (3L, 999L, 4.0), (3L, 1000L, 5.0)                 // inside the window
+    ).toDF("user_id", "hr", "value")
+    def resample(src: org.apache.spark.sql.DataFrame, trailing: Option[Int]) = {
+      val agg = src.groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      val base = src.groupBy("user_id")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      val spans = trailing match {
+        case Some(th) =>
+          val cut = src.agg((max(col("hr")) - lit(th - 1)).as("cut"))
+          base.crossJoin(broadcast(cut))
+            .select(col("user_id"), greatest(col("h0"), col("cut")).as("h0c"), col("h1"))
+            .where(col("h0c") <= col("h1"))
+        case None => base.select(col("user_id"), col("h0").as("h0c"), col("h1"))
+      }
+      val spine = spans.select(col("user_id"),
+        explode(sequence(col("h0c"), col("h1"))).as("hr"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("hr").rowsBetween(Long.MinValue, 0)
+      spine.join(agg, Seq("user_id", "hr"), "left_outer")
+        .select(col("user_id"), col("hr"), coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sum_v"), ignoreNulls = true).over(w).as("fill_v"))
+        .orderBy("user_id", "hr")
+    }
+    val rows = resample(ev, Some(720)).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    // (a) user 1's spine starts at the cutoff 1000-719=281, not at 0
+    assert(byUser(1L).map(_.getLong(1)).min === 281L)
+    assert(byUser(1L).length === 720)
+    // (c) the hr-0 observation is OUTSIDE the window and does not fill in;
+    // user 1's fill stays null until its first in-window observation at 300
+    assert(byUser(1L).filter(_.getLong(1) < 300L).forall(_.isNullAt(3)))
+    assert(byUser(1L).find(_.getLong(1) == 300L).get.getDouble(3) === 2.0)
+    assert(byUser(1L).find(_.getLong(1) == 999L).get.getDouble(3) === 2.0)
+    assert(byUser(1L).find(_.getLong(1) == 1000L).get.getDouble(3) === 3.0)
+    // (b) user 2 (h1=100 < 281) drops out
+    assert(!byUser.contains(2L))
+    // user 3 spans 999..1000 only
+    assert(byUser(3L).map(_.getLong(1)).toSeq.sorted === Seq(999L, 1000L))
+    // (d) a corpus inside the window: clamped ≡ unbounded, row for row
+    val small = ev.where(col("hr") >= 400L)
+    assert(resample(small, Some(720)).collect().toSeq ===
+      resample(small, None).collect().toSeq)
+  }
 }
