@@ -124,27 +124,29 @@ class PlanSpec extends SparkSpec {
         s"$name blocked branch plans an unpartitioned Window over row-cardinality data")
   }
 
-  test("no query plans a CartesianProduct; nested-loop joins only where declared") {
-    // text_tfidf / text_unigram_lm broadcast a single-row aggregate (the
-    // corpus total) — a deliberate 1×N nested-loop, not a join-order accident
-    // graph_triangles cross-joins three SINGLE-ROW aggregates into its
-    // one-row census — 1×1 nested loops, not a join-order accident
-    // skyline_pareto broadcasts the single-row price min/max that seeds its
-    // deterministic block ids — a deliberate 1×N, not a join-order accident
-    // text_keyword_topk broadcasts the same single-row corpus total as
-    // text_tfidf; agg_weighted_median broadcasts the single-row value
-    // min/max that seeds its PrefixScan blocks, like skyline_pareto;
-    // data_mixture_weights broadcasts its single-row corpus-total frame
-    // onto the ≤ n_langs mixture rows — the same deliberate 1×N
-    val bnljAllowed = Set("join_cross", "sim_knn_cosine", "text_tfidf",
-      "text_unigram_lm", "graph_triangles", "skyline_pareto", "text_keyword_topk",
-      "agg_weighted_median", "data_mixture_weights", "embedding_kmeans",
+  test("no query plans a CartesianProduct; nested-loop joins only on ≤1-row builds or declared blocks") {
+    // A BroadcastNestedLoopJoin is O(|stream| × |build|) — at 100 TB it is
+    // either (a) a deliberate 1×N scalar broadcast (build side provably one
+    // row: a no-grouping aggregate — text_tfidf's corpus total,
+    // skyline_pareto's price min/max, resample_hourly's trailing cutoff …),
+    // which is CHECKED STRUCTURALLY below so new one-row patterns never
+    // stale an allowlist (round 12 landed exactly that regression), or
+    // (b) a declared bounded-block cross join, which must be named here
+    // with its bound.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    // Declared MULTI-ROW nested loops — each with an explicit bound:
+    //   join_cross      — the cross-join operator itself (5-row region dim)
+    //   sim_knn_cosine / dedup_semantic / embedding_kmeans /
+    //   sample_diversity / sample_coreset / sample_temperature /
+    //   doc_shard_assign — broadcast a ≤k-row centroid/quota/boundary frame
+    //   (k = declared cluster/stratum count, constant in corpus size)
+    val declaredBounded = Set("join_cross", "sim_knn_cosine", "embedding_kmeans",
       "dedup_semantic", "sample_diversity", "doc_shard_assign", "sample_temperature",
-      "sample_coreset",
-      // compact_files joins its two SINGLE-ROW file-count/content
-      // aggregates into the one-row report — a 1×1 nested loop, not a
-      // join-order accident
-      "compact_files")
+      "sample_coreset")
     // these run real jobs at construction time (quantizer-sample collect,
     // iterative label rounds), and for the localCheckpoint-based ones the
     // executedPlan is a truncated checkpoint scan this test couldn't see
@@ -152,13 +154,40 @@ class PlanSpec extends SparkSpec {
     // specs instead
     val checkpointed = Set("dedup_components", "pipeline_corpus_clean", "sim_ann_ivf",
       "graph_pagerank")
+    // ≤1-row build: walking down through exchanges/projects, the first
+    // aggregate hit must be a no-grouping (global) aggregate; a BNLJ of two
+    // one-row sides (graph_triangles' census, compact_files' report) is
+    // itself one row. Partial aggregates sit BELOW the final global
+    // aggregate, so the top-down walk always sees the one-row final first.
+    def oneRow(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => oneRow(a.inputPlan)
+      case h: HashAggregateExec => h.groupingExpressions.isEmpty
+      case h: ObjectHashAggregateExec => h.groupingExpressions.isEmpty
+      case h: SortAggregateExec => h.groupingExpressions.isEmpty
+      case b: BroadcastNestedLoopJoinExec => oneRow(b.left) && oneRow(b.right)
+      case other if other.children.length == 1 => oneRow(other.children.head)
+      case _ => false
+    }
+    def badBnljs(p: SparkPlan): Seq[BroadcastNestedLoopJoinExec] = {
+      def walk(q: SparkPlan): Seq[BroadcastNestedLoopJoinExec] = q match {
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case b: BroadcastNestedLoopJoinExec =>
+          val build = if (b.buildSide == BuildLeft) b.left else b.right
+          (if (oneRow(build)) Nil else Seq(b)) ++ b.children.flatMap(walk)
+        case other => other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+      }
+      walk(p)
+    }
     for ((name, fn) <- SparkEntry.queries if !checkpointed(name)) {
-      val p = fn(spark, d).queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
-      if (!bnljAllowed(name))
-        assert(
-          !p.contains("BroadcastNestedLoopJoin"),
-          s"$name plans an undeclared BroadcastNestedLoopJoin")
+      val qe = fn(spark, d).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!declaredBounded(name)) {
+        val bad = badBnljs(qe.executedPlan)
+        if (bad.nonEmpty)
+          fail(s"$name plans a BroadcastNestedLoopJoin whose build side is not " +
+            s"provably one row and is not a declared bounded block:\n${bad.head}")
+      }
     }
   }
 }
