@@ -261,38 +261,19 @@ object Analytics2 {
     // 936 s, vs 97M/1.4 s at sf3 — the generator widens the span with
     // scale). Densify-to-all-history is unbounded by construction at
     // 100 TB; the declared operator resamples the trailing window —
-    // O(users × 720), linear — and forward-fills from observations INSIDE
-    // the window (both engines mirror the same cutoff, so parity is exact).
+    // O(users × 720), linear. The forward-fill SEEDS from each user's last
+    // observation at-or-before the window start (one bounded seed row per
+    // user, ADVICE r12), so pre-cutoff history is summarized, not dropped.
     // Corpora spanning ≤ 720 h (sf0.001…sf1) are bit-identical to the
     // unbounded form.
     "resample_hourly" -> ((s, d) => {
       val UsPerHour = 3600000000L
-      val TrailingHours = 720
       // integer `div`, not `/`: double division of µs-scale longs can land
       // a hair below the true quotient and floor to the previous hour
       val ev = events(s, d)
         .select(col("user_id"), expr(s"ts_us div $UsPerHour").as("hr"),
           col("value"))
-      val agg = ev.groupBy("user_id", "hr")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
-      // one-row global cutoff, broadcast into the per-user span clamp
-      val cut = ev.agg((max(col("hr")) - lit(TrailingHours - 1)).as("cut"))
-      val spine = ev.groupBy("user_id")
-        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-        .crossJoin(broadcast(cut))
-        .select(col("user_id"), greatest(col("h0"), col("cut")).as("h0c"),
-          col("h1"))
-        // a user with no activity inside the window drops out (sequence
-        // with h0 > h1 would count DOWN in Spark; DuckDB range() is empty)
-        .where(col("h0c") <= col("h1"))
-        .select(col("user_id"), explode(sequence(col("h0c"), col("h1"))).as("hr"))
-      val w = Window.partitionBy("user_id").orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spine.join(agg, Seq("user_id", "hr"), "left_outer")
-        .select(col("user_id"), col("hr"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          last(col("sum_v"), ignoreNulls = true).over(w).as("fill_v"))
-        .orderBy("user_id", "hr")
+      resampleHourly(ev).orderBy("user_id", "hr")
     }),
 
     // DataSketches HLL: per-group sketches merged by hll_union_agg — the
@@ -326,6 +307,55 @@ object Analytics2 {
         .orderBy(col("est_count").desc, col("token"))
     })
   )
+
+  /** Trailing-window hourly resample over an (user_id, hr, value) frame —
+    * the shared core of `resample_hourly` (and its spec fixtures).
+    *
+    * `trailingHours` is the declared window parameter (default 720 h =
+    * 30 days). The spine is clamped to `[max(hr) - trailingHours + 1,
+    * max(hr)]` per user, so output is O(users × trailingHours) — linear in
+    * users, constant in corpus span. The forward-fill is seeded with each
+    * user's most recent observation STRICTLY BEFORE the cutoff (one
+    * `max_by` row per user, injected at hr = cut - 1 and filtered back out
+    * after the window), so a user's in-window hours before their first
+    * in-window observation fill from the last known value instead of NULL.
+    * Every broadcast here is a one-row global aggregate (the cutoff) — the
+    * deliberate 1×N pattern PlanSpec's structural BNLJ lint admits.
+    */
+  def resampleHourly(ev: DataFrame, trailingHours: Int = 720): DataFrame = {
+    val agg = ev.groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+    // one-row global cutoff, broadcast into the per-user span clamp
+    val cut = ev.agg((max(col("hr")) - lit(trailingHours - 1)).as("cut"))
+    val spine = ev.groupBy("user_id")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .crossJoin(broadcast(cut))
+      .select(col("user_id"), greatest(col("h0"), col("cut")).as("h0c"),
+        col("h1"))
+      // a user with no activity inside the window drops out (sequence
+      // with h0 > h1 would count DOWN in Spark; DuckDB range() is empty)
+      .where(col("h0c") <= col("h1"))
+      .select(col("user_id"), explode(sequence(col("h0c"), col("h1"))).as("hr"))
+    // bounded fill seed: ≤1 row per user, the last pre-cutoff observation
+    val seed = agg.crossJoin(broadcast(cut))
+      .where(col("hr") < col("cut"))
+      .groupBy("user_id")
+      .agg(max_by(col("sum_v"), col("hr")).as("sum_v"),
+        (first(col("cut")) - 1).as("hr"))
+      .select(col("user_id"), col("hr"), lit(null).cast("long").as("n"),
+        col("sum_v"), lit(true).as("is_seed"))
+    val w = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("user_id", "hr"), "left_outer")
+      .select(col("user_id"), col("hr"), col("n"), col("sum_v"),
+        lit(false).as("is_seed"))
+      .unionByName(seed)
+      .select(col("user_id"), col("hr"), col("n"), col("is_seed"),
+        last(col("sum_v"), ignoreNulls = true).over(w).as("fill_v"))
+      .where(!col("is_seed"))
+      .select(col("user_id"), col("hr"), coalesce(col("n"), lit(0L)).as("n"),
+        col("fill_v"))
+  }
 
   val oracle: Map[String, String] = Map(
     "merge_upsert" ->
@@ -436,13 +466,22 @@ object Analytics2 {
         |             max(hr) AS h1
         |      FROM e GROUP BY user_id),
         |s AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM b
-        |      WHERE h0 <= h1)
-        |SELECT s.user_id, s.hr, coalesce(a.n, 0) AS n,
-        |       last_value(a.sum_v IGNORE NULLS) OVER (
-        |         PARTITION BY s.user_id ORDER BY s.hr
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_v
-        |FROM s LEFT JOIN a ON s.user_id = a.user_id AND s.hr = a.hr
-        |ORDER BY s.user_id, s.hr""".stripMargin,
+        |      WHERE h0 <= h1),
+        |seed AS (SELECT user_id, (SELECT cut FROM c) - 1 AS hr,
+        |                CAST(NULL AS BIGINT) AS n,
+        |                arg_max(sum_v, hr) AS sum_v, TRUE AS is_seed
+        |         FROM a WHERE hr < (SELECT cut FROM c) GROUP BY user_id),
+        |u AS (SELECT s.user_id, s.hr, a.n, a.sum_v, FALSE AS is_seed
+        |      FROM s LEFT JOIN a ON s.user_id = a.user_id AND s.hr = a.hr
+        |      UNION ALL SELECT * FROM seed)
+        |SELECT user_id, hr, coalesce(n, 0) AS n, fill_v FROM (
+        |  SELECT user_id, hr, n, is_seed,
+        |         last_value(sum_v IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY hr
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_v
+        |  FROM u) t
+        |WHERE NOT is_seed
+        |ORDER BY user_id, hr""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,

@@ -139,10 +139,13 @@ class Round12Spec extends SparkSpec {
   // scale. The declared form resamples the trailing 720 h; this pins the
   // clamp semantics on a literal corpus spanning > 720 h: (a) the spine
   // starts at max_hr - 719, (b) a user with no rows inside the window drops
-  // out entirely, (c) forward-fill starts from observations INSIDE the
-  // window, (d) a ≤ 720 h corpus is bit-identical to the unbounded form
-  // (which is why sf0.001…sf1 oracle hashes were unchanged by the clamp).
-  test("resample_hourly clamps the spine to the trailing 720 hours") {
+  // out entirely, (c) forward-fill before a user's first in-window
+  // observation SEEDS from their last pre-cutoff observation (ADVICE r12 —
+  // not a NULL lead-in), (d) a ≤ 720 h corpus is bit-identical to the
+  // unbounded form, (e) a user with no pre-cutoff history still leads in
+  // with NULL. Runs the REAL operator (queries.Analytics2.resampleHourly),
+  // not a spec-local re-implementation.
+  test("resample_hourly clamps the spine to the trailing 720 hours and seeds the fill") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val ev = Seq(
@@ -150,36 +153,17 @@ class Round12Spec extends SparkSpec {
       (2L, 100L, 9.0),                                  // only before the window
       (3L, 999L, 4.0), (3L, 1000L, 5.0)                 // inside the window
     ).toDF("user_id", "hr", "value")
-    def resample(src: org.apache.spark.sql.DataFrame, trailing: Option[Int]) = {
-      val agg = src.groupBy("user_id", "hr")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
-      val base = src.groupBy("user_id")
-        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-      val spans = trailing match {
-        case Some(th) =>
-          val cut = src.agg((max(col("hr")) - lit(th - 1)).as("cut"))
-          base.crossJoin(broadcast(cut))
-            .select(col("user_id"), greatest(col("h0"), col("cut")).as("h0c"), col("h1"))
-            .where(col("h0c") <= col("h1"))
-        case None => base.select(col("user_id"), col("h0").as("h0c"), col("h1"))
-      }
-      val spine = spans.select(col("user_id"),
-        explode(sequence(col("h0c"), col("h1"))).as("hr"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("hr").rowsBetween(Long.MinValue, 0)
-      spine.join(agg, Seq("user_id", "hr"), "left_outer")
-        .select(col("user_id"), col("hr"), coalesce(col("n"), lit(0L)).as("n"),
-          last(col("sum_v"), ignoreNulls = true).over(w).as("fill_v"))
+    def resample(src: org.apache.spark.sql.DataFrame, trailing: Int) =
+      graft.queries.Analytics2.resampleHourly(src, trailing)
         .orderBy("user_id", "hr")
-    }
-    val rows = resample(ev, Some(720)).collect()
+    val rows = resample(ev, 720).collect()
     val byUser = rows.groupBy(_.getLong(0))
     // (a) user 1's spine starts at the cutoff 1000-719=281, not at 0
     assert(byUser(1L).map(_.getLong(1)).min === 281L)
     assert(byUser(1L).length === 720)
-    // (c) the hr-0 observation is OUTSIDE the window and does not fill in;
-    // user 1's fill stays null until its first in-window observation at 300
-    assert(byUser(1L).filter(_.getLong(1) < 300L).forall(_.isNullAt(3)))
+    // (c) the hr-0 observation (value 1.0) is OUTSIDE the window but seeds
+    // the fill: hours 281..299 carry 1.0 until the in-window obs at 300
+    assert(byUser(1L).filter(_.getLong(1) < 300L).forall(_.getDouble(3) === 1.0))
     assert(byUser(1L).find(_.getLong(1) == 300L).get.getDouble(3) === 2.0)
     assert(byUser(1L).find(_.getLong(1) == 999L).get.getDouble(3) === 2.0)
     assert(byUser(1L).find(_.getLong(1) == 1000L).get.getDouble(3) === 3.0)
@@ -187,9 +171,16 @@ class Round12Spec extends SparkSpec {
     assert(!byUser.contains(2L))
     // user 3 spans 999..1000 only
     assert(byUser(3L).map(_.getLong(1)).toSeq.sorted === Seq(999L, 1000L))
-    // (d) a corpus inside the window: clamped ≡ unbounded, row for row
+    // (e) no pre-cutoff history → NULL lead-in before the first observation
+    val ev2 = Seq((7L, 500L, 1.5), (7L, 1000L, 2.5), (8L, 1000L, 0.5))
+      .toDF("user_id", "hr", "value")
+    val u7 = resample(ev2, 720).collect().filter(_.getLong(0) == 7L)
+    assert(u7.filter(_.getLong(1) < 500L).forall(_.isNullAt(3)))
+    assert(u7.find(_.getLong(1) == 500L).get.getDouble(3) === 1.5)
+    // (d) a corpus inside the window: clamped ≡ a huge-window (unbounded
+    // in effect) form, row for row
     val small = ev.where(col("hr") >= 400L)
-    assert(resample(small, Some(720)).collect().toSeq ===
-      resample(small, None).collect().toSeq)
+    assert(resample(small, 720).collect().toSeq ===
+      resample(small, 1000000).collect().toSeq)
   }
 }
