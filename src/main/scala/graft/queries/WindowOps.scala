@@ -484,11 +484,22 @@ object WindowOps {
         |QUALIFY row_number() OVER (PARTITION BY user_id
         |    ORDER BY run_len DESC, event_type, grp) = 1
         |ORDER BY user_id""".stripMargin,
+    // O(n log n) skyline oracle (round 13, VERDICT r12 item 4): per-price
+    // max size + running max over STRICTLY smaller prices. A point survives
+    // iff no strictly-cheaper point has size ≥ its own (strictm < size) and
+    // no same-price point has strictly larger size (mx = size). This is the
+    // reformulation that verified the sf3 rung inside the oracle budget —
+    // the deliberately quadratic NOT EXISTS (3.6e11 pair tests at sf3)
+    // survives as Round13Spec's small-sf cross-check of THIS formulation.
     "skyline_pareto" ->
-      """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM part q
-        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
-        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      """WITH g AS (SELECT p_retailprice, max(p_size) AS mx
+        |           FROM part GROUP BY p_retailprice),
+        |r AS (SELECT p_retailprice, mx,
+        |             max(mx) OVER (ORDER BY p_retailprice
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strictm
+        |      FROM g)
+        |SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p JOIN r ON p.p_retailprice IS NOT DISTINCT FROM r.p_retailprice
+        |WHERE (r.strictm IS NULL OR r.strictm < p.p_size) AND r.mx = p.p_size
         |ORDER BY p_partkey""".stripMargin)
 }
