@@ -55,11 +55,19 @@ object AnnIvf {
   val MinLists = 16
   val MaxLists = 1024
 
+  /** Hierarchical ceiling (round 13, VERDICT r12 item 2): past MaxLists the
+    * ladder keeps tracking √n with a TWO-LEVEL quantizer — l1 × k2 lists,
+    * both factors ≤ MaxLists — so the one-task fit bound never binds.
+    * 65536 lists ≈ the √n rule at n ≈ 4.3e9 vectors (the O(10⁹)-vector
+    * 100 TB embedding table), matching AnnDedup's MaxPlanes=26 ceiling.
+    */
+  val MaxHierLists = 65536
+
   def listsFor(n: Long): Int = {
     if (n <= 0) return MinLists
     val exact = math.log(math.sqrt(n.toDouble)) / math.log(2.0)
     val k = 1 << math.round(exact).toInt.max(0).min(30)
-    k.max(MinLists).min(MaxLists)
+    k.max(MinLists).min(MaxHierLists)
   }
 
   /** The fit sample scales with the centroid count (≥16 points per
@@ -69,13 +77,23 @@ object AnnIvf {
   def sampleCapFor(nLists: Int): Int = math.max(4096, 16 * nLists)
 
   /** [[topK]] with the quantizer width chosen from an exact corpus count
-    * (one columnar count job, the AnnDedup.planesFor pattern).
+    * (one columnar count job, the AnnDedup.planesFor pattern). Below the
+    * one-task fit ceiling the single-level path runs bit-identically to
+    * rounds ≤ 12; above it the two-level quantizer takes over.
     */
   def topKAdaptive(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     val n = emb.count()
     val lists = listsFor(n)
-    topK(emb, queries, k, nLists = lists, nProbe = math.max(1, lists / 2),
-      sampleCap = sampleCapFor(lists))
+    if (lists <= MaxLists)
+      topK(emb, queries, k, nLists = lists, nProbe = math.max(1, lists / 2),
+        sampleCap = sampleCapFor(lists))
+    else {
+      // balanced power-of-two split: l1 = 2^⌈log2 √L⌉, k2 = L / l1 — both
+      // ≤ MaxLists for every L ≤ MaxHierLists, so each per-cell fit stays
+      // inside the bound the one-task fit was clamped for
+      val l1 = 1 << math.ceil(math.log(math.sqrt(lists.toDouble)) / math.log(2.0)).toInt
+      topK2Level(emb, queries, k, l1 = l1, k2 = lists / l1)
+    }
   }
 
   /** Seeded-shuffle init + Lloyd, run INSIDE one executor task over the
@@ -243,13 +261,19 @@ object AnnIvf {
         .map(_._2)
     })
     val probed = queries.withColumn("probe", explode(probeUdf(col("qvec"))))
+    candidateTopK(assigned, probed, k)
+  }
 
-    // native codegen'd kernels (graft.plans.VecExprs) — bit-identical to
-    // the lambda fold, no per-element closure interpretation on candidates
-    val dot = graft.functions.Vec.dotNative(emb.sparkSession, "vec", "qvec")
-    val nv = graft.functions.Vec.l2Native(emb.sparkSession, "vec")
-    val nq = graft.functions.Vec.l2Native(emb.sparkSession, "qvec")
-
+  /** Shared tail of both quantizer paths: equi-join the assigned corpus to
+    * the broadcast probe list on list_id, exact cosine over the candidates
+    * (native codegen'd kernels — graft.plans.VecExprs, bit-identical to the
+    * lambda fold), per-query top-k.
+    */
+  private def candidateTopK(assigned: DataFrame, probed: DataFrame, k: Int): DataFrame = {
+    val s = assigned.sparkSession
+    val dot = graft.functions.Vec.dotNative(s, "vec", "qvec")
+    val nv = graft.functions.Vec.l2Native(s, "vec")
+    val nq = graft.functions.Vec.l2Native(s, "qvec")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     assigned
       .join(broadcast(probed), col("list_id") === col("probe") && col("vec_id") =!= col("qid"))
@@ -259,5 +283,129 @@ object AnnIvf {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vec_id").as("nid"), col("cos"))
+  }
+
+  /** Index of the nearest center by squared L2 — the one inner loop every
+    * closure here shares.
+    */
+  private def nearestIdx(centers: Array[Array[Double]], q: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val cv = centers(c)
+      var s = 0.0; var i = 0
+      while (i < q.length) { val dx = q(i) - cv(i); s += dx * dx; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Ranked center indices by squared L2, nearest first (probe side only —
+    * queries are tiny).
+    */
+  private def rankedIdx(centers: Array[Array[Double]], q: Array[Double]): Seq[Int] =
+    centers.indices.map { c =>
+      val cv = centers(c)
+      var s = 0.0; var i = 0
+      while (i < q.length) { val dx = q(i) - cv(i); s += dx * dx; i += 1 }
+      (s, c)
+    }.sortBy(identity).map(_._2)
+
+  /** Distributed per-cell sub-quantizer fit (level 2 of [[topK2Level]]):
+    * a hash-ordered deterministic sample of `cap2` rows is assigned to its
+    * nearest L1 cell with one broadcast pass, then EACH CELL fits its own
+    * k2-center Lloyd in its own task (groupByKey → mapGroups) — the work
+    * the one-task clamp could not hold runs as l1 parallel bounded tasks
+    * (≤ 32·k2 points × k2 centers × dim × iters each). Deterministic: the
+    * sample is hash-ordered, each group re-sorts by (hash, id) before the
+    * seeded fit. A cell the sample never hit falls back to its L1 centroid
+    * as a single sub-center, so assignment stays total.
+    */
+  private[operators] def fitSubCenters(
+      emb: DataFrame,
+      l1Centers: Array[Array[Double]],
+      k2: Int,
+      iters: Int,
+      cap2: Int): Array[Array[Array[Double]]] = {
+    val sess = emb.sparkSession
+    import sess.implicits._
+    val l1B = sess.sparkContext.broadcast(l1Centers)
+    val fitted = emb
+      .select(col("vec_id"), col("vec"),
+        pmod(xxhash64(col("vec_id")), lit(1000000007L)).as("hk"))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(cap2)
+      // TakeOrdered lands the sample on one partition; fan the (CPU-bound)
+      // nearest-cell assignment back out before the per-cell shuffle
+      .repartition(sess.sparkContext.defaultParallelism)
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        (nearestIdx(l1B.value, v.toArray), r.getLong(2), r.getLong(0), v)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3)).take(32 * k2)
+        val pts = rows.map(_._4.toArray)
+        (cell, fitLocal(pts, k2, iters).map(_.toSeq).toSeq)
+      }
+      .collect()
+      .toMap
+    Array.tabulate(l1Centers.length) { c =>
+      fitted.get(c).map(_.map(_.toArray).toArray).getOrElse(Array(l1Centers(c)))
+    }
+  }
+
+  /** Two-level IVF (round 13): an l1-cell coarse quantizer over the corpus,
+    * a k2-cell sub-quantizer INSIDE each l1 cell — l1 × k2 total lists with
+    * every fit bounded and the per-vector assignment cost O((l1 + k2)·dim)
+    * instead of the flat O(l1·k2·dim). Probing mirrors the assignment
+    * hierarchy at √½ of each level (⌈l1·√½⌉ nearest cells, ⌈k2·√½⌉ subs in
+    * each), so the PROBED FRACTION of the corpus stays the same ≈ ½ the
+    * flat ladder pins — finer cells at the same candidate budget, the same
+    * recall argument as round 12's √n sizing. list_id = l1·k2 + sub is
+    * globally unique, and the candidate join/top-k tail is byte-shared with
+    * the flat path ([[candidateTopK]]).
+    */
+  def topK2Level(
+      emb0: DataFrame,
+      queries0: DataFrame,
+      k: Int = 5,
+      l1: Int = 64,
+      k2: Int = 32): DataFrame = {
+    def requireVec(vec: Column, side: String): Column =
+      when(vec.isNotNull, vec).otherwise(raise_error(lit(
+        s"AnnIvf: null $side vector (ANN input contract: filter null embeddings upstream)")))
+    val emb = emb0.withColumn("vec", requireVec(col("vec"), "corpus"))
+    val queries = queries0.withColumn("qvec", requireVec(col("qvec"), "query"))
+
+    val centers = fitCentroids(emb, l1, iters = 5, sampleCap = sampleCapFor(l1))
+    if (centers.isEmpty)
+      return queries
+        .select(col("qid"), lit(0L).as("rnk"), col("qid").as("nid"), lit(0.0).as("cos"))
+        .limit(0)
+    val subs = fitSubCenters(emb, centers, k2, iters = 5,
+      cap2 = 16 * centers.length * k2)
+
+    val assignUdf = udf((v: Seq[Double]) => {
+      val q = v.toArray
+      val c1 = nearestIdx(centers, q)
+      c1.toLong * k2 + nearestIdx(subs(c1), q)
+    })
+    val assigned = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("vec"), assignUdf(col("vec")).as("list_id"))
+
+    val l1Probe = math.max(1, math.ceil(centers.length * math.sqrt(0.5)).toInt)
+    val probeUdf = udf((qv: Seq[Double]) => {
+      val q = qv.toArray
+      rankedIdx(centers, q).take(l1Probe).flatMap { c1 =>
+        val cell = subs(c1)
+        val subProbe = math.max(1, math.ceil(cell.length * math.sqrt(0.5)).toInt)
+        rankedIdx(cell, q).take(subProbe).map(s2 => c1.toLong * k2 + s2)
+      }
+    })
+    val probed = queries.withColumn("probe", explode(probeUdf(col("qvec"))))
+    candidateTopK(assigned, probed, k)
   }
 }

@@ -72,4 +72,81 @@ class Round13Spec extends SparkSpec {
     try assert(got.nonEmpty && got === rows(spark.sql(fastSql)))
     finally spark.catalog.dropTempView("part")
   }
+
+  // ---- two-level IVF quantizer (VERDICT r12 item 2) ----
+  // Past MaxLists=1024 (~2.1M vectors under the √n rule) the coarse fit
+  // goes hierarchical: l1 cells one-task-fit as before, then one bounded
+  // PARALLEL Lloyd per cell. These pin (a) recall vs brute force at a small
+  // scale where the flat path is the reference, (b) determinism, (c) the
+  // empty-cell fallback. The >2.1M-vector rung gate lives below,
+  // assume-gated on /tmp/emb4m (tools/gen_embeddings.py, seed 42).
+
+  import org.apache.spark.sql.functions._
+
+  private def embAt(sf: String) = {
+    Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+  }
+  private def queriesOf(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+
+  private def top5Map(df: DataFrame): Map[Long, Set[Long]] =
+    df.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, a) => (q, a.map(_._2).toSet) }
+
+  private def recallOf(approx: DataFrame, sf: String): Double = {
+    val exact = top5Map(SparkEntry.queries("sim_knn_cosine")(spark, sf)
+      .select(col("qid"), col("rnk"), col("nid")))
+    val ap = top5Map(approx.select(col("qid"), col("rnk"), col("nid")))
+    val rs = exact.map { case (q, ex) =>
+      ap.getOrElse(q, Set.empty[Long]).intersect(ex).size / ex.size.toDouble
+    }
+    rs.sum / rs.size
+  }
+
+  test("two-level IVF recall@5 >= 0.8 vs brute force at sf0.01 (32 lists as 8x4)") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val emb = embAt("/root/testdata/sf0.01")
+    val got = graft.operators.AnnIvf.topK2Level(emb, queriesOf(emb), k = 5, l1 = 8, k2 = 4)
+    val r = recallOf(got, "/root/testdata/sf0.01")
+    info(f"two-level IVF mean recall@5 at sf0.01 = $r%.3f")
+    assert(r >= 0.8, f"two-level IVF mean recall@5 = $r%.3f")
+  }
+
+  test("two-level IVF is deterministic run to run") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val emb = embAt("/root/testdata/sf0.01")
+    def run() = graft.operators.AnnIvf
+      .topK2Level(emb, queriesOf(emb), k = 5, l1 = 8, k2 = 4)
+      .orderBy("qid", "rnk").collect().map(_.toSeq).toSeq
+    assert(run() === run())
+  }
+
+  test("two-level IVF survives cells the sample never hit (L1-centroid fallback)") {
+    // 30 vectors under an 8x4=32-list quantizer: most cells are empty and
+    // the sample cannot populate every sub-fit — the fallback must keep
+    // assignment total and still return k neighbors per query
+    val emb = spark.createDataFrame(
+      (0 until 30).map(i => (i.toLong, Seq.tabulate(64)(j => ((i * 31 + j * 7) % 13 - 6) / 6.0)))
+    ).toDF("vec_id", "vec")
+    val got = graft.operators.AnnIvf
+      .topK2Level(emb, queriesOf(emb), k = 5, l1 = 8, k2 = 4).collect()
+    assert(got.length > 0)
+    val perQ = got.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ <= 5))
+  }
+
+  test("topKAdaptive routes >MaxLists corpora to the two-level quantizer; recall holds at 4.2M vectors") {
+    assume(new java.io.File("/tmp/emb4m/embeddings.parquet").exists)
+    // 4.2M vectors → listsFor = 2048 > MaxLists=1024: the flat one-task fit
+    // would clamp here; the adaptive path must go hierarchical instead
+    assert(graft.operators.AnnIvf.listsFor(4200000L) === 2048)
+    val r = recallOf(
+      SparkEntry.queries("sim_ann_ivf")(spark, "/tmp/emb4m")
+        .select(col("qid"), col("rnk"), col("nid")),
+      "/tmp/emb4m")
+    info(f"sim_ann_ivf mean recall@5 at 4.2M vectors (two-level) = $r%.3f")
+    assert(r >= 0.8, f"two-level IVF mean recall@5 at 4.2M = $r%.3f")
+  }
 }
