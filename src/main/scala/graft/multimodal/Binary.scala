@@ -283,6 +283,12 @@ object Binary {
     */
   val PhashFixturePath = "/root/repo/fixtures/media_phash.parquet"
 
+  /** Corrupt-decode-audit fixture (round 13 — tools.GenDecodeAuditFixture):
+    * good PNGs interleaved with garbage/truncated/empty payloads, with the
+    * expected (ahash, decode_ok) recorded at generation time.
+    */
+  val DecodeAuditFixturePath = "/root/repo/fixtures/media_decode_audit.parquet"
+
   case class ImageHash(doc_id: Long, ahash: Long)
 
   /** 64-bit average-hash with fully DETERMINISTIC integer arithmetic — no

