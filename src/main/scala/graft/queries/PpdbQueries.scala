@@ -234,6 +234,23 @@ object PpdbQueries {
         .orderBy("phrase", "paraphrase", "src", "tgt")
     }),
 
+    // Release audit THROUGH the V2 source with AGGREGATE pushdown (round
+    // 13, VERDICT r12 item 5): count(*)/count/min/max of ppdb2score push
+    // into the reader (SupportsPushDownAggregates) — each gzip member
+    // streams once, parses only the single score token per line, and ships
+    // ONE partial row; Spark merges files × 4 values. At release scale the
+    // audit is effectively scan-cost-only: no rule materializes, no feature
+    // map tokenizes. PpdbV2Spec pins the pushed Aggregation at the
+    // BatchScanExec and parity with the unpushed projection form.
+    "ppdb_audit_v2" -> ((s, _) => {
+      s.read.format("ppdb").load(Ppdb.MultiFixtureDir + "/*.txt.gz")
+        .agg(
+          count(lit(1)).as("n_rules"),
+          count(col("ppdb2score")).as("n_scored"),
+          round(min(col("ppdb2score")), 2).as("min_score"),
+          round(max(col("ppdb2score")), 2).as("max_score"))
+    }),
+
     // Release-size ladder stats (round 11): PPDB ships S→XXXL packs, each a
     // score-pruned superset of the one below; parse the whole ladder in ONE
     // glob scan, recover the pack from per-file lineage (_metadata.file_name)
@@ -296,6 +313,13 @@ object PpdbQueries {
          |SELECT paraphrase, ppdb2score, entailment FROM ppdb
          |WHERE phrase = 'happy'
          |ORDER BY ppdb2score DESC, paraphrase""".stripMargin,
+    "ppdb_audit_v2" ->
+      s"""${Ppdb.oracleCte(Ppdb.MultiFixtureDir + "/*.txt.gz")}
+         |SELECT CAST(count(*) AS BIGINT) AS n_rules,
+         |       CAST(count(ppdb2score) AS BIGINT) AS n_scored,
+         |       round(min(ppdb2score), 2) AS min_score,
+         |       round(max(ppdb2score), 2) AS max_score
+         |FROM ppdb""".stripMargin,
     "ppdb_release_stats" ->
       s"""${Ppdb.oracleCteWithPack()}
          |SELECT pack, CAST(count(*) AS BIGINT) AS n_rules,

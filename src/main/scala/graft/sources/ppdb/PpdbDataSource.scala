@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.SupportsPushDownFilters
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -117,6 +117,35 @@ object PpdbDataSource {
     out += line.substring(start)
     out.toArray
   }
+
+  /** Parse JUST the ranking score out of the raw features field: the LAST
+    * boundary-aligned `PPDB2.0Score=` token, parsed to the next space. One
+    * scan + one parseDouble — the full feature tokenization (split +
+    * per-token Double.valueOf + UTF8String) never runs for lines a pushed
+    * threshold rejects or an aggregate-only scan counts.
+    *
+    * LAST occurrence, not first (round 13, ADVICE r12): the full tokenizer
+    * is last-wins on duplicate keys, and a pushed predicate or aggregate
+    * must agree with the column the same line would materialize. NaN ⇔ the
+    * token is absent or unparseable — the tokenizer's null (the one
+    * residual divergence is a literal `PPDB2.0Score=NaN`, which the
+    * tokenizer keeps as a non-null NaN; no release writes NaN scores).
+    */
+  private[ppdb] def scanScore(feat: String): Double = {
+    val key = "PPDB2.0Score="
+    var best = -1
+    var i = feat.indexOf(key)
+    while (i >= 0) {
+      if (i == 0 || feat.charAt(i - 1) == ' ') best = i
+      i = feat.indexOf(key, i + 1)
+    }
+    if (best < 0) return Double.NaN
+    val start = best + key.length
+    var end = feat.indexOf(' ', start)
+    if (end < 0) end = feat.length
+    try feat.substring(start, end).toDouble
+    catch { case _: NumberFormatException => Double.NaN }
+  }
 }
 
 class PpdbTable(path: String) extends Table with SupportsRead {
@@ -131,11 +160,46 @@ class PpdbTable(path: String) extends Table with SupportsRead {
 
 class PpdbScanBuilder(path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = PpdbDataSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[
+    org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Ungrouped COUNT(*)/COUNT/MIN/MAX-of-score aggregates push into the
+    * reader (round 13, VERDICT r12 item 5): the release-audit shape
+    * (`SELECT count(*), min(ppdb2score), max(ppdb2score)`) returns ONE
+    * partial row PER FILE — no rule ever materializes, no feature map ever
+    * tokenizes (the score rides the same single-token scan the pushed
+    * thresholds use), and only `files × 3` values reach Spark's final
+    * merge. Partial pushdown (supportCompletePushDown = false): Spark sums
+    * the counts and min/maxes the extrema across files, so gzip members
+    * still scan in parallel. Composes with pushed filters — a score-pruned
+    * audit counts without parsing either.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def isScore(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("ppdb2score"))
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty) return false
+    val ok = agg.aggregateExpressions.nonEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && isScore(c.column)
+      case m: Min => isScore(m.column)
+      case m: Max => isScore(m.column)
+      case _ => false
+    }
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
   /** String equality on the four raw text fields evaluates EXACTLY at the
     * line level (one substring compare, before any column materializes), so
     * supported filters return no residual — `SELECT … WHERE phrase = 'x'`
@@ -157,13 +221,20 @@ class PpdbScanBuilder(path: String)
       case GreaterThanOrEqual("ppdb2score", v) => PpdbScanBuilder.isNumeric(v)
       case LessThan("ppdb2score", v) => PpdbScanBuilder.isNumeric(v)
       case LessThanOrEqual("ppdb2score", v) => PpdbScanBuilder.isNumeric(v)
+      // the optimizer pairs every comparison with an IsNotNull; leaving it
+      // as residual would veto aggregate pushdown (Spark only pushes an
+      // aggregation when NO post-scan filter remains), so evaluate it at
+      // the line level too: a text field is non-null iff the line has that
+      // many fields, the score iff a parseable token exists
+      case IsNotNull("ppdb2score") => true
+      case IsNotNull(a) => PpdbScanBuilder.Pushable.contains(a)
       case _ => false
     }
     pushed = sup
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new PpdbScan(path, required, pushed)
+  override def build(): Scan = new PpdbScan(path, required, pushed, pushedAgg)
 }
 
 object PpdbScanBuilder {
@@ -182,12 +253,32 @@ object PpdbScanBuilder {
   }
 }
 
-class PpdbScan(path: String, required: StructType, pushed: Array[Filter])
+class PpdbScan(
+    path: String,
+    required: StructType,
+    pushed: Array[Filter],
+    pushedAgg: Option[
+      org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None)
   extends Scan with Batch {
-  override def readSchema(): StructType = required
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+  // with a pushed aggregation the scan's output IS the aggregate row —
+  // positional with the aggregate expressions (Spark's partial-pushdown
+  // contract: it sums the counts / min-maxes the extrema on top)
+  override def readSchema(): StructType = pushedAgg match {
+    case None => required
+    case Some(a) => StructType(a.aggregateExpressions.map {
+      case _: CountStar => StructField("count(*)", LongType, nullable = false)
+      case _: Count => StructField("count(ppdb2score)", LongType, nullable = false)
+      case _: Min => StructField("min(ppdb2score)", DoubleType)
+      case _: Max => StructField("max(ppdb2score)", DoubleType)
+      case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
+    }.toArray)
+  }
   override def toBatch: Batch = this
   override def description(): String =
-    s"PpdbScan(path=$path, pushed=[${pushed.mkString(", ")}])"
+    s"PpdbScan(path=$path, pushed=[${pushed.mkString(", ")}]" +
+      pushedAgg.map(a =>
+        s", pushedAggregates=[${a.aggregateExpressions.mkString(", ")}]").getOrElse("") + ")"
   // planning runs on the driver, inside an active session — the session's
   // Hadoop conf carries the credentials/scheme config object stores need,
   // and ships to executors via SerializableConfiguration (the same vehicle
@@ -198,18 +289,84 @@ class PpdbScan(path: String, required: StructType, pushed: Array[Filter])
     PpdbDataSource.listFiles(path, hadoopConf.value)
       .map(PpdbInputPartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new PpdbReaderFactory(required, pushed, hadoopConf)
+    new PpdbReaderFactory(required, pushed, hadoopConf, pushedAgg)
   private[graft] def pushedForTest: Array[Filter] = pushed
+  private[graft] def pushedAggForTest: Option[
+    org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = pushedAgg
 }
 
 case class PpdbInputPartition(file: String) extends InputPartition
 
 class PpdbReaderFactory(
-    required: StructType, pushed: Array[Filter], conf: SerializableConfiguration)
+    required: StructType,
+    pushed: Array[Filter],
+    conf: SerializableConfiguration,
+    pushedAgg: Option[
+      org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None)
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PpdbPartitionReader(
-      partition.asInstanceOf[PpdbInputPartition].file, required, pushed, conf)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[PpdbInputPartition].file
+    pushedAgg match {
+      case Some(a) => new PpdbAggPartitionReader(file, a, pushed, conf)
+      case None => new PpdbPartitionReader(file, required, pushed, conf)
+    }
+  }
+}
+
+/** One partial-aggregate row per file: streams lines through the SAME
+  * pushed-filter fast path as the row reader, accumulates count / non-null
+  * score count / score min/max over the single-token score scan, and emits
+  * a single row. Nothing tokenizes, nothing materializes — a release audit
+  * ships `files × aggregates` values instead of every rule.
+  */
+class PpdbAggPartitionReader(
+    file: String,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    pushed: Array[Filter],
+    conf: SerializableConfiguration)
+  extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+  private val needScore = agg.aggregateExpressions.exists(!_.isInstanceOf[CountStar])
+  private var emitted = false
+
+  private lazy val row: InternalRow = {
+    // reuse the row reader's streaming + pushed-filter machinery with an
+    // EMPTY projection (it materializes nothing), then aggregate per line
+    val inner = new PpdbPartitionReader(file, StructType(Nil), pushed, conf)
+    var n = 0L
+    var nScore = 0L
+    var mn = Double.NaN
+    var mx = Double.NaN
+    try {
+      while (inner.next()) {
+        n += 1
+        if (needScore) {
+          val f = inner.currentFields
+          val s =
+            if (f.length > 3 && f(3) != null) PpdbDataSource.scanScore(f(3))
+            else Double.NaN
+          if (!s.isNaN) {
+            nScore += 1
+            if (mn.isNaN || s < mn) mn = s
+            if (mx.isNaN || s > mx) mx = s
+          }
+        }
+      }
+    } finally inner.close()
+    new GenericInternalRow(agg.aggregateExpressions.map {
+      case _: CountStar => n: Any
+      case _: Count => nScore: Any
+      case _: Min => if (mn.isNaN) null else (mn: Any)
+      case _: Max => if (mx.isNaN) null else (mx: Any)
+      case other => throw new IllegalArgumentException(s"unpushable aggregate $other")
+    })
+  }
+
+  override def next(): Boolean =
+    if (emitted) false else { emitted = true; row != null }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** Streams one release file; materializes ONLY the pruned columns — a
@@ -229,6 +386,11 @@ class PpdbPartitionReader(
   }
   private var fields: Array[String] = _
 
+  /** The raw split fields of the row `next()` just accepted — the
+    * aggregate reader's per-line hook (it never calls [[get]]).
+    */
+  private[ppdb] def currentFields: Array[String] = fields
+
   // resolve required ordinals + pushed-filter ordinals once per partition
   private val fieldNames = required.fields.map(_.name)
   private val needsFeatures =
@@ -236,8 +398,15 @@ class PpdbPartitionReader(
   private val lineFilters: Array[(Int, String)] = pushed.collect {
     case EqualTo(a, v: String) => PpdbScanBuilder.Pushable(a) -> v
   }
+  // pushed IsNotNull on a text field: the line must carry that many fields
+  private val notNullFields: Array[Int] = pushed.collect {
+    case IsNotNull(a) if PpdbScanBuilder.Pushable.contains(a) =>
+      PpdbScanBuilder.Pushable(a)
+  }
   // score-threshold predicates compile to (Double => Boolean); a null score
-  // (no PPDB2.0Score token) fails them all, like NULL <op> x in SQL
+  // (no PPDB2.0Score token) fails them all, like NULL <op> x in SQL.
+  // IsNotNull(ppdb2score) compiles to the always-true lambda — reaching the
+  // lambda at all already required a parseable (non-NaN) score below
   private val scoreFilters: Array[Double => Boolean] = pushed.collect {
     case GreaterThan("ppdb2score", v) =>
       val t = PpdbScanBuilder.asDouble(v); (s: Double) => s > t
@@ -247,26 +416,10 @@ class PpdbPartitionReader(
       val t = PpdbScanBuilder.asDouble(v); (s: Double) => s < t
     case LessThanOrEqual("ppdb2score", v) =>
       val t = PpdbScanBuilder.asDouble(v); (s: Double) => s <= t
+    case IsNotNull("ppdb2score") => (_: Double) => true
   }
 
-  /** Parse JUST the ranking score out of the raw features field: locate the
-    * `PPDB2.0Score=` token at a token boundary, parse to the next space.
-    * One indexOf + one parseDouble — the full feature tokenization
-    * (split + per-token Double.valueOf + UTF8String) never runs for lines
-    * a pushed threshold rejects.
-    */
-  private def scanScore(feat: String): Double = {
-    val key = "PPDB2.0Score="
-    var i = feat.indexOf(key)
-    while (i > 0 && feat.charAt(i - 1) != ' ')
-      i = feat.indexOf(key, i + 1) // substring of a longer key — keep looking
-    if (i < 0) return Double.NaN
-    val start = i + key.length
-    var end = feat.indexOf(' ', start)
-    if (end < 0) end = feat.length
-    try feat.substring(start, end).toDouble
-    catch { case _: NumberFormatException => Double.NaN }
-  }
+  private def scanScore(feat: String): Double = PpdbDataSource.scanScore(feat)
 
   override def next(): Boolean = {
     var line = in.readLine()
@@ -274,7 +427,8 @@ class PpdbPartitionReader(
       val f = PpdbDataSource.splitFields(line)
       // pushed equality evaluates here, BEFORE any column materializes —
       // a filtered scan splits each line but tokenizes nothing else
-      var pass = lineFilters.forall { case (i, v) => i < f.length && f(i) == v }
+      var pass = lineFilters.forall { case (i, v) => i < f.length && f(i) == v } &&
+        notNullFields.forall(_ < f.length)
       if (pass && scoreFilters.nonEmpty) {
         val s = if (f.length > 3 && f(3) != null) scanScore(f(3)) else Double.NaN
         // NaN (absent/unparseable score) fails every comparison — SQL null

@@ -75,8 +75,7 @@ class PpdbV2Spec extends SparkSpec {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
     val pushed = scans.head.scan.asInstanceOf[graft.sources.ppdb.PpdbScan].pushedForTest
-    assert(pushed.nonEmpty && pushed.head ===
-      org.apache.spark.sql.sources.EqualTo("phrase", "happy"),
+    assert(pushed.contains(org.apache.spark.sql.sources.EqualTo("phrase", "happy")),
       s"phrase equality must reach the reader; pushed=${pushed.mkString(",")}")
     assert(df.collect().map(_.getString(0)).sorted === Array("cheerful", "content", "glad"))
   }
@@ -132,6 +131,91 @@ class PpdbV2Spec extends SparkSpec {
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(err).exists(_.contains("/no/such/ppdb/dir")),
       s"expected the offending path in the error; got: ${messages(err).mkString(" | ")}")
+  }
+
+  private def batchScans(df: org.apache.spark.sql.DataFrame)
+    : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+    // aggregates shuffle, so AQE wraps the plan in AdaptiveSparkPlanExec (a
+    // leaf node collect() cannot see through) — unwrap via inputPlan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def walk(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case b: BatchScanExec => Seq(b)
+      case o => o.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("count/min/max aggregates push into the reader (round 13)") {
+    val df = SparkEntry.queries("ppdb_audit_v2")(spark, "")
+    val scans = batchScans(df)
+    assert(scans.nonEmpty, "expected a BatchScanExec")
+    val scan = scans.head.scan.asInstanceOf[graft.sources.ppdb.PpdbScan]
+    val agg = scan.pushedAggForTest
+    assert(agg.isDefined, "the audit aggregation must reach the reader")
+    assert(agg.get.aggregateExpressions.length === 4,
+      s"all four aggregates push: ${agg.get.aggregateExpressions.mkString(",")}")
+    // the scan's output is the 4-column partial-aggregate row, not rules
+    assert(scans.head.scan.readSchema().fields.length === 4)
+    // parity with the unpushed projection-form parse
+    val got = df.collect().head
+    val proj = Ppdb.parse(spark, s"${Ppdb.MultiFixtureDir}/*.txt.gz")
+      .agg(count(lit(1)), count(col("ppdb2score")),
+        round(min(col("ppdb2score")), 2), round(max(col("ppdb2score")), 2))
+      .collect().head
+    assert(got.toSeq === proj.toSeq)
+  }
+
+  test("pushed filters compose with pushed aggregates (score-pruned audit)") {
+    val df = spark.read.format("ppdb").load(s"${Ppdb.MultiFixtureDir}/*.txt.gz")
+      .filter(col("ppdb2score") >= 4.0)
+      .agg(count(lit(1)).as("n"), round(min(col("ppdb2score")), 2).as("mn"))
+    val scan = batchScans(df).head.scan.asInstanceOf[graft.sources.ppdb.PpdbScan]
+    assert(scan.pushedForTest.nonEmpty, "the threshold must stay pushed")
+    assert(scan.pushedAggForTest.isDefined, "the aggregation must also push")
+    val got = df.collect().head
+    val twin = Ppdb.parse(spark, s"${Ppdb.MultiFixtureDir}/*.txt.gz")
+      .filter(col("ppdb2score") >= 4.0)
+      .agg(count(lit(1)), round(min(col("ppdb2score")), 2))
+      .collect().head
+    assert(got.toSeq === twin.toSeq)
+  }
+
+  test("grouped or unsupported aggregates do NOT push and stay correct") {
+    // group-by and avg are outside the pushable set — the source must
+    // decline and the ordinary row path must take over
+    val df = spark.read.format("ppdb").load(s"${Ppdb.MultiFixtureDir}/*.txt.gz")
+      .groupBy("entailment").agg(avg(col("ppdb2score")).as("a"))
+    val scan = batchScans(df).head.scan.asInstanceOf[graft.sources.ppdb.PpdbScan]
+    assert(scan.pushedAggForTest.isEmpty)
+    assert(df.collect().nonEmpty)
+  }
+
+  test("scanScore takes the LAST duplicate score token, like the tokenizer (ADVICE r12)") {
+    // a line carrying two PPDB2.0Score tokens: the materialized column is
+    // last-wins, so a pushed threshold passing on the FIRST value would
+    // surface rows violating the user's WHERE — the fixed scanScore must
+    // agree with the full tokenizer on both filter and aggregate paths
+    val dir = java.nio.file.Files.createTempDirectory("ppdbv2dup").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/dup.txt"),
+      ("[X] ||| a ||| b ||| PPDB2.0Score=9.0 p=1 PPDB2.0Score=1.5 ||| 0-0 ||| Equivalence\n" +
+        "[X] ||| c ||| d ||| PPDB2.0Score=5.0 ||| 0-0 ||| Equivalence\n" +
+        "[X] ||| e ||| f ||| xPPDB2.0Score=7.0 PPDB2.0Score=2.0 ||| 0-0 ||| Equivalence\n")
+        .getBytes("UTF-8"))
+    val src = spark.read.format("ppdb").load(s"$dir/dup.txt")
+    // materialized truth: a→1.5 (last wins), c→5.0, e→2.0 (boundary-aligned only)
+    val mat = src.select("phrase", "ppdb2score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mat === Map("a" -> 1.5, "c" -> 5.0, "e" -> 2.0))
+    // pushed threshold must agree with the materialized column
+    val pushedRows = src.filter(col("ppdb2score") >= 3.0).select("phrase").collect()
+      .map(_.getString(0)).toSeq
+    assert(pushedRows === Seq("c"))
+    // pushed aggregate must agree too
+    val agg = src.agg(round(max(col("ppdb2score")), 2)).collect().head.getDouble(0)
+    assert(agg === 5.0)
   }
 
   test("malformed lines null-fill missing fields instead of erroring") {
