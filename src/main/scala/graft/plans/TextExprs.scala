@@ -511,8 +511,13 @@ case class CountInSet(child: Expression, set: Seq[String]) extends UnaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val c = child.genCode(ctx)
+    // RAW HashSet type string (ADVICE r12): Janino's generics support is
+    // partial, and a cast it cannot compile makes Spark silently fall back
+    // to interpreted eval — defeating the kernel. Erasure means the raw
+    // cast is all the generated call needs; Round13Spec pins the codegen
+    // span like char_ngrams' test does.
     val setRef = ctx.addReferenceObj("countInSetSet", utf8Set,
-      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+      "java.util.HashSet")
     ev.copy(code = code"""
       ${c.code}
       boolean ${ev.isNull} = ${c.isNull};

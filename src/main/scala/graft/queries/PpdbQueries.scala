@@ -20,11 +20,19 @@ object PpdbQueries {
     * overlapping bench reps — never race on the same directory the way the
     * pre-round-12 compact_files scratch could).
     */
-  private lazy val convertRoot =
-    java.nio.file.Files.createTempDirectory("graft_ppdb_convert").toString
+  private lazy val convertRoot = {
+    val r = java.nio.file.Files.createTempDirectory("graft_ppdb_convert").toString
+    graft.util.ScratchDirs.deleteRootOnExit(r)
+    r
+  }
   private val convertSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  private def convertDir(): String =
-    new java.io.File(convertRoot, s"rel_${convertSeq.incrementAndGet()}").getAbsolutePath
+  private def convertDir(): String = {
+    val d = new java.io.File(convertRoot, s"rel_${convertSeq.incrementAndGet()}")
+      .getAbsolutePath
+    // bounded accumulation (ADVICE r12): a REPS=N bench keeps ≤ 2 dirs
+    graft.util.ScratchDirs.register("ppdb_convert", d)
+    d
+  }
 
   // sfDir is ignored: the PPDB fixture lives at a stable absolute path so
   // both engines read the identical bytes (FIXTURES.md §2).

@@ -63,8 +63,11 @@ object FileSources {
     * BucketedJoin.procRoot: directories outlive the JVM; a fresh process
     * must never collide with a prior run's output).
     */
-  private lazy val sinkRoot =
-    java.nio.file.Files.createTempDirectory("graft_sink").toString
+  private lazy val sinkRoot = {
+    val r = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    graft.util.ScratchDirs.deleteRootOnExit(r)
+    r
+  }
 
   private[graft] def sinkDirFor(sfDir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -178,6 +181,9 @@ object FileSources {
       val frag = compactDirFor(d, "frag", seq)
       val comp = compactDirFor(d, "comp", seq)
       lastCompactDirs.set((frag, comp))
+      // bounded accumulation (ADVICE r12): REPS=N bench keeps ≤ 2 per stage
+      graft.util.ScratchDirs.register(s"compact_frag_$d", frag)
+      graft.util.ScratchDirs.register(s"compact_comp_$d", comp)
       val src = s.read.parquet(s"$d/documents.parquet")
         .filter(col("doc_id") < 2000)
         .select(col("doc_id"), col("lang"), col("n_chars"))

@@ -73,6 +73,53 @@ class Round13Spec extends SparkSpec {
     finally spark.catalog.dropTempView("part")
   }
 
+  // ---- bounded scratch accumulation (ADVICE r12) ----
+  test("write-path scratch dirs are bounded: generation N-2 is deleted") {
+    val root = java.nio.file.Files.createTempDirectory("scratchspec").toString
+    val dirs = (1 to 4).map { i =>
+      val d = new java.io.File(root, s"gen_$i")
+      d.mkdirs()
+      java.nio.file.Files.write(d.toPath.resolve("x"), Array[Byte](1))
+      d
+    }
+    dirs.zipWithIndex.foreach { case (d, _) =>
+      graft.util.ScratchDirs.register("spec_key", d.getAbsolutePath)
+    }
+    assert(!dirs(0).exists && !dirs(1).exists, "old generations must be pruned")
+    assert(dirs(2).exists && dirs(3).exists, "the newest two must survive")
+  }
+
+  test("compact_files keeps at most two generations of scratch on repeated invocation") {
+    val d = TestTables.dir(spark)
+    def run(): (String, String) = {
+      SparkEntry.queries("compact_files")(spark, d).collect()
+      graft.sources.FileSources.lastCompactDirs.get()
+    }
+    val g1 = run(); val g2 = run(); val g3 = run()
+    assert(!new java.io.File(g1._1).exists && !new java.io.File(g1._2).exists,
+      "generation 1 scratch must be deleted by generation 3's construction")
+    assert(new java.io.File(g2._1).exists && new java.io.File(g3._1).exists)
+  }
+
+  // ---- count_in_set codegen path (ADVICE r12) ----
+  // char_ngrams pins its WholeStageCodegen span; count_in_set never did, so
+  // a Janino-unfriendly cast could silently fall back to interpreted eval.
+  // Same probe: over a parquet-backed scan (a literal frame collapses to
+  // LocalTableScan with no codegen stage), the plan must show the starred
+  // Project containing the kernel.
+  test("count_in_set runs inside WholeStageCodegen over a parquet scan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftSqlShim.{column => gcol, expression => gexpr}
+    val docs = Tables.t(spark, TestTables.dir(spark), "documents")
+    val df = docs.select(gcol(graft.plans.CountInSet(
+      gexpr(split(col("text"), " ")), Seq("a", "b"))).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Project [count_in_set") &&
+      plan.contains("*(1) Project [count_in_set"), plan)
+    // and the kernel still computes through the generated path
+    assert(df.agg(sum(col("n"))).collect().head.getLong(0) > 0L)
+  }
+
   // ---- two-level IVF quantizer (VERDICT r12 item 2) ----
   // Past MaxLists=1024 (~2.1M vectors under the √n rule) the coarse fit
   // goes hierarchical: l1 cells one-task-fit as before, then one bounded

@@ -132,5 +132,14 @@ class StreamingSf01Spec extends SparkSpec {
     assert(got.length === exp.length,
       s"session count differs: streaming ${got.length} vs batch ${exp.length}")
     assert(got.toSeq === exp.toSeq)
+    // and against the OTHER batch formulation (VERDICT r12 item 7):
+    // stream_session's gaps-and-islands window form — three independent
+    // computations (streaming merge-state, batch session_window, batch
+    // windowed islands) landing on one fixpoint at sf0.1
+    val islands = SparkEntry.queries("stream_session")(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq === islands.toSeq,
+      "streaming sessions must also match the gaps-and-islands batch twin")
   }
 }
