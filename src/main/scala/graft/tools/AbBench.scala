@@ -22,6 +22,35 @@ import graft.SparkEntry
 object AbBench {
 
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // agg_approx_topk decomposition (round 13, VERDICT r12 item 8 — the one
+    // mildly superlinear sf1→sf3 survivor at 3.45×): which stage scales
+    // badly, the explode fan-out or the sketch merge?
+    // (a) tokenize+explode alone (count(*) sink keeps the fan-out but
+    //     no sketch); (b) the exact groupBy+top-10 twin; (c) the sketch at
+    //     the 10k default maxItemsTracked (10× the declared 1000)
+    "agg_approx_topk_explode_only" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.t(s, d, "documents")
+        .select(explode(split(graft.Tables.normText(col("text")), " ")).as("token"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "agg_approx_topk_exact" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.t(s, d, "documents")
+        .select(explode(split(graft.Tables.normText(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("est_count"))
+        .orderBy(col("est_count").desc, col("token")).limit(10)
+    }),
+    "agg_approx_topk_10k" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.t(s, d, "documents")
+        .select(explode(split(graft.Tables.normText(col("text")), " ")).as("token"))
+        .agg(expr("approx_top_k(token, 10, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.*"))
+        .toDF("token", "est_count")
+        .orderBy(col("est_count").desc, col("token"))
+    }),
     // pipeline_corpus_clean before the Jaccard-1.0 set-fingerprint fast
     // path: full MinHash signature + banding + bucket join + verify
     "pipeline_corpus_clean_lsh" -> ((s, d) => {

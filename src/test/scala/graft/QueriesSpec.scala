@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 207 declared queries (53 SURVEY §2 + 154 extras), 198 with oracles") {
-    assert(SparkEntry.queries.size === 207)
-    assert(SparkEntry.oracleSql.size === 198)
+  test("inventory: 209 declared queries (53 SURVEY §2 + 156 extras), 200 with oracles") {
+    assert(SparkEntry.queries.size === 209)
+    assert(SparkEntry.oracleSql.size === 200)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
