@@ -387,10 +387,17 @@ object AnnIvf {
     val subs = fitSubCenters(emb, centers, k2, iters = 5,
       cap2 = 16 * centers.length * k2)
 
+    // broadcast, not closure-capture: the two-level codebook is l1·k2·dim
+    // doubles (~33 MB at the 65536-list ceiling) — a closure reserializes
+    // it per task; a broadcast ships it once per executor
+    val sc = emb.sparkSession.sparkContext
+    val centersB = sc.broadcast(centers)
+    val subsB = sc.broadcast(subs)
+
     val assignUdf = udf((v: Seq[Double]) => {
       val q = v.toArray
-      val c1 = nearestIdx(centers, q)
-      c1.toLong * k2 + nearestIdx(subs(c1), q)
+      val c1 = nearestIdx(centersB.value, q)
+      c1.toLong * k2 + nearestIdx(subsB.value(c1), q)
     })
     val assigned = emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
@@ -399,8 +406,8 @@ object AnnIvf {
     val l1Probe = math.max(1, math.ceil(centers.length * math.sqrt(0.5)).toInt)
     val probeUdf = udf((qv: Seq[Double]) => {
       val q = qv.toArray
-      rankedIdx(centers, q).take(l1Probe).flatMap { c1 =>
-        val cell = subs(c1)
+      rankedIdx(centersB.value, q).take(l1Probe).flatMap { c1 =>
+        val cell = subsB.value(c1)
         val subProbe = math.max(1, math.ceil(cell.length * math.sqrt(0.5)).toInt)
         rankedIdx(cell, q).take(subProbe).map(s2 => c1.toLong * k2 + s2)
       }
