@@ -39,13 +39,39 @@ object Quality {
     * engine-stable. Both text_tfidf and text_keyword_topk rank THIS frame.
     */
   private def tfidfScores(docs0: DataFrame): DataFrame = {
-    val docs = docs0.select(col("doc_id"), toks(col("text")).as("tk"))
-    val terms = docs
-      .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
-    val tf = terms.groupBy("doc_id", "token", "len").agg(count(lit(1)).as("cnt"))
-    val dfreq = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, "token")
+    // explode takes the token expression INLINE, not through an alias
+    // (round 13): InferFiltersFromGenerate only fires on attribute inputs,
+    // and the `size(tk) > 0` filter it infers substitutes the alias with
+    // the full normText+split chain — three regex-normalize+split passes
+    // per document instead of one, measured as +10 s of the 34 s sf10
+    // query. Document length is recovered AFTER the aggregate as
+    // sum(cnt) over (partition by doc_id) — identical to size(tk) (total
+    // tokens incl. duplicates), one well-distributed ≤tokens-per-doc-row
+    // window instead of a third grouping key carried from the text.
+    // ONE explicit doc_id exchange feeds everything: HashPartitioning(doc_id)
+    // satisfies the (doc_id, token) aggregate's distribution AND the len
+    // window's, so neither adds a shuffle — and because both the tf and
+    // dfreq branches consume the identical (doc_id, token) columns of THIS
+    // exchange, ReusedExchange merges them and the scan+normText+explode
+    // pipeline runs ONCE (the groupBy-first form ran it twice: column
+    // pruning made the two partial-aggregate subtrees canonically
+    // different). The trade — repartitioning raw token rows forgoes
+    // map-side combine — buys back a full corpus scan + regex-normalize
+    // pass, which dominates it. Perfectly distributed at any scale
+    // (doc_id keys, ≤ tokens-per-doc rows per group).
+    val terms = docs0.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .repartition(col("doc_id"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    // df = plain count of tf rows per token (one row per (doc_id, token) —
+    // countDistinct's extra dedup shuffle is a no-op here). The join-back
+    // is AQE's choice: a small vocabulary broadcast-joins (no token
+    // shuffle of tf at all — the sf ladder's plan); a 100 TB Zipfian
+    // vocabulary falls back to a well-distributed shuffle join.
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val nDocs = docs0.agg(count(lit(1)).as("n_docs"))
+    tf.withColumn("len", sum(col("cnt")).over(byDoc))
+      .join(dfreq, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn(
         "tfidf",
@@ -53,6 +79,10 @@ object Quality {
           log(col("n_docs").cast("double") / col("df")), 6))
       .select(col("doc_id"), col("token"), col("tfidf"))
   }
+
+  /** AbBench-only visibility into the shared score frame. */
+  private[graft] def tfidfScoresForBench(docs0: DataFrame): DataFrame =
+    tfidfScores(docs0)
 
   val queries: Map[String, Q] = Map(
     // TF-IDF: tf = cnt/len, idf = ln(N/df); global top-20 weighted terms —

@@ -28,6 +28,107 @@ object AbBench {
     // (a) tokenize+explode alone (count(*) sink keeps the fan-out but
     //     no sketch); (b) the exact groupBy+top-10 twin; (c) the sketch at
     //     the 10k default maxItemsTracked (10× the declared 1000)
+    // text_tfidf before the round-13 df-as-plain-count rewrite: the
+    // original countDistinct(doc_id) document-frequency aggregation
+    "text_tfidf_countdistinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, rd, t}
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("tk"))
+      val terms = docs
+        .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
+      val tf = terms.groupBy("doc_id", "token", "len").agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn(
+          "tfidf",
+          rd((col("cnt").cast("double") / col("len")) *
+            log(col("n_docs").cast("double") / col("df")), 6))
+        .select(col("doc_id"), col("token"), col("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+        .limit(20)
+    }),
+    // text_tfidf stage probes (round 13): where do the seconds go?
+    // tokenize+explode alone, the (doc,token) aggregate alone, +df counts
+    "text_tfidf_explode_only" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "text_tfidf_tf_only" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n"))
+    }),
+    "text_tfidf_df_only" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .agg(sum(col("df")).as("n"))
+    }),
+    "text_tfidf_join_only" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "token").agg(sum(col("cnt") * col("df")).as("n"))
+    }),
+    "text_tfidf_tf_len" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("tk"))
+      docs.select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
+        .groupBy("doc_id", "token", "len").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n"))
+    }),
+    "text_tfidf_tf_len_pre" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("tk"))
+      docs.select(col("doc_id"), size(col("tk")).as("len"), col("tk"))
+        .select(col("doc_id"), col("len"), explode(col("tk")).as("token"))
+        .groupBy("doc_id", "token", "len").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n"))
+    }),
+    "text_tfidf_tf_len_first" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("tk"))
+      docs.select(col("doc_id"), size(col("tk")).as("len"), col("tk"))
+        .select(col("doc_id"), col("len"), explode(col("tk")).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("cnt"), first(col("len")).as("len"))
+        .agg(sum(col("cnt") + col("len")).as("n"))
+    }),
+    "text_tfidf_scores_only" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.queries.Quality.tfidfScoresForBench(graft.Tables.t(s, d, "documents"))
+        .agg(count(lit(1)).as("n"), sum(col("tfidf")).as("s"))
+    }),
+    "text_tfidf_join_hash" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(dfreq.hint("shuffle_hash"), "token").agg(sum(col("cnt") * col("df")).as("n"))
+    }),
     "agg_approx_topk_explode_only" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.Tables.t(s, d, "documents")

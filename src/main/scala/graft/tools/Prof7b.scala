@@ -14,7 +14,7 @@ object Prof7b {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").count()
-    val df = graft.SparkEntry.queries(name)(spark, d)
+    val df = (graft.SparkEntry.queries ++ AbBench.variants)(name)(spark, d)
     val t0 = System.nanoTime()
     df.count()
     println(f"[prof] $name cold ${(System.nanoTime() - t0) / 1e9}%.2f s")
