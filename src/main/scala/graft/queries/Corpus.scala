@@ -248,6 +248,11 @@ object Corpus {
     // boilerplate and removed from every doc. Output: per-doc segment
     // counts + the cleaned text (surviving segments in order).
     "text_seg_dedup" -> ((s, d) => {
+      // NOTE (round 13): a repartition(doc_id) exchange-reuse rewrite (the
+      // tfidf pattern) was A/B-measured at sf10 and REGRESSED 10.9 -> 16.2 s:
+      // shuffling every exploded segment instance by doc_id costs more than
+      // the duplicated scan+split it saves (no regex in this chain, unlike
+      // tfidf) — the double-consumption below stays deliberate
       val segs = toks(s, d).select(
         col("doc_id"),
         posexplode(expr(

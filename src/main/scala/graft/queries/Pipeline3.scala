@@ -196,6 +196,15 @@ object Pipeline3 {
     // quality cut. Vocabulary counts are tiny next to the corpus → the
     // token→p join broadcasts; everything else is two hash aggregates.
     "text_unigram_lm" -> ((s, d) => {
+      // The two consumers of toksDf (counts + probe) each re-run the
+      // scan+normText+explode chain — DELIBERATE after three rejected
+      // round-13 A/Bs at sf10: repartition(doc_id) of instances 16.7 ->
+      // 18.4 s (full-corpus shuffle outweighs the saved scan); a
+      // (doc_id, token, c) pre-aggregate ~1.2× slower (tokens rarely
+      // repeat within a doc, the combine shrinks nothing); localCheckpoint
+      // of the exploded frame ratio 0.99 interleaved (materialization
+      // costs what the saved pass gains, and pins executor storage at
+      // cluster scale). The broadcast-join + per-doc agg dominates.
       val toksDf = t(s, d, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("token"))
       val counts = toksDf.groupBy("token").agg(count(lit(1)).as("cnt"))

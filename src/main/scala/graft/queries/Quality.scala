@@ -240,8 +240,10 @@ object Quality {
       val bigrams = org.apache.spark.sql.GraftSqlShim.column(
         graft.plans.NGrams(
           org.apache.spark.sql.GraftSqlShim.expression(toks), 2, distinct = false))
+      // no size(toks)>=2 pre-filter — same finding as text_bigrams: the
+      // filter re-evaluated normText+split per doc and the kernel's
+      // short-doc -> [] branch makes it redundant under explode
       val freq = t(s, d, "documents")
-        .filter(size(toks) >= 2)
         .select(explode(bigrams).as("g"))
         .groupBy("g").agg(count(lit(1)).as("f"))
         .orderBy(col("f").desc, col("g"))

@@ -145,8 +145,11 @@ object TextPipeline {
       val bigrams = org.apache.spark.sql.GraftSqlShim.column(
         graft.plans.NGrams(
           org.apache.spark.sql.GraftSqlShim.expression(toks), 2, distinct = false))
+      // no size(toks)>=2 pre-filter: it re-ran the whole normText+split
+      // chain once more per doc, and the kernel already returns [] for
+      // short/null docs — explode drops those rows for free (round 13,
+      // measured 15.8 -> see BASELINE at sf10)
       t(s, d, "documents")
-        .filter(size(toks) >= 2)
         .select(explode(bigrams).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))

@@ -295,6 +295,40 @@ object AbBench {
       graft.queries.Graphs.copurchaseEdges(s, d).orderBy("a_id", "b_id")),
     "copurchase_edges_postfilter" -> ((s, d) =>
       graft.queries.Graphs.copurchaseEdgesPostFilter(s, d).orderBy("a_id", "b_id")),
+    // text_bigrams before the round-13 prefilter removal: size(toks)>=2
+    // re-evaluates the normText+split chain once more per doc
+    "text_bigrams_prefilter" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val toks = split(normText(col("text")), " ")
+      val bigrams = org.apache.spark.sql.GraftSqlShim.column(
+        graft.plans.NGrams(
+          org.apache.spark.sql.GraftSqlShim.expression(toks), 2, distinct = false))
+      t(s, d, "documents")
+        .filter(size(toks) >= 2)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+    // text_unigram_lm before the round-13 localCheckpoint: counts branch
+    // and probe branch each re-run scan+normText+explode
+    "text_unigram_lm_twopass" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val toksDf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
+      val counts = toksDf.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      toksDf
+        .join(broadcast(counts), "token")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("lm_score"))
+        .orderBy("doc_id")
+    }),
     // text_ngram_containment before the diagonal rewrite: three consumers
     // of the shingle frame (both join sides + the per-doc count branch),
     // each re-running scan+normalize+explode — the form that grew 8.6× on
