@@ -75,14 +75,32 @@ object TextSim {
 
   val queries: Map[String, Q] = Map(
     // Bag-of-words identity: docs whose normalized token MULTISET matches
-    // after sorting collapse to one fingerprint — catches token-reordered
-    // near-copies exact dedup misses (sentence shuffles, clause swaps).
+    // collapse to one fingerprint — catches token-reordered near-copies
+    // exact dedup misses (sentence shuffles, clause swaps). The fingerprint
+    // is INTERNAL (dropped before output), so any multiset-identity hash
+    // yields the same groups: round 13 replaced the per-doc
+    // array_sort + concat_ws + md5 cascade (O(n log n) sort + a giant
+    // intermediate string per document) with two independent-seed
+    // SetHashSum kernels — a commutative SUM of xxhash64(token) respects
+    // multiplicity with no sort and no materialized string, 128-bit
+    // effective key (collision odds ~n²/2¹²⁸), same trick as the
+    // CorpusClean J=1.0 fast path. The DuckDB oracle keeps md5-of-sorted:
+    // both sides group by multiset identity, so groups match exactly.
+    // (One declared edge: a NULL text hashes to (0,0) here but to
+    // md5("") in the sorted form — the forms differ only on corpora
+    // mixing NULL-text and empty-normalized docs; documents.text is
+    // NOT NULL at every rung, checked before landing.)
+    // Shuffle stays slim — two 8-byte longs + id per doc, text never moves.
     "dedup_token_sort" -> ((s, d) => {
+      def fpc(tk: org.apache.spark.sql.Column, seed: Long) =
+        org.apache.spark.sql.GraftSqlShim.column(
+          graft.plans.SetHashSum(
+            org.apache.spark.sql.GraftSqlShim.expression(tk), seed))
+      val toks = split(normText(col("text")), " ")
       t(s, d, "documents")
-        .select(
-          col("doc_id"),
-          md5(concat_ws(" ", array_sort(split(normText(col("text")), " ")))).as("fp"))
-        .groupBy(col("fp"))
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), fpc(col("tk"), 42L).as("fp1"), fpc(col("tk"), 7L).as("fp2"))
+        .groupBy(col("fp1"), col("fp2"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dupes"))
         .select(col("keeper"), col("dupes"))
         .orderBy("keeper")

@@ -329,6 +329,61 @@ object AbBench {
           round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("lm_score"))
         .orderBy("doc_id")
     }),
+    // pipeline_corpus_clean stage probe (round 13): the normalize + quality
+    // + hash + localCheckpoint stage alone — how much of the pipeline's
+    // total is the checkpoint materializing text+norm (~2x corpus bytes)?
+    "corpus_clean_ckpt_only" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val normalized = docs
+        .withColumn("norm", normText(col("text")))
+        .withColumn("n_tok", size(split(col("norm"), " ")))
+        .withColumn(
+          "punct_ratio",
+          length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+            greatest(length(col("text")), lit(1)).cast("double"))
+      val quality = normalized
+        .filter(col("n_tok") >= 5 && col("punct_ratio") <= 0.3)
+        .drop("punct_ratio")
+      quality.withColumn("h", md5(col("norm"))).localCheckpoint()
+        .agg(count(lit(1)).as("n"))
+    }),
+    // same stage but the checkpoint holds only the slim columns the
+    // dedup machinery consumes — text excluded (the declared key prunes
+    // text from the OUTPUT, but a checkpoint is a pruning barrier: the
+    // current form materializes it anyway)
+    "corpus_clean_ckpt_slim" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val normalized = docs
+        .withColumn("norm", normText(col("text")))
+        .withColumn("n_tok", size(split(col("norm"), " ")))
+        .withColumn(
+          "punct_ratio",
+          length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+            greatest(length(col("text")), lit(1)).cast("double"))
+      val quality = normalized
+        .filter(col("n_tok") >= 5 && col("punct_ratio") <= 0.3)
+        .select(col("doc_id"), col("norm"), col("n_tok"))
+      quality.withColumn("h", md5(col("norm"))).localCheckpoint()
+        .agg(count(lit(1)).as("n"))
+    }),
+    // dedup_token_sort before the round-13 multiset-hash rewrite: per-doc
+    // array_sort + concat_ws + md5 canonical fingerprint
+    "dedup_token_sort_sorted" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", array_sort(split(normText(col("text")), " ")))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dupes"))
+        .select(col("keeper"), col("dupes"))
+        .orderBy("keeper")
+    }),
     // text_ngram_containment before the diagonal rewrite: three consumers
     // of the shingle frame (both join sides + the per-doc count branch),
     // each re-running scan+normalize+explode — the form that grew 8.6× on
