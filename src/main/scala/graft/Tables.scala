@@ -45,8 +45,22 @@ object Tables {
 
   /** Normalized document text: lower → trim → collapse internal whitespace.
     * Twin of the DuckDB oracle `regexp_replace(trim(lower(text)), '\s+', ' ', 'g')`.
+    *
+    * Round 13: runs as the one-byte-pass [[graft.plans.NormText]] kernel —
+    * bit-identical to [[normTextBuiltin]] (NormTextSpec pins it on
+    * adversarial Unicode + ScalaCheck strings), so DuckDB parity carries
+    * over unchanged, and the three transient strings per row the builtin
+    * composition built (lowercase copy, trimmed slice, regex buffer) are
+    * gone from every text query's hottest stage.
     */
   def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.plans.NormText(org.apache.spark.sql.GraftSqlShim.expression(c)))
+
+  /** The builtin composition [[normText]] replaced — kept as the parity
+    * oracle for NormTextSpec and the AbBench `_builtin_norm` twins.
+    */
+  def normTextBuiltin(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(trim(lower(c)), "\\s+", " ")
 
   /** Oracle-side twin of [[normText]]. */

@@ -167,6 +167,73 @@ object TextExprs {
     cnt
   }
 
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
+  /** Normalized document text in ONE byte pass: `lower → trim → collapse
+    * whitespace runs to a single space` — the kernel behind
+    * [[graft.Tables.normText]], the primitive at the head of every text
+    * query's plan. The builtin composition
+    * `regexp_replace(trim(lower(s)), "\\s+", " ")` builds THREE transient
+    * strings per row (lowercase copy, trimmed slice, regex StringBuffer)
+    * and walks the text three times; at corpus scale the normalize pass is
+    * the single largest CPU line in the text-query profile.
+    *
+    * Parity contract with that composition, BIT-IDENTICAL by construction:
+    * - ASCII-only input (the fast path, one pass over the bytes): lower
+    *   maps only A–Z (+32); trim strips 0x20 ONLY from both ends (exactly
+    *   `UTF8String.trim`, which Spark's `trim` calls) — lowercasing first
+    *   vs trimming first commute because ASCII lowercase never creates or
+    *   destroys a space; each maximal run of Java-regex `\s` =
+    *   [ \t\n\x0B\f\r] (ASCII-only without UNICODE_CHARACTER_CLASS, the
+    *   flagless pattern Spark's regexp_replace compiles) becomes ONE 0x20.
+    *   A leading tab run survives trim and collapses to a LEADING space —
+    *   same as the builtin (trim removes spaces, not tabs).
+    * - Any non-ASCII byte → the slow path DELEGATES to the same calls the
+    *   builtins make: `CollationAwareUTF8String.toLowerCase` (what `lower`
+    *   executes under UTF8_BINARY with the default ICU case mappings —
+    *   per-codepoint simple mapping, so Σ→σ even word-finally, unlike
+    *   String.toLowerCase's context-sensitive ς), `UTF8String.trim`, then
+    *   the identical compiled pattern's `replaceAll(" ")`. No
+    *   re-implementation to drift. NormTextSpec pins kernel ≡ builtin on
+    *   adversarial Unicode fixtures plus ScalaCheck-generated strings.
+    * NULL propagates as SQL NULL (nullSafeEval / defineCodeGen).
+    */
+  def normText(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) < 0) { // non-ASCII byte → exact builtin delegation
+        val lowered =
+          org.apache.spark.sql.catalyst.util.CollationAwareUTF8String.toLowerCase(s)
+        return UTF8String.fromString(
+          WsRun.matcher(lowered.trim.toString).replaceAll(" "))
+      }
+      i += 1
+    }
+    // ASCII fast path: trim bounds first (0x20 only), then one pass
+    var start = 0
+    while (start < n && s.getByte(start) == 0x20) start += 1
+    var end = n
+    while (end > start && s.getByte(end - 1) == 0x20) end -= 1
+    val out = new Array[Byte](end - start)
+    var o = 0
+    i = start
+    while (i < end) {
+      val c = s.getByte(i)
+      if (c == 0x20 || (c >= 0x09 && c <= 0x0d)) { // Java \s: space \t \n \x0B \f \r
+        out(o) = 0x20; o += 1; i += 1
+        while (i < end && {
+          val w = s.getByte(i); w == 0x20 || (w >= 0x09 && w <= 0x0d)
+        }) i += 1
+      } else {
+        out(o) = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+        o += 1; i += 1
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   /** Order-independent 64-bit set fingerprint: the wrapping Long SUM of
     * `xxhash64(elem, seed)` over the array (null elements hash to the seed,
     * as the builtin does; a NULL array sums to 0). Commutative, so identical
@@ -385,6 +452,32 @@ case class TokenEntropy(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenEntropy =
+    copy(child = newChild)
+}
+
+/** `norm_text(s)` — lower → trim → collapse-whitespace in one codegen'd
+  * byte pass (see [[TextExprs.normText]] for the bit-parity contract with
+  * the `regexp_replace(trim(lower(s)), "\\s+", " ")` composition it
+  * replaces). NULL in → NULL out, like the builtin chain.
+  */
+case class NormText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "norm_text"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextExprs.normText(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.normText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormText =
     copy(child = newChild)
 }
 

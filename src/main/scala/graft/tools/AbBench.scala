@@ -329,6 +329,19 @@ object AbBench {
           round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("lm_score"))
         .orderBy("doc_id")
     }),
+    // text_top_terms with the BUILTIN normalize chain — the A/B reference
+    // for the round-13 NormText kernel (the declared key now runs the
+    // one-pass kernel via Tables.normText)
+    "text_top_terms_builtin_norm" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normTextBuiltin, t}
+      t(s, d, "documents")
+        .select(explode(split(normTextBuiltin(col("text")), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
     // pipeline_corpus_clean stage probe (round 13): the normalize + quality
     // + hash + localCheckpoint stage alone — how much of the pipeline's
     // total is the checkpoint materializing text+norm (~2x corpus bytes)?
