@@ -8,7 +8,7 @@ import graft.sources.FileSources
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is SURVEY.md §2's declared inventory: every key has a total
-  * ORDER BY and (except the eight intentionally oracle-less approximate
+  * ORDER BY and (except the nine intentionally oracle-less approximate
   * operators) a DuckDB twin in `oracleSql` with identical column names.
   */
 object SparkEntry {
@@ -31,12 +31,12 @@ object SparkEntry {
       Corpus.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted on purpose for the eight approximate
+    * the same parquet tables. Omitted on purpose for the nine approximate
     * operators (`agg_approx_distinct`, `agg_approx_percentile`,
     * `agg_approx_topk`, `agg_hll_union`, `agg_kmv_distinct`,
-    * `dedup_minhash`, `sim_ann_lsh`, `sim_ann_ivf`) → driver records a
-    * weaker rows-only check; each has a hash-checked exact twin
-    * (SURVEY.md §2.4, §2.11, §2.12).
+    * `agg_weighted_median_approx`, `dedup_minhash`, `sim_ann_lsh`,
+    * `sim_ann_ivf`) → driver records a weaker rows-only check; each has a
+    * hash-checked exact twin (SURVEY.md §2.4, §2.11, §2.12).
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ PpdbQueries.oracle ++ Windows.oracle ++

@@ -190,4 +190,37 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("text-family queries ride the NormText kernel, not the builtin regex chain") {
+    // The round-14 text wins exist only while every text query actually
+    // normalizes through the one-pass graft.plans.NormText kernel
+    // (Tables.normText). A refactor that quietly reverts one site to the
+    // regexp_replace(trim(lower(.)), ...) composition re-pays three
+    // transient strings per row in the hottest stage — at 100 TB that is
+    // the whole round-14 regression in one line. Lint: no text-family
+    // declared query's OPTIMIZED plan may contain the builtin chain.
+    val chain = "regexp_replace(trim(lower("
+    // positive control: prove the pattern still matches how Catalyst
+    // prints the builtin composition, so print-format drift can't turn
+    // this lint into a vacuous pass
+    val control = Tables.t(spark, d, "documents")
+      .select(Tables.normTextBuiltin(org.apache.spark.sql.functions.col("text")))
+      .queryExecution.optimizedPlan.toString
+    assert(control.contains(chain),
+      s"positive control: builtin chain no longer prints as '$chain' — update the lint pattern")
+    // every declared query that normalizes document text (text_* plus the
+    // token/shingle dedups, chunkers and corpus reports); checkpointed
+    // builders are excluded as above (their plans truncate at the
+    // checkpoint scan — stage shapes are pinned by their operator specs)
+    val checkpointed = Set("dedup_components", "pipeline_corpus_clean")
+    val textFamily = SparkEntry.queries.keys.filter(_.startsWith("text_")).toSet ++
+      Set("dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_token_sort",
+        "dedup_simhash", "dedup_editdist", "dedup_substring_spans",
+        "doc_chunk", "doc_pack_sequences", "corpus_report", "udf_wordcount")
+    for (name <- (textFamily -- checkpointed).toSeq.sorted) {
+      val p = SparkEntry.queries(name)(spark, d).queryExecution.optimizedPlan.toString
+      assert(!p.contains(chain),
+        s"$name normalizes via the builtin regex chain instead of Tables.normText")
+    }
+  }
 }
