@@ -73,20 +73,29 @@ object CorpusClean {
     // semi-join probe, the near-dup shingle build and the final anti-join
     // probe all read the checkpoint instead of re-running the two regex
     // passes per consumer (true-sf1 profile: normalize was ~1.7 s/pass and
-    // ran twice)
-    val hashed = quality.withColumn("h", md5(col("norm"))).localCheckpoint()
-    val keeperIds = hashed
+    // ran twice). Round 15: the checkpoint holds ONLY the columns the
+    // dedup machinery consumes (doc_id, norm, n_tok, h) — a checkpoint is
+    // a pruning barrier, so carrying `text` (and any other caller columns)
+    // through it materialized ~2× the corpus bytes for columns no dedup
+    // stage reads; the caller's columns are re-attached LAZILY at the end
+    // by a doc_id join against the (never-materialized) input, which
+    // Catalyst prunes to whatever the caller actually selects.
+    val slim = quality
+      .select(col("doc_id"), col("norm"), col("n_tok"))
+      .withColumn("h", md5(col("norm")))
+      .localCheckpoint()
+    val keeperIds = slim
       .select(col("doc_id"), col("h"))
       .groupBy("h")
       .agg(min(col("doc_id")).as("doc_id"))
       .drop("h")
     // cheap to recompute from the checkpoint (scan + one semi join), so no
     // second materialization
-    val keepers = hashed
+    val keepers = slim
       .join(keeperIds, Seq("doc_id"), "left_semi")
       .drop("h")
 
-    if (cfg.nearDupJaccard == 1.0 && !cfg.forceLsh) {
+    val survivors = if (cfg.nearDupJaccard == 1.0 && !cfg.forceLsh) {
       // FAST PATH — Jaccard 1.0 is shingle-SET IDENTITY, so "near"-dup
       // degenerates to exact dedup on a canonical set fingerprint: the
       // whole signature → banding → bucket self-join → candidate-verify
@@ -128,5 +137,11 @@ object CorpusClean {
 
       keepers.join(dropIds, Seq("doc_id"), "left_anti")
     }
+    // re-attach the caller's columns (text, ...) to the slim survivor set:
+    // inner join on the unique doc_id — pure column re-attachment, never a
+    // row multiplier. A caller that prunes `text` (the declared
+    // pipeline_corpus_clean key outputs only doc_id + n_tok) pays a
+    // doc_id-only scan here, not a full-text shuffle.
+    docs.join(survivors.select(col("doc_id"), col("norm"), col("n_tok")), Seq("doc_id"))
   }
 }

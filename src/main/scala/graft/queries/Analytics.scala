@@ -28,55 +28,114 @@ object Analytics {
   /** Exact weighted median with the round-9 auto-crossover: the running
     * weight comes from the single per-group window below
     * PrefixScan.CrossoverRows (cheaper: no second scan, no offset join) and
-    * from the distributed two-pass prefix scan over 32 value-range blocks
-    * above it (partition-parallel: no one-task group sort). `force` pins a
-    * branch for the A/B twins and row-identity specs.
+    * from the MEDIAN-BLOCK refinement over 32 value-range blocks above it.
+    * `force` pins a branch for the A/B twins and row-identity specs;
+    * `scan2` pins the retired round-9 full two-pass PrefixScan blocked form
+    * (AbBench's agg_weighted_median_scan2 twin).
+    *
+    * Median-block refinement (round 15): the full two-pass scan computed an
+    * exact running weight for EVERY row, i.e. a whole-data shuffle-sort —
+    * but the median only needs running weights inside the ONE block where
+    * the cumulative weight crosses tw/2. Block-level weight sums locate
+    * that block per group on a ≤ 32·|groups|-row frame; rows of LATER
+    * blocks all pass the cw ≥ tw/2 filter (their running weight is ≥ the
+    * crossing block's cumulative total — requires non-negative weights,
+    * which quantities satisfy), so they contribute exactly min(v), read off
+    * the same tiny frame; rows of EARLIER blocks never pass. Only the
+    * crossing block's rows (~1/32 of the data per group) are sorted.
     */
   private[graft] def weightedMedian(
-      s: SparkSession, d: String, force: Option[Boolean]): DataFrame = {
+      s: SparkSession, d: String, force: Option[Boolean],
+      scan2: Boolean = false): DataFrame = {
     val base = t(s, d, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("v"),
         col("l_quantity").as("q"))
     val useBlocked = force.getOrElse(
       graft.operators.PrefixScan.estimatedRows(base) >=
         graft.operators.PrefixScan.CrossoverRows)
-    val scanned =
-      if (!useBlocked)
-        graft.operators.PrefixScan.single(
-          base,
-          partitionCols = Seq("l_returnflag"),
-          order = Seq(col("v")),
-          value = col("q"),
-          agg = c => sum(c),
-          merge = (l, o) => coalesce(l, lit(0.0)) + coalesce(o, lit(0.0)),
-          out = "cw0")
-      else {
-        val mm = base.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
-        val blocked = base.crossJoin(broadcast(mm))
-        val bkt = when(col("v").isNull, 0)
-          .when(col("__mx") > col("__mn"),
-            least(floor((col("v") - col("__mn")) * 32 / (col("__mx") - col("__mn")))
-              .cast("int"), lit(31)))
-          .otherwise(0)
-        graft.operators.PrefixScan.exclusive(
-          blocked,
-          partitionCols = Seq("l_returnflag"),
-          block = bkt,
-          order = Seq(col("v")),
-          value = col("q"),
-          agg = c => sum(c),
-          merge = (l, o) => coalesce(l, lit(0.0)) + coalesce(o, lit(0.0)),
-          out = "cw0")
-          .drop("__mn", "__mx")
-      }
-    val tot = base.groupBy("l_returnflag").agg(sum(col("q")).as("tw"))
-    scanned
-      .withColumn("cw", col("cw0") + col("q"))
-      .join(broadcast(tot), "l_returnflag")
-      .filter(col("cw") >= col("tw") / 2)
-      .groupBy(col("l_returnflag"))
-      .agg(min(col("v")).as("wmedian"))
-      .orderBy("l_returnflag")
+    def mmBlock(df: DataFrame): DataFrame = {
+      val mm = base.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+      val bkt = when(col("v").isNull, 0)
+        .when(col("__mx") > col("__mn"),
+          least(floor((col("v") - col("__mn")) * 32 / (col("__mx") - col("__mn")))
+            .cast("int"), lit(31)))
+        .otherwise(0)
+      df.crossJoin(broadcast(mm)).withColumn("__bk", bkt).drop("__mn", "__mx")
+    }
+    if (useBlocked && !scan2) {
+      val keyed = mmBlock(base)
+      // one hash aggregate locates everything: per-(group, block) weight
+      // and min value — 32·|groups| rows, every later stage but the
+      // median-block window runs on this frame
+      val bsum = keyed.groupBy(col("l_returnflag"), col("__bk"))
+        .agg(sum(col("q")).as("__bw"), min(col("v")).as("__bmn"))
+      val wOff = Window.partitionBy("l_returnflag").orderBy(col("__bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("l_returnflag")
+      val marked = bsum
+        .withColumn("__off", coalesce(sum(col("__bw")).over(wOff), lit(0.0)))
+        .withColumn("tw", sum(col("__bw")).over(wAll))
+      // crossing block per group = first block whose inclusive cumulative
+      // weight reaches tw/2; carry its exclusive offset (__cwb) along
+      val mb = marked
+        .filter(col("__off") + col("__bw") >= col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(min(struct(col("__bk"), col("__off"), col("tw"))).as("m"))
+        .select(col("l_returnflag"), col("m.__bk").as("__mb"),
+          col("m.__off").as("__cwb"), col("m.tw").as("tw"))
+      // contribution of the blocks PAST the crossing block: min value,
+      // straight off the block-summary frame (null when none exist)
+      val tailMin = marked
+        .join(mb.select(col("l_returnflag"), col("__mb")), "l_returnflag")
+        .filter(col("__bk") > col("__mb"))
+        .groupBy("l_returnflag").agg(min(col("__bmn")).as("__tmn"))
+      // only the crossing block's rows get the exact within-block scan —
+      // same exclusive-prefix + merge association as the retired full scan,
+      // so results are bit-identical where they overlap
+      val wIn = Window.partitionBy("l_returnflag").orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inBlock = keyed
+        .join(broadcast(mb), "l_returnflag")
+        .filter(col("__bk") === col("__mb"))
+        .withColumn("cw",
+          coalesce(sum(col("q")).over(wIn), lit(0.0)) + col("__cwb") + col("q"))
+        .filter(col("cw") >= col("tw") / 2)
+        .groupBy("l_returnflag").agg(min(col("v")).as("__mv"))
+      inBlock
+        .join(tailMin, Seq("l_returnflag"), "left_outer")
+        .select(col("l_returnflag"), least(col("__mv"), col("__tmn")).as("wmedian"))
+        .orderBy("l_returnflag")
+    } else {
+      val scanned =
+        if (!useBlocked)
+          graft.operators.PrefixScan.single(
+            base,
+            partitionCols = Seq("l_returnflag"),
+            order = Seq(col("v")),
+            value = col("q"),
+            agg = c => sum(c),
+            merge = (l, o) => coalesce(l, lit(0.0)) + coalesce(o, lit(0.0)),
+            out = "cw0")
+        else
+          graft.operators.PrefixScan.exclusive(
+            mmBlock(base),
+            partitionCols = Seq("l_returnflag"),
+            block = col("__bk"),
+            order = Seq(col("v")),
+            value = col("q"),
+            agg = c => sum(c),
+            merge = (l, o) => coalesce(l, lit(0.0)) + coalesce(o, lit(0.0)),
+            out = "cw0")
+            .drop("__bk")
+      val tot = base.groupBy("l_returnflag").agg(sum(col("q")).as("tw"))
+      scanned
+        .withColumn("cw", col("cw0") + col("q"))
+        .join(broadcast(tot), "l_returnflag")
+        .filter(col("cw") >= col("tw") / 2)
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("v")).as("wmedian"))
+        .orderBy("l_returnflag")
+    }
   }
 
   val queries: Map[String, Q] = Map(

@@ -184,7 +184,8 @@ object Corpus {
     * earlier rounds.
     */
   private[graft] def coresetFps(
-      s: SparkSession, d: String, recompute: Boolean = false): DataFrame = {
+      s: SparkSession, d: String, recompute: Boolean = false,
+      centerFromEmb: Boolean = false): DataFrame = {
     val emb = kmEmb(s, d)
     if (recompute) {
       var sel = emb.sort(col("vec_id")).limit(1)
@@ -230,8 +231,15 @@ object Corpus {
           .localCheckpoint(eager = false) // feeds both the output and the center
         picks = picks.unionByName(pick).localCheckpoint(eager = false)
         if (i < CoreK) {
+          // round 15: the picked center's vector comes from the CURRENT
+          // state checkpoint (which already carries `e` per row) — the old
+          // `pick.join(emb, ...)` re-scanned the embeddings source and
+          // re-ran the fixed-point transform once per round, K−2 redundant
+          // source passes in total (kept as AbBench's
+          // sample_coreset_embfetch twin)
+          val centerSrc = if (centerFromEmb) emb else state
           state = state
-            .crossJoin(broadcast(pick.join(emb, "vec_id").select(col("e").as("se"))))
+            .crossJoin(broadcast(pick.join(centerSrc, "vec_id").select(col("e").as("se"))))
             .select(col("vec_id"), col("e"),
               least(col("md2"), sqDist("e", "se")).as("md2"))
             .localCheckpoint(eager = false)

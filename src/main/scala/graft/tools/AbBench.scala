@@ -165,6 +165,43 @@ object AbBench {
         .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
         .orderBy("doc_id")
     }),
+    // pipeline_corpus_clean before the round-15 slim checkpoint: the
+    // normalize+hash checkpoint carried `text` through the pruning barrier
+    // (~2× corpus bytes materialized for a column no dedup stage reads);
+    // output identical to the declared key (doc_id + n_tok)
+    "pipeline_corpus_clean_fatckpt" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.normText
+      import graft.operators.MinHashLsh
+      val docs = graft.Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+      val quality = docs
+        .withColumn("norm", normText(col("text")))
+        .withColumn("n_tok", size(split(col("norm"), " ")))
+        .withColumn(
+          "punct_ratio",
+          length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+            greatest(length(col("text")), lit(1)).cast("double"))
+        .filter(col("n_tok") >= 5 && col("punct_ratio") <= 0.3)
+        .drop("punct_ratio")
+      val hashed = quality.withColumn("h", md5(col("norm"))).localCheckpoint()
+      val keeperIds = hashed.select(col("doc_id"), col("h"))
+        .groupBy("h").agg(min(col("doc_id")).as("doc_id")).drop("h")
+      val keepers = hashed.join(keeperIds, Seq("doc_id"), "left_semi").drop("h")
+      val sh = keepers.select(
+        col("doc_id"),
+        MinHashLsh.shingles(split(col("norm"), " "), shingleSize = 3).as("sh"))
+      def fpc(seed: Long) = org.apache.spark.sql.GraftSqlShim.column(
+        graft.plans.SetHashSum(
+          org.apache.spark.sql.GraftSqlShim.expression(col("sh")), seed))
+      val fp = sh.filter(size(col("sh")) > 0)
+        .select(col("doc_id"), fpc(42L).as("fp1"), fpc(7L).as("fp2"))
+      val keepIds = fp.groupBy("fp1", "fp2").agg(min(col("doc_id")).as("doc_id"))
+        .drop("fp1", "fp2")
+      val shingleless = sh.filter(size(col("sh")) === 0).select(col("doc_id"))
+      keepers.join(keepIds.union(shingleless), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
+        .orderBy("doc_id")
+    }),
     // dedup_components before the edge-induced-subgraph restriction:
     // every round iterates ALL vertices, not just docs with a near-dup
     "dedup_components_allv" -> ((s, d) =>
@@ -232,6 +269,11 @@ object AbBench {
       graft.queries.Analytics.weightedMedian(s, d, force = Some(false))),
     "agg_weighted_median_blocked" -> ((s, d) =>
       graft.queries.Analytics.weightedMedian(s, d, force = Some(true))),
+    // the retired round-9 blocked form: full two-pass PrefixScan running
+    // weight for every row (whole-data shuffle-sort) + separate totals
+    // scan — what the round-15 median-block refinement replaced
+    "agg_weighted_median_scan2" -> ((s, d) =>
+      graft.queries.Analytics.weightedMedian(s, d, force = Some(true), scan2 = true)),
     // dedup_embedding_ann WITH a localCheckpoint on the bucketed index (the
     // round-9 review suggestion): measured SLOWER at both scales — 1.37× at
     // sf0.1, 1.50× at the proxy — because materializing the
@@ -286,6 +328,11 @@ object AbBench {
     // distance work vs the declared form's O(K·n·dim)
     "sample_coreset_recompute" -> ((s, d) =>
       graft.queries.Corpus.coresetFps(s, d, recompute = true)),
+    // round-15 coreset A/B: the per-round center fetch back against the
+    // embeddings SOURCE (scan + fixed-point transform per round) that the
+    // state-checkpoint fetch replaced
+    "sample_coreset_embfetch" -> ((s, d) =>
+      graft.queries.Corpus.coresetFps(s, d, centerFromEmb = true)),
     // round-10 basket-cap A/B (VERDICT r9 item 5): the declared
     // slice-before-fanout co-purchase edge build vs a row-identical twin
     // that fans out the FULL basket then filters pairs to the capped set —
@@ -381,6 +428,29 @@ object AbBench {
         .filter(col("n_tok") >= 5 && col("punct_ratio") <= 0.3)
         .select(col("doc_id"), col("norm"), col("n_tok"))
       quality.withColumn("h", md5(col("norm"))).localCheckpoint()
+        .agg(count(lit(1)).as("n"))
+    }),
+    // round-15 stage probe: slim checkpoint + exact dedup (keeper groupBy +
+    // semi join) but NO shingle/fingerprint stage — the delta against
+    // corpus_clean_ckpt_slim is the exact-dedup cost, the delta against the
+    // full pipeline is the shingle+fingerprint+final-join cost
+    "corpus_clean_exact_only" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val quality = docs
+        .withColumn("norm", normText(col("text")))
+        .withColumn("n_tok", size(split(col("norm"), " ")))
+        .withColumn(
+          "punct_ratio",
+          length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+            greatest(length(col("text")), lit(1)).cast("double"))
+        .filter(col("n_tok") >= 5 && col("punct_ratio") <= 0.3)
+      val slim = quality.select(col("doc_id"), col("norm"), col("n_tok"))
+        .withColumn("h", md5(col("norm"))).localCheckpoint()
+      val keeperIds = slim.select(col("doc_id"), col("h"))
+        .groupBy("h").agg(min(col("doc_id")).as("doc_id")).drop("h")
+      slim.join(keeperIds, Seq("doc_id"), "left_semi").drop("h")
         .agg(count(lit(1)).as("n"))
     }),
     // dedup_token_sort before the round-13 multiset-hash rewrite: per-doc

@@ -111,8 +111,12 @@ class Round8Spec extends SparkSpec {
     val d = TestTables.dir(spark)
     val win = rows(graft.tools.AbBench.variants("agg_weighted_median_window")(spark, d))
     val blk = rows(graft.tools.AbBench.variants("agg_weighted_median_blocked")(spark, d))
+    val scan2 = rows(graft.tools.AbBench.variants("agg_weighted_median_scan2")(spark, d))
     val auto = rows(SparkEntry.queries("agg_weighted_median")(spark, d))
     assert(win.nonEmpty && win === blk && auto === win)
+    // the retired full two-pass scan twin stays row-identical to the
+    // round-15 median-block refinement that replaced it
+    assert(scan2 === blk)
   }
 
   // ---- shingle document-frequency caps (stop-shingle guards) ----
