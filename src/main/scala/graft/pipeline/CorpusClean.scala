@@ -33,13 +33,20 @@ object CorpusClean {
     *                       (the set-fingerprint fast path is the default
     *                       there); kept as the A/B reference — tools.AbBench
     *                       compares the two forms in one session
+    * @param fusedFp        compute the Jaccard-1.0 set fingerprint with the
+    *                       fused one-pass `plans.ShingleSetHash` kernel
+    *                       (default) instead of the composed
+    *                       split → ngrams → 2×set_hash_sum cascade it is
+    *                       bit-identical to; the composed form is the A/B
+    *                       twin (tools.AbBench `pipeline_corpus_clean_ngramfp`)
     */
   case class Config(
       minTokens: Int = 5,
       maxPunctRatio: Double = 0.3,
       nearDupJaccard: Double = 0.8,
       maxBucketSize: Int = 1000,
-      forceLsh: Boolean = false)
+      forceLsh: Boolean = false,
+      fusedFp: Boolean = true)
 
   /** docs: (doc_id, text, ...) → surviving rows plus `norm` and `n_tok`.
     * Drop order: quality gate, then exact duplicates (keep min doc_id),
@@ -104,25 +111,47 @@ object CorpusClean {
       // so min-id-per-group ≡ drop-everything-paired-with-a-smaller-id).
       // Also exhaustive BY CONSTRUCTION: no bucket-size guard to disable,
       // no banding probability to reason about.
-      val sh = keepers.select(
-        col("doc_id"),
-        MinHashLsh.shingles(split(col("norm"), " "), shingleSize = 3).as("sh"))
       // canonical set fingerprint: TWO independent-seed order-independent
-      // hash sums (plans.SetHashSum — commutative, so no array_sort +
-      // concat_ws + md5 cascade; 128-bit effective key, collision odds
-      // ~n²/2¹²⁸). Set identity is exactly what Jaccard-1.0 pairing means,
-      // so min-id-per-fingerprint ≡ drop-everything-paired-with-a-smaller-id
-      def fpc(seed: Long) = org.apache.spark.sql.GraftSqlShim.column(
-        graft.plans.SetHashSum(
-          org.apache.spark.sql.GraftSqlShim.expression(col("sh")), seed))
-      val fp = sh
-        .filter(size(col("sh")) > 0) // shingle-less docs never pair; always kept
-        .select(col("doc_id"), fpc(42L).as("fp1"), fpc(7L).as("fp2"))
+      // hash sums (commutative, so no array_sort + concat_ws + md5 cascade;
+      // 128-bit effective key, collision odds ~n²/2¹²⁸). Set identity is
+      // exactly what Jaccard-1.0 pairing means, so min-id-per-fingerprint ≡
+      // drop-everything-paired-with-a-smaller-id. Shingle-less docs (< 3
+      // tokens — empty shingle set) never pair and are always kept; the
+      // n_tok column already in the checkpoint decides that branch for free.
+      // Round 15: the default form is the FUSED one-pass kernel
+      // (plans.ShingleSetHash — every 3-shingle of a space-normalized string
+      // is a contiguous byte slice, hashed in place, zero allocation of the
+      // shingle array); the composed split → ngrams → 2×set_hash_sum cascade
+      // it is bit-identical to stays behind fusedFp=false as the A/B twin.
+      val fp =
+        if (cfg.fusedFp) {
+          val fused = org.apache.spark.sql.GraftSqlShim.column(
+            graft.plans.ShingleSetHash(
+              org.apache.spark.sql.GraftSqlShim.expression(col("norm")),
+              n = 3, seed1 = 42L, seed2 = 7L))
+          keepers
+            .filter(col("n_tok") >= 3) // fused fp is non-null exactly here
+            .select(col("doc_id"), fused.as("fp"))
+            .select(col("doc_id"),
+              col("fp").getField("fp1").as("fp1"),
+              col("fp").getField("fp2").as("fp2"))
+        } else {
+          val sh = keepers.select(
+            col("doc_id"),
+            MinHashLsh.shingles(split(col("norm"), " "), shingleSize = 3).as("sh"))
+          def fpc(seed: Long) = org.apache.spark.sql.GraftSqlShim.column(
+            graft.plans.SetHashSum(
+              org.apache.spark.sql.GraftSqlShim.expression(col("sh")), seed))
+          sh.filter(size(col("sh")) > 0)
+            .select(col("doc_id"), fpc(42L).as("fp1"), fpc(7L).as("fp2"))
+        }
       // slim shuffle, same discipline as the exact-dedup stage above:
       // only (two 8-byte fingerprints, id) triples enter the exchange
       val keepIds = fp.groupBy("fp1", "fp2").agg(min(col("doc_id")).as("doc_id"))
         .drop("fp1", "fp2")
-      val shingleless = sh.filter(size(col("sh")) === 0).select(col("doc_id"))
+      // shingles are empty iff the doc has < 3 tokens, and n_tok IS the
+      // split-token count — no kernel call needed to route this branch
+      val shingleless = keepers.filter(col("n_tok") < 3).select(col("doc_id"))
       keepers.join(keepIds.union(shingleless), Seq("doc_id"), "left_semi")
     } else {
       // near-dup dedup over the survivors: drop any doc paired with a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 
 /** Native text-sketch expressions (SURVEY.md §4 tier (b)), sibling of
   * [[VecExprs]].
@@ -281,6 +281,78 @@ object TextExprs {
       acc += p * math.log(p)
     }
     -acc
+  }
+
+  /** Fused shingle-SET fingerprint of a normalized document in ONE zero-copy
+    * byte pass (round 15): the two 64-bit order-independent hash sums of the
+    * DISTINCT space-joined n-grams of `split(s, " ")`, fusing the
+    * split → [[ngrams]](distinct) → 2×[[setHashSum]] cascade of
+    * `pipeline_corpus_clean`'s Jaccard-1.0 fast path, which allocated a token
+    * array, a byte-copied string per shingle, and a dedup set of those
+    * copies per document.
+    *
+    * The fusion rests on one invariant: splitting on a single-character
+    * separator and re-joining any `n` consecutive tokens with that same
+    * character reproduces a CONTIGUOUS slice of the source string — so every
+    * shingle is a (start, end) byte range of `s`, hashed in place
+    * ([[UTF8String.fromAddress]] views, no copy) with the exact builtin
+    * entry point `setHashSum` uses (`XxHash64Function.hash`). Dedup is by
+    * byte-wise slice equality (UTF8String equals — Spark's binary string
+    * equality), NOT by hash value, so the sums are bit-identical to the
+    * composed form on arbitrary input, not just collision-free w.h.p.
+    * UTF-8 continuation/lead bytes are ≥ 0x80, so scanning for 0x20 can
+    * never split inside a multi-byte code point.
+    *
+    * Returns NULL when `s` is null or has fewer than `n` tokens — exactly
+    * the rows whose composed shingle array is empty (`size(sh) === 0`, the
+    * pipeline's always-kept "shingleless" branch); otherwise a (fp1, fp2)
+    * struct. Note `split("", " ")` is `[""]` (one empty token, as Spark's
+    * limit=-1 split keeps trailing empties), which the space-counting token
+    * count reproduces: 0 spaces → 1 token.
+    */
+  def shingleSetHash(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int, seed1: Long, seed2: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    if (s == null) return null
+    val len = s.numBytes()
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == 0x20) spaces += 1
+      i += 1
+    }
+    val tokens = spaces + 1
+    if (tokens < n) return null
+    // starts(k) = byte offset of token k; virtual starts(tokens) = len + 1
+    // so "starts(k) - 1" is uniformly the end of token k-1
+    val starts = new Array[Int](tokens + 1)
+    var k = 1
+    i = 0
+    while (i < len) {
+      if (s.getByte(i) == 0x20) { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    starts(tokens) = len + 1
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val out = tokens - n + 1
+    val seen =
+      new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](out * 2)
+    var acc1 = 0L
+    var acc2 = 0L
+    i = 0
+    while (i < out) {
+      val st = starts(i)
+      val slice = org.apache.spark.unsafe.types.UTF8String.fromAddress(
+        base, off + st, starts(i + n) - 1 - st)
+      if (seen.add(slice)) {
+        acc1 += XxHash64Function.hash(slice, StringType, seed1)
+        acc2 += XxHash64Function.hash(slice, StringType, seed2)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](acc1, acc2))
   }
 
   /** concat-with-space of toks[i..i+n): null token → null gram (concat). */
@@ -620,5 +692,55 @@ case class CountInSet(child: Expression, set: Seq[String]) extends UnaryExpressi
   }
 
   override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
+/** `shingle_set_hash(norm, n, seed1, seed2)` — the fused one-pass twin of
+  * `pipeline_corpus_clean`'s split → ngrams(distinct) → 2×set_hash_sum
+  * cascade (see [[TextExprs.shingleSetHash]] for the contiguous-slice
+  * invariant and the bit-parity contract). NULL when the input is null or
+  * has fewer than `n` tokens — exactly the composed form's empty-shingle
+  * ("shingleless", always-kept) rows; else struct(fp1, fp2).
+  */
+case class ShingleSetHash(child: Expression, n: Int, seed1: Long, seed2: Long)
+  extends UnaryExpression {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("fp1", LongType, nullable = false),
+    StructField("fp2", LongType, nullable = false)))
+  override def prettyName: String = "shingle_set_hash"
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else TextExprs.shingleSetHash(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, seed1, seed2)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("shingleFp")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow $out = ${c.isNull} ? null :
+          graft.plans.TextExprs.shingleSetHash(${c.value}, $n, ${seed1}L, ${seed2}L);
+        boolean ${ev.isNull} = ($out == null);
+      """,
+      value = JavaCode.variable(out, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetHash =
     copy(child = newChild)
 }

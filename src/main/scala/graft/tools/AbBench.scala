@@ -165,6 +165,21 @@ object AbBench {
         .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
         .orderBy("doc_id")
     }),
+    // pipeline_corpus_clean before the round-15 fused fingerprint kernel:
+    // the composed split → ngrams(distinct) → 2×set_hash_sum cascade the
+    // ShingleSetHash kernel is bit-identical to; output identical to the
+    // declared key
+    "pipeline_corpus_clean_ngramfp" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.pipeline.CorpusClean
+        .clean(
+          graft.Tables.t(s, d, "documents").select(col("doc_id"), col("text")),
+          graft.pipeline.CorpusClean.Config(
+            minTokens = 5, maxPunctRatio = 0.3, nearDupJaccard = 1.0,
+            maxBucketSize = Int.MaxValue, fusedFp = false))
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
+        .orderBy("doc_id")
+    }),
     // pipeline_corpus_clean before the round-15 slim checkpoint: the
     // normalize+hash checkpoint carried `text` through the pruning barrier
     // (~2× corpus bytes materialized for a column no dedup stage reads);
