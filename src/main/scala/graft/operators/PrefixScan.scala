@@ -49,8 +49,19 @@ object PrefixScan {
     * magnitude only — which is all the crossover choice needs (see
     * [[CrossoverRows]]); both candidate forms are row-identical, so a bad
     * estimate costs a constant, never correctness.
+    *
+    * assumedRowBytes is calibrated against the COMPRESSED, column-PRUNED
+    * scan bytes the crossover callers actually see (round 15, measured on
+    * the weighted-median 3-column lineitem projection): 8 B/row puts the
+    * estimate at 0.6×/1.04×/1.12× of the true 0.6M/6M/60M rung counts,
+    * where the previous 32 B/row sat ~4× UNDER — late enough that a 6M-row
+    * input still chose the one-task-per-group single-window branch (A/B:
+    * window 8.1 s vs blocked 6.9 s there). An OVER-estimate merely engages
+    * the blocked branch early (measured ≤1.2× warm constant near the
+    * boundary); an UNDER-estimate delays the scale-safe branch — so the
+    * assumed bytes/row errs low.
     */
-  def estimatedRows(df: DataFrame, assumedRowBytes: Long = 32L): Long = {
+  def estimatedRows(df: DataFrame, assumedRowBytes: Long = 8L): Long = {
     val st = df.queryExecution.optimizedPlan.stats
     st.rowCount
       .map(_.min(BigInt(Long.MaxValue)).toLong)
