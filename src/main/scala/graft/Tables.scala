@@ -92,4 +92,29 @@ object Tables {
     */
   def rdSql(x: String, digits: Int): String =
     s"floor(($x) * 1e$digits + 0.5) / 1e$digits"
+
+  /** Exact money-sum aggregate: accumulate in DECIMAL(30,8), round to cents,
+    * return DOUBLE (round 15). A double sum over price-magnitude columns is
+    * summation-ORDER-sensitive: at the 60M-row rung, ~1e12 sums carry
+    * ~1e-3 of reorder noise (ulp 2.4e-4 × tree-merge depth), so the value
+    * `round(sum(double), 2)` lands on flips with shuffle order — four keys
+    * failed the sf10 sweep by exactly one trailing cent before this. Decimal
+    * accumulation is order-independent and bit-identical across engines:
+    * both see the same exact decimal sum, positive-value HALF_UP rounding
+    * agrees, and the rounded cents fit a double exactly (< 2^53). The
+    * double→decimal(·,8) input cast is itself engine-identical — no double's
+    * exact binary expansion terminates in a 9th-decimal tie, so
+    * nearest-8-dp is unambiguous. Headroom: DECIMAL(30,8) sums into Spark's
+    * DECIMAL(38,8) ⇒ ~1e29 — about 1e12 rows of 1e5-magnitude prices
+    * beyond the 100 TB point. Oracle twin: [[moneySumSql]].
+    */
+  def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(c.cast(org.apache.spark.sql.types.DecimalType(30, 8))), 2)
+      .cast("double")
+
+  /** Oracle-side twin of [[moneySum]] (same decimal-accumulate semantics in
+    * DuckDB's dialect).
+    */
+  def moneySumSql(x: String): String =
+    s"CAST(round(sum(CAST(($x) AS DECIMAL(30,8))), 2) AS DOUBLE)"
 }

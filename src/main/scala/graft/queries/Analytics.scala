@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{events, rd, rdSql, t}
+import graft.Tables.{events, moneySum, moneySumSql, rd, rdSql, t}
 
 /** Analytic-SQL surface widening (SURVEY.md §2.13, round 2): reshaping
   * (pivot/unpivot), statistical and ordered-set aggregates, filtered
@@ -434,7 +434,7 @@ object Analytics {
             md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("l_partkey"))),
             1, 1) === "0")
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
     })
   )
@@ -551,8 +551,8 @@ object Analytics {
         |  columns={'id':'BIGINT','name':'VARCHAR','amount':'DOUBLE','d':'DATE'})
         |GROUP BY file_name ORDER BY file_name""".stripMargin,
     "sample_hash" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(l_extendedprice), 2) AS sum_price
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       ${moneySumSql("l_extendedprice")} AS sum_price
         |FROM lineitem
         |WHERE substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey)), 1, 1) = '0'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

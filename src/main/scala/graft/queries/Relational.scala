@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{rd, rdSql, t}
+import graft.Tables.{moneySum, moneySumSql, rd, rdSql, t}
 
 /** Relational core over the TPC-H-ish testdata (SURVEY.md §2.1–§2.4,
   * §2.6–§2.7). Pure built-in operators — Catalyst handles pushdown, pruning,
@@ -116,7 +116,7 @@ object Relational {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
 
@@ -140,7 +140,7 @@ object Relational {
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey"))
@@ -154,8 +154,8 @@ object Relational {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          moneySum(col("l_extendedprice")).as("sum_base"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("sum_disc_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("n"))
@@ -168,7 +168,7 @@ object Relational {
           col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
             col("l_discount").between(0.05, 0.07))
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+        .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"))
     }),
 
     "agg_distinct" -> ((s, d) => {
@@ -190,7 +190,7 @@ object Relational {
     "agg_cube" -> ((s, d) => {
       t(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
@@ -327,8 +327,8 @@ object Relational {
         |FROM region r1 CROSS JOIN region r2
         |ORDER BY r1_name, r2_name""".stripMargin,
     "join_interval" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(l_extendedprice), 2) AS sum_price
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       ${moneySumSql("l_extendedprice")} AS sum_price
         |FROM lineitem JOIN orders
         |  ON l_orderkey = o_orderkey
         | AND l_shipdate >= o_orderdate
@@ -336,8 +336,8 @@ object Relational {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "join_star" ->
-      """SELECT c_custkey, c_name, n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT c_custkey, c_name, n_name,
+        |       ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -350,10 +350,10 @@ object Relational {
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
     "agg_groupby" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       ${moneySumSql("l_extendedprice")} AS sum_base,
+        |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
         |       round(avg(l_discount), 6) AS avg_disc,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem
@@ -361,7 +361,7 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "agg_global" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      s"""SELECT ${moneySumSql("l_extendedprice * l_discount")} AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -377,8 +377,8 @@ object Relational {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "agg_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(o_totalprice), 2) AS sum_price
+      s"""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       ${moneySumSql("o_totalprice")} AS sum_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
