@@ -9,7 +9,8 @@
 #   /tmp/emb4m     gen_embeddings.py   (4.2M vectors — two-level IVF gate)
 #
 # Usage: tools/gen_rungs.sh [rung...]     # default: all four
-# After it finishes, `sbt test` runs 329/329 with 0 canceled.
+# After it finishes, `sbt test` runs the full suite with 0 canceled
+# (336/336 at round 15).
 # Verification infrastructure — NOT part of the engine.
 set -euo pipefail
 cd "$(dirname "$0")/.."
