@@ -102,9 +102,17 @@ object Tables {
     * accumulation is order-independent and bit-identical across engines:
     * both see the same exact decimal sum, positive-value HALF_UP rounding
     * agrees, and the rounded cents fit a double exactly (< 2^53). The
-    * double→decimal(·,8) input cast is itself engine-identical — no double's
-    * exact binary expansion terminates in a 9th-decimal tie, so
-    * nearest-8-dp is unambiguous. Headroom: DECIMAL(30,8) sums into Spark's
+    * double→decimal(·,8) input cast agrees across engines for these inputs,
+    * with one caveat (advisor, r15): Spark rounds the double's SHORTEST
+    * DECIMAL STRING to 8 dp (Decimal.set → BigDecimal.valueOf →
+    * Double.toString) while DuckDB rounds the binary value arithmetically,
+    * so a double whose shortest representation is an exact 9-dp tie (e.g.
+    * one printing as 0.123456785) could legally round differently.
+    * MoneySumSpec exhibits the divergence class on constructed ties and
+    * verifies Spark's cast equals exact-binary HALF_UP rounding (DuckDB's
+    * semantics) on testdata-sampled price products — so the contract here
+    * is "agrees for price-magnitude operands", not bit-identical for every
+    * double. Headroom: DECIMAL(30,8) sums into Spark's
     * DECIMAL(38,8) ⇒ ~1e29 — about 1e12 rows of 1e5-magnitude prices
     * beyond the 100 TB point. Oracle twin: [[moneySumSql]].
     */
@@ -117,4 +125,42 @@ object Tables {
     */
   def moneySumSql(x: String): String =
     s"CAST(round(sum(CAST(($x) AS DECIMAL(30,8))), 2) AS DOUBLE)"
+
+  /** Exact money-sum for CENT-GRAINED columns: recover the integer cents
+    * per row (`round(x*100)` → BIGINT), sum as long, divide once (round 16).
+    *
+    * Same order-independence and engine-parity guarantees as [[moneySum]]
+    * but stays in codegen'd long arithmetic instead of Decimal's object
+    * path — the decimal form cost 1.5–1.8× on the four heavy join keys at
+    * sf10 (bench_sf10real_r13 vs r15). Parity argument: every stored cent
+    * value's double is within ~1e-9·x of the exact cents, so `x*100` is
+    * within 1e-4 of an integer and both engines' `round` (Spark HALF_UP on
+    * shortest-string, DuckDB on the binary value) land on the SAME integer
+    * — no ties anywhere near .5. The long sum is exact; `/100.0` is one
+    * IEEE division on a sum < 2^53 (sf10 global sum 2.3e14 cents; 2^53 ≈
+    * 9.0e15), identical on both engines.
+    *
+    * PRECONDITION (spec-pinned in MoneySumSpec): input is cent-grained
+    * (true of l_extendedprice / o_totalprice at every rung — checked
+    * 0 non-cent rows of 60M at sf10). NOT for product expressions like
+    * `price*(1-disc)`: rounding each term to cents before the sum is a
+    * different aggregate than rounding the sum — those sites keep
+    * [[moneySum]]'s DECIMAL(30,8) accumulation.
+    *
+    * Overflow margin: long holds 9.2e18 cents = 9.2e16 dollars; at 1e12
+    * rows (100 TB-class lineitem) × avg 3.8e4 dollars the global sum is
+    * ~3.8e16 — a 2.4× margin, and per-group sums are far smaller. Beyond
+    * that, fall back to [[moneySum]].
+    */
+  def moneySumCents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c * 100).cast("long")) / 100.0
+
+  /** Oracle-side twin of [[moneySumCents]]. DuckDB sums BIGINT into
+    * HUGEINT; the final division promotes to DOUBLE with the identical
+    * IEEE op (sum < 2^53 exact in both). The divisor is `1e2`, not
+    * `100.0`, because `100.0` parses as DECIMAL in Spark SQL and would
+    * break verbatim dual-surface parity (same trap as [[rdSql]]).
+    */
+  def moneySumCentsSql(x: String): String =
+    s"sum(CAST(round(($x) * 100) AS BIGINT)) / 1e2"
 }

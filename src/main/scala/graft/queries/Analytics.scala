@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{events, moneySum, moneySumSql, rd, rdSql, t}
+import graft.Tables.{events, moneySumCents, moneySumCentsSql, rd, rdSql, t}
 
 /** Analytic-SQL surface widening (SURVEY.md §2.13, round 2): reshaping
   * (pivot/unpivot), statistical and ordered-set aggregates, filtered
@@ -434,7 +434,7 @@ object Analytics {
             md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("l_partkey"))),
             1, 1) === "0")
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"), moneySumCents(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
     })
   )
@@ -552,7 +552,7 @@ object Analytics {
         |GROUP BY file_name ORDER BY file_name""".stripMargin,
     "sample_hash" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |       ${moneySumSql("l_extendedprice")} AS sum_price
+        |       ${moneySumCentsSql("l_extendedprice")} AS sum_price
         |FROM lineitem
         |WHERE substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey)), 1, 1) = '0'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{moneySum, moneySumSql, rd, rdSql, t}
+import graft.Tables.{moneySum, moneySumCents, moneySumCentsSql, moneySumSql, rd, rdSql, t}
 
 /** Relational core over the TPC-H-ish testdata (SURVEY.md §2.1–§2.4,
   * §2.6–§2.7). Pure built-in operators — Catalyst handles pushdown, pruning,
@@ -116,7 +116,7 @@ object Relational {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n"),
-          moneySum(col("l_extendedprice")).as("sum_price"))
+          moneySumCents(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
 
@@ -154,7 +154,7 @@ object Relational {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          moneySum(col("l_extendedprice")).as("sum_base"),
+          moneySumCents(col("l_extendedprice")).as("sum_base"),
           moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("sum_disc_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -190,7 +190,7 @@ object Relational {
     "agg_cube" -> ((s, d) => {
       t(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"), moneySumCents(col("o_totalprice")).as("sum_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
@@ -328,7 +328,7 @@ object Relational {
         |ORDER BY r1_name, r2_name""".stripMargin,
     "join_interval" ->
       s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |       ${moneySumSql("l_extendedprice")} AS sum_price
+        |       ${moneySumCentsSql("l_extendedprice")} AS sum_price
         |FROM lineitem JOIN orders
         |  ON l_orderkey = o_orderkey
         | AND l_shipdate >= o_orderdate
@@ -352,7 +352,7 @@ object Relational {
     "agg_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
-        |       ${moneySumSql("l_extendedprice")} AS sum_base,
+        |       ${moneySumCentsSql("l_extendedprice")} AS sum_base,
         |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
         |       round(avg(l_discount), 6) AS avg_disc,
         |       CAST(count(*) AS BIGINT) AS n
@@ -378,7 +378,7 @@ object Relational {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "agg_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |       ${moneySumSql("o_totalprice")} AS sum_price
+        |       ${moneySumCentsSql("o_totalprice")} AS sum_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,

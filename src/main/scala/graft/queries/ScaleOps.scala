@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{events, moneySum, moneySumSql, normTextSql, t}
+import graft.Tables.{events, moneySumCents, moneySumCentsSql, normTextSql, t}
 
 /** Round-2 §2.13 additions that promote the round-1 scale operators from
   * spec-only to first-class declared queries: the skew-breaking salted
@@ -36,7 +36,7 @@ object ScaleOps {
           saltFactor = 4,
           saltSource = Seq("l_linenumber", "l_partkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"), moneySumCents(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
 
@@ -129,7 +129,7 @@ object ScaleOps {
     "join_bucketed" -> ((s, d) =>
       graft.operators.BucketedJoin.joined(s, d)
         .groupBy(col("l_returnflag"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"), moneySumCents(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag", "o_orderpriority")),
 
     // Bloom-filter-pruned semi join — the runtime-filter pattern for 100 TB
@@ -156,7 +156,7 @@ object ScaleOps {
         .join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          moneySum(col("l_extendedprice")).as("sum_price"))
+          moneySumCents(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
     }),
 
@@ -182,7 +182,7 @@ object ScaleOps {
         .join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          moneySum(col("l_extendedprice")).as("sum_price"))
+          moneySumCents(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
     }),
 
@@ -236,7 +236,7 @@ object ScaleOps {
   val oracle: Map[String, String] = Map(
     "join_salted" ->
       s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |       ${moneySumSql("l_extendedprice")} AS sum_price
+        |       ${moneySumCentsSql("l_extendedprice")} AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_range_sessions" ->
@@ -297,20 +297,20 @@ object ScaleOps {
          |ORDER BY doc_id""".stripMargin,
     "join_bucketed" ->
       s"""SELECT l_returnflag, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |       ${moneySumSql("l_extendedprice")} AS sum_price
+        |       ${moneySumCentsSql("l_extendedprice")} AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag, o_orderpriority
         |ORDER BY l_returnflag, o_orderpriority""".stripMargin,
     "join_bloom" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |       ${moneySumSql("l_extendedprice")} AS sum_price
+        |       ${moneySumCentsSql("l_extendedprice")} AS sum_price
         |FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey AND o_totalprice > 450000)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_bloom_native" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |       ${moneySumSql("l_extendedprice")} AS sum_price
+        |       ${moneySumCentsSql("l_extendedprice")} AS sum_price
         |FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey AND o_totalprice > 450000)

@@ -505,6 +505,36 @@ object AbBench {
         .filter(col("c") >= 0.3)
         .select(col("a_id"), col("b_id"), rd(col("c"), 4).as("containment"))
         .orderBy("a_id", "b_id")
+    }),
+
+    // round-16 money-sum A/B (VERDICT r15 item 2): the r15 DECIMAL(30,8)
+    // accumulation forms of the two heaviest cent-grained join keys, to
+    // measure what the long-cents rewrite buys back. NOTE: row counts
+    // match but the aggregate VALUE is the same too (MoneySumSpec) — the
+    // A/B is purely execution cost.
+    "join_salted_decimal" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{moneySum, t}
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SaltedJoin
+        .join(li, ord,
+          keys = Seq("l_orderkey" -> "o_orderkey"),
+          saltFactor = 4,
+          saltSource = Seq("l_linenumber", "l_partkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    "join_bucketed_decimal" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.moneySum
+      graft.operators.BucketedJoin.joined(s, d)
+        .groupBy(col("l_returnflag"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag", "o_orderpriority")
     })
   )
 
