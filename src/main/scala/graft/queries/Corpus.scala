@@ -261,18 +261,31 @@ object Corpus {
       // shuffling every exploded segment instance by doc_id costs more than
       // the duplicated scan+split it saves (no regex in this chain, unlike
       // tfidf) — the double-consumption below stays deliberate
+      //
+      // Round 16 (VERDICT r15 item 3): the corpus-frequency aggregate and
+      // the membership join key on a 128-BIT FINGERPRINT (two-seed
+      // xxhash64 pair) of the segment instead of the raw string, so the
+      // countDistinct shuffle moves 16-byte keys, not ~5-word strings.
+      // Semantics stay defined ON THE STRING (the oracle is unchanged):
+      // results are identical unless two distinct segments collide in
+      // BOTH hashes — expected colliding pairs at 1e12 distinct segments
+      // ≈ (1e12)²/2 / 2¹²⁸ ≈ 1.5e-15, i.e. never at the 100 TB design
+      // point (vs ~2.7e4 expected pairs for a single 64-bit hash, which
+      // is why the key is a pair). CorpusSpec re-pins the outputs.
       val segs = toks(s, d).select(
         col("doc_id"),
         posexplode(expr(
           s"transform(sequence(1, (size(w) + ${SegWords - 1}) div $SegWords)," +
             s" i -> array_join(slice(w, (i - 1) * $SegWords + 1, $SegWords), ' '))"))
           .as(Seq("seg_no", "seg")))
+        .withColumn("h1", xxhash64(col("seg")))
+        .withColumn("h2", xxhash64(col("seg"), lit(1)))
       val boiler = segs
-        .groupBy(col("seg"))
+        .groupBy(col("h1"), col("h2"))
         .agg(countDistinct(col("doc_id")).as("dc"))
         .filter(col("dc") >= SegMinDocs)
-        .select(col("seg"), lit(1).as("is_b"))
-      segs.join(boiler, Seq("seg"), "left")
+        .select(col("h1"), col("h2"), lit(1).as("is_b"))
+      segs.join(boiler, Seq("h1", "h2"), "left")
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_segs"),
@@ -294,17 +307,28 @@ object Corpus {
       // straight from the native kernel — bit-identical to the old
       // interpreted CASE/transform/slice cascade incl. the short-doc →
       // empty-array branch (NGramsSpec parity pins)
+      //
+      // Round 16 (VERDICT r15 item 3): downstream only ever COUNTS grams,
+      // so the gram string is dropped at the map stage — every shuffle
+      // (frequency agg, membership join, per-doc stats) moves only the
+      // 128-bit two-seed xxhash64 fingerprint. Same collision bound as
+      // text_seg_dedup (~1.5e-15 expected colliding pairs at 1e12
+      // distinct grams); semantics defined on the string, oracle
+      // unchanged.
       val grams = toks(s, d).select(
         col("doc_id"),
         explode(org.apache.spark.sql.GraftSqlShim.column(graft.plans.NGrams(
           org.apache.spark.sql.GraftSqlShim.expression(col("w")),
           GramWords, distinct = false))).as("gram"))
+        .select(col("doc_id"),
+          xxhash64(col("gram")).as("h1"),
+          xxhash64(col("gram"), lit(1)).as("h2"))
       val dup = grams
-        .groupBy(col("gram"))
+        .groupBy(col("h1"), col("h2"))
         .agg(countDistinct(col("doc_id")).as("dc"))
         .filter(col("dc") >= 2)
-        .select(col("gram"), lit(1).as("is_d"))
-      val stats = grams.join(dup, Seq("gram"), "left")
+        .select(col("h1"), col("h2"), lit(1).as("is_d"))
+      val stats = grams.join(dup, Seq("h1", "h2"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("g"), count(col("is_d")).as("dup"))
       t(s, d, "documents").select(col("doc_id"))

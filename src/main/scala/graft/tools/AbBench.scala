@@ -535,6 +535,62 @@ object AbBench {
         .groupBy(col("l_returnflag"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag", "o_orderpriority")
+    }),
+
+    // round-16 fingerprint-shuffle A/B (VERDICT r15 item 3): the r15
+    // raw-STRING-keyed forms of text_seg_dedup / dedup_substring_spans,
+    // vs the 128-bit two-seed xxhash64 fingerprint keys now declared.
+    "text_seg_dedup_str" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.t
+      val segs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(1, (size(w) + 4) div 5)," +
+              " i -> array_join(slice(w, (i - 1) * 5 + 1, 5), ' '))"))
+            .as(Seq("seg_no", "seg")))
+      val boiler = segs
+        .groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("dc"))
+        .filter(col("dc") >= 2)
+        .select(col("seg"), lit(1).as("is_b"))
+      segs.join(boiler, Seq("seg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          count(col("is_b")).as("n_boiler"),
+          array_join(expr(
+            "transform(sort_array(collect_list(CASE WHEN is_b IS NULL THEN" +
+              " struct(seg_no, seg) END)), p -> p.seg)"), " ").as("clean_text"))
+        .orderBy("doc_id")
+    }),
+    "dedup_substring_spans_str" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{rd, t}
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.GraftSqlShim.column(graft.plans.NGrams(
+            org.apache.spark.sql.GraftSqlShim.expression(col("w")),
+            8, distinct = false))).as("gram"))
+      val dup = grams
+        .groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("dc"))
+        .filter(col("dc") >= 2)
+        .select(col("gram"), lit(1).as("is_d"))
+      val stats = grams.join(dup, Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("g"), count(col("is_d")).as("dup"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("g"), lit(0L)).as("n_grams"),
+          coalesce(col("dup"), lit(0L)).as("n_dup"),
+          when(coalesce(col("g"), lit(0L)) > 0,
+            rd(col("dup").cast("double") / col("g"), 6)).as("dup_ratio"))
+        .orderBy("doc_id")
     })
   )
 
