@@ -185,8 +185,9 @@ object Corpus {
     */
   private[graft] def coresetFps(
       s: SparkSession, d: String, recompute: Boolean = false,
-      centerFromEmb: Boolean = false): DataFrame = {
+      centerFromEmb: Boolean = false, incremental: Boolean = false): DataFrame = {
     val emb = kmEmb(s, d)
+    if (!recompute && !incremental && !centerFromEmb) return coresetFpsBatched(s, d)
     if (recompute) {
       var sel = emb.sort(col("vec_id")).limit(1)
         .select(col("vec_id"), lit(1L).as("sel_order"), lit(0L).as("d2"), col("e"))
@@ -248,6 +249,135 @@ object Corpus {
       }
       picks.select(col("sel_order"), col("vec_id"), col("d2")).orderBy("sel_order")
     }
+  }
+
+  /** Candidate budget for [[coresetFpsBatched]]. 4096 ≫ K=8 means the
+    * certificate below virtually never fails (one resync pass would cost
+    * one extra cluster pass, not correctness). */
+  private val CoreCand = 4096
+
+  /** Farthest-point sampling, CERTIFICATE-BATCHED form (round 16, VERDICT
+    * r15 item 4). The incremental form's 16.6 s at sf10 was per-round JOB
+    * CONSTANTS (2 cluster passes × 8 rounds for 8 output rows), not data
+    * work. This form runs ONE cluster pass (md2 vs the first center) +
+    * one TakeOrdered fetch of the top-[[CoreCand]] candidates WITH their
+    * vectors, then finishes the remaining K−1 picks on the driver in the
+    * same exact long arithmetic ([[sqDist]] is integer math, replicated
+    * verbatim below), with a correctness CERTIFICATE per pick:
+    *
+    *   every non-candidate x has md2_now(x) ≤ md2_fetch(x) ≤ threshold
+    *   (the M-th fetched md2; md2 only ever decreases), so while the
+    *   driver pick's md2 is STRICTLY greater than the threshold it
+    *   provably equals the full-corpus argmax — including the
+    *   (−md2, vec_id) tie-break, since ties at the threshold are treated
+    *   as certificate FAILURES (conservative: equality could hide a
+    *   smaller-vec_id non-candidate).
+    *
+    * On failure it RESYNCS: one distributed pass folds every center
+    * picked since the last sync into md2 (a single `least` over the
+    * broadcast center list), re-fetches the top-M, and continues. With
+    * M=4096 vs K=8 a resync needs the corpus's md2 mass concentrated in
+    * <0.2% of points — the pathological case, paid with one extra pass.
+    * Scale: the fetch is TakeOrderedAndProject (per-partition heaps, no
+    * global sort); candidate payload is M·dim longs (~2 MB at dim 64).
+    * Output-identical to both twins (Round10Spec + the sf0.01 oracle pin
+    * it); the incremental form stays measurable as AbBench's
+    * `sample_coreset_incremental`.
+    */
+  private[graft] def coresetFpsBatched(
+      s: SparkSession, d: String, cand: Int = CoreCand): DataFrame = {
+    import org.apache.spark.sql.types._
+    val emb = kmEmb(s, d)
+    val outSchema = StructType(Seq(
+      StructField("sel_order", LongType), StructField("vec_id", LongType),
+      StructField("d2", LongType)))
+    def result(picks: Seq[(Long, Long, Long)]): DataFrame =
+      s.createDataFrame(
+        s.sparkContext.parallelize(
+          picks.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3)), 1),
+        outSchema).orderBy("sel_order")
+
+    val firstRows = emb.sort(col("vec_id")).limit(1).collect()
+    if (firstRows.isEmpty) return result(Nil)
+    val firstId = firstRows(0).getLong(0)
+    val firstVec = firstRows(0).getSeq[Long](1).toArray
+
+    def dist(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var j = 0
+      while (j < a.length) { val dd = a(j) - b(j); acc += dd * dd; j += 1 }
+      acc
+    }
+
+    // one cluster pass: exact md2 vs the first center, kept checkpointed
+    // only as the resync seed
+    var state = emb
+      .crossJoin(broadcast(s.createDataFrame(
+        s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(firstVec.toSeq)), 1),
+        StructType(Seq(StructField("se", ArrayType(LongType)))))))
+      .select(col("vec_id"), col("e"), sqDist("e", "se").as("md2"))
+      .localCheckpoint(eager = false)
+
+    final case class Cand(id: Long, vec: Array[Long], var md2: Long)
+    var picked = List((1L, firstId, 0L))
+    var pickedIds = Set(firstId)
+    var pendingCenters: List[Array[Long]] = Nil // since last sync
+
+    def fetch(): (Array[Cand], Long) = {
+      val rows = state
+        .filter(!col("vec_id").isin(pickedIds.toSeq: _*))
+        .orderBy(col("md2").desc, col("vec_id"))
+        .limit(cand)
+        .collect()
+      val cands = rows.map(r => Cand(r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      val thr = if (cands.length < cand) Long.MinValue else cands.last.md2
+      (cands, thr)
+    }
+    var (cands, threshold) = fetch()
+
+    var i = 2
+    while (i <= CoreK && (cands.nonEmpty || threshold > Long.MinValue)) {
+      val live = cands.filter(c => !pickedIds.contains(c.id))
+      val best = if (live.isEmpty) None
+        else Some(live.minBy(c => (-c.md2, c.id)))
+      best match {
+        // a FRESH fetch (no driver-side picks folded since the sync) is
+        // exact by construction — its (md2 desc, vec_id asc) top row IS
+        // the global argmax incl. tie-break — so equality at the
+        // threshold is only a failure once pendingCenters is non-empty.
+        // This also guarantees every resync enables ≥1 pick (no spin).
+        case Some(b) if b.md2 > threshold || pendingCenters.isEmpty =>
+          picked ::= ((i.toLong, b.id, b.md2))
+          pickedIds += b.id
+          pendingCenters ::= b.vec
+          // fold the new center into every candidate's md2 (exact)
+          live.foreach { c =>
+            val dd = dist(c.vec, b.vec); if (dd < c.md2) c.md2 = dd
+          }
+          i += 1
+        case _ =>
+          // certificate failed (or candidates exhausted under a live
+          // threshold): resync — fold pending centers into the cluster
+          // state in ONE pass, re-fetch
+          if (pendingCenters.nonEmpty) {
+            val cs = typedlit(pendingCenters.map(_.toSeq).reverse)
+            state = state
+              .withColumn("cs", cs)
+              .select(col("vec_id"), col("e"),
+                least(col("md2"), expr(
+                  "array_min(transform(cs, c -> aggregate(zip_with(e, c," +
+                    " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)))"))
+                  .as("md2"))
+              .localCheckpoint(eager = false)
+            pendingCenters = Nil
+          } else if (cands.length < cand) {
+            // nothing pending and the fetch already saw the whole corpus:
+            // genuinely out of points
+            i = CoreK + 1
+          }
+          if (i <= CoreK) { val ft = fetch(); cands = ft._1; threshold = ft._2 }
+      }
+    }
+    result(picked.reverse)
   }
 
   val queries: Map[String, Q] = Map(

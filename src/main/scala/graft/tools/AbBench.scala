@@ -348,6 +348,11 @@ object AbBench {
     // state-checkpoint fetch replaced
     "sample_coreset_embfetch" -> ((s, d) =>
       graft.queries.Corpus.coresetFps(s, d, centerFromEmb = true)),
+    // round-16 coreset A/B (VERDICT r15 item 4): the round-10/15
+    // incremental per-round-cluster-pass form the certificate-batched
+    // driver FPS replaced
+    "sample_coreset_incremental" -> ((s, d) =>
+      graft.queries.Corpus.coresetFps(s, d, incremental = true)),
     // round-10 basket-cap A/B (VERDICT r9 item 5): the declared
     // slice-before-fanout co-purchase edge build vs a row-identical twin
     // that fans out the FULL basket then filters pairs to the capped set —

@@ -50,6 +50,24 @@ class Round10Spec extends SparkSpec {
     assert(graft.queries.Corpus.coresetFps(spark, TestTables.dirEmpty(spark)).count() === 0)
   }
 
+  test("certificate-batched coreset survives forced resyncs (cand < K)") {
+    // cand=2 makes the candidate pool smaller than K=8, so every second
+    // pick fails the certificate and exercises the resync + re-fetch
+    // path (plus fresh-fetch equality picks); output must still be
+    // bit-identical to the recompute twin
+    val d = TestTables.dir(spark)
+    val a = graft.queries.Corpus.coresetFpsBatched(spark, d, cand = 2)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.queries.Corpus.coresetFps(spark, d, recompute = true)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    // and the incremental form stays pinned to the same rows too
+    val c = graft.queries.Corpus.coresetFps(spark, d, incremental = true)
+      .collect().map(_.toSeq).toSeq
+    assert(c === b)
+  }
+
   test("cap is inert on TPC-H-shaped baskets (fixture max basket ≤ 7)") {
     val d = TestTables.dir(spark)
     val a = graft.queries.Graphs.copurchaseEdges(spark, d)
