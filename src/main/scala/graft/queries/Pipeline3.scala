@@ -30,6 +30,67 @@ object Pipeline3 {
 
   private def toks(c: Column): Column = split(normText(c), " ")
 
+  /** Vocabulary bound for [[unigramLm]]'s literal-map fast path. Map
+    * LITERAL lookups (GetMapValue on ArrayBasedMapData) are a LINEAR scan
+    * per probe, so the bound must stay small — ≤256 keys ≈ ≤128 string
+    * compares per token, which the one-pass saving dwarfs. Beyond it
+    * (real web-scale vocabularies) the broadcast-hash-join path is the
+    * right engine shape and is kept verbatim. */
+  private val VocabLitMax = 256
+
+  /** Unigram LM scoring, vocabulary-ADAPTIVE (round 16, VERDICT r15
+    * item 5). The scoring pass previously always exploded every token
+    * instance through a broadcast join and re-aggregated per doc — at
+    * sf10 that is ~27M probe rows plus a per-doc hash aggregate, for a
+    * per-doc mean over values drawn from a 31-WORD vocabulary. Now the
+    * corpus-count pass (unavoidable: p(t) must complete before scoring)
+    * also reveals the vocabulary size:
+    *
+    *  - vocab ≤ [[VocabLitMax]]: collect (token → log(cnt/total)) to a
+    *    driver map, embed as a map literal, and score each doc in ONE
+    *    per-row codegen'd `aggregate` over its token array — no explode,
+    *    no join, no per-doc shuffle; the second pass is scan + fold +
+    *    sort. Per-token math is bit-identical (same Math.log of the same
+    *    IEEE division), summed per doc in token order as before.
+    *  - larger vocab: the round-13 broadcast-join form, unchanged
+    *    (AbBench's `text_unigram_lm_join` keeps it measurable).
+    *
+    * The round-13 rejected A/Bs (repartition(doc_id) 16.7→18.4 s at sf10;
+    * (doc_id, token, c) pre-aggregate ~1.2×; localCheckpoint ratio 0.99)
+    * concerned the JOIN path's shape and still stand for vocab > bound.
+    */
+  private[graft] def unigramLm(
+      s: SparkSession, d: String, forceJoin: Boolean = false): DataFrame = {
+    val toksDf = t(s, d, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val counts = toksDf.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val head = if (forceJoin) Array.empty[org.apache.spark.sql.Row]
+      else counts.limit(VocabLitMax + 1).collect()
+    if (!forceJoin && head.length <= VocabLitMax) {
+      val total = head.map(_.getLong(1)).sum
+      val logp = head.map(r =>
+        r.getString(0) -> math.log(r.getLong(1).toDouble / total)).toMap
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .withColumn("m", typedlit(logp))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_toks"),
+          round(expr("aggregate(w, 0.0D, (acc, tk) -> acc + element_at(m, tk))")
+            / size(col("w")), 4).as("lm_score"))
+        .orderBy("doc_id")
+    } else {
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      toksDf
+        .join(broadcast(counts), "token")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("lm_score"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Benchmark-contamination core: distinct-8-gram equi-join of the train
     * slice against the broadcast bench slice. The bench side is tiny by
     * construction (benchmark suites ≪ training corpus); the TRAIN side gets
@@ -195,28 +256,7 @@ object Pipeline3 {
     // each doc scored by its mean log-probability — the perplexity-style
     // quality cut. Vocabulary counts are tiny next to the corpus → the
     // token→p join broadcasts; everything else is two hash aggregates.
-    "text_unigram_lm" -> ((s, d) => {
-      // The two consumers of toksDf (counts + probe) each re-run the
-      // scan+normText+explode chain — DELIBERATE after three rejected
-      // round-13 A/Bs at sf10: repartition(doc_id) of instances 16.7 ->
-      // 18.4 s (full-corpus shuffle outweighs the saved scan); a
-      // (doc_id, token, c) pre-aggregate ~1.2× slower (tokens rarely
-      // repeat within a doc, the combine shrinks nothing); localCheckpoint
-      // of the exploded frame ratio 0.99 interleaved (materialization
-      // costs what the saved pass gains, and pins executor storage at
-      // cluster scale). The broadcast-join + per-doc agg dominates.
-      val toksDf = t(s, d, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
-      val counts = toksDf.groupBy("token").agg(count(lit(1)).as("cnt"))
-      val total = counts.agg(sum(col("cnt")).as("total"))
-      toksDf
-        .join(broadcast(counts), "token")
-        .crossJoin(broadcast(total))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_toks"),
-          round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("lm_score"))
-        .orderBy("doc_id")
-    }),
+    "text_unigram_lm" -> ((s, d) => unigramLm(s, d)),
 
     // Funnel conversion: users reaching view → later click → later purchase,
     // each stage anchored strictly after the previous stage's first event.

@@ -353,6 +353,11 @@ object AbBench {
     // driver FPS replaced
     "sample_coreset_incremental" -> ((s, d) =>
       graft.queries.Corpus.coresetFps(s, d, incremental = true)),
+    // round-16 unigram-LM A/B (VERDICT r15 item 5): the broadcast-join
+    // scoring pass (still the declared path for vocab > VocabLitMax) vs
+    // the literal-map per-row fold
+    "text_unigram_lm_join" -> ((s, d) =>
+      graft.queries.Pipeline3.unigramLm(s, d, forceJoin = true)),
     // round-10 basket-cap A/B (VERDICT r9 item 5): the declared
     // slice-before-fanout co-purchase edge build vs a row-identical twin
     // that fans out the FULL basket then filters pairs to the capped set —

@@ -8,6 +8,17 @@ class QualitySpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
+  test("text_unigram_lm literal-map path is row-identical to the join path") {
+    // the fixture vocab is far below VocabLitMax, so q("text_unigram_lm")
+    // takes the literal fold; forceJoin pins the broadcast-join twin
+    val a = graft.queries.Pipeline3.unigramLm(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.queries.Pipeline3.unigramLm(spark, d, forceJoin = true)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("text_repetition: all-identical trigrams score 1 - 1/n3") {
     import spark.implicits._
     val df = Seq((1L, "a a a a a"), (2L, "b c d e f"), (3L, "x y")).toDF("doc_id", "text")
