@@ -51,9 +51,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // ---- mid-run ambient series (round 16, VERDICT r15 item 6) ----
+    // One single-shot probe every MidEvery queries, stamped as
+    // `probes_mid`: a driver bench that OVERLAPS other load (the r15
+    // 151.4 vs 69.8 s same-HEAD discrepancy) self-documents — a quiet
+    // pre-median followed by inflated mid-probes reads "load arrived
+    // mid-run", distinguishable from a code regression without a re-run.
+    // Single-shot (not median-of-4) is fine for a diagnostic series; the
+    // JIT-warmup concern is gone (probe pipeline compiled by the pre
+    // probes). ~7 probes × ~0.2 s per full sweep — noise next to 150 s+.
+    // Reading rule: BASELINE.md "Ambient sentinel" section.
+    val MidEvery = 30
+    val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sinceProbe = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+        if (sinceProbe >= MidEvery) { midProbes += sentinelProbe(); sinceProbe = 0 }
+        sinceProbe += 1
         val times = new Array[Double](reps)
         var r = 0
         var ok = 0
@@ -128,6 +143,7 @@ object Bench {
     def ms3(v: Double): Double = math.rint(v * 1000) / 1000 // locale-safe 3dp
     val ambientJson =
       s"""{"sentinel_sec":${ms3(sentinel)},"probes_pre":[${preSorted.map(ms3).mkString(",")}],""" +
+        s""""probes_mid":[${midProbes.map(ms3).mkString(",")}],""" +
         s""""probes_post":[${sentinelPost.map(ms3).mkString(",")}],""" +
         s""""ref_sec":${sentinelRef.map(ms3).getOrElse(-1.0)},"contended":$contended}"""
     // schema 2: `value` sums FULLY-successful queries only (schema 1 — rounds
