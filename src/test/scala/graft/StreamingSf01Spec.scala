@@ -114,6 +114,45 @@ class StreamingSf01Spec extends SparkSpec {
     assert(got.toSeq === exp.toSeq)
   }
 
+  test("multi-batch file stream: watermarked dedup first-arrivals match the batch twin over sf0.1") {
+    // VERDICT r15 item 7: stream_dedup's streaming face
+    // (dropDuplicatesWithinWatermark) through the real file source. The
+    // streaming operator keeps the first ARRIVAL per (user_id, event_type)
+    // and re-admits a key once the watermark evicts its state, so over a
+    // month of events it legitimately emits MORE rows than the batch
+    // keep-first twin — the equality that must hold is on the GLOBAL first
+    // event per key: the true first row is always an emission (state is
+    // empty when it arrives), so min(struct(ts_us, event_id)) over the
+    // streamed output must equal the batch twin row FOR EVERY KEY, and the
+    // key sets must match. Determinism of "first arrival within a batch":
+    // maxFilesPerTrigger=1 makes each micro-batch one single-partition
+    // file whose rows are (ts, event_id)-sorted by the landing layout, so
+    // same-key rows reach the dedup state in event-time order.
+    assume(new java.io.File(s"$sfDir/events.parquet").exists)
+    val stream = StreamingJobs.eventsFileStream(spark, landing, maxFilesPerTrigger = 1)
+    val deduped = StreamingJobs.dedupWithinWatermark(
+      stream, keys = Seq("user_id", "event_type"))
+    val batches = runStream(deduped, "sf01dedup", OutputMode.Append)
+    assert(batches >= 5, s"expected a genuinely multi-batch run, got $batches batches")
+    val got = spark.table("sf01dedup")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("tsx")).as("ts_us"), col("event_id"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.ts_us").as("ts_us"), col("m.event_id").as("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    val exp = SparkEntry.queries("stream_dedup")(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(got.length === exp.length,
+      s"key count differs: streaming ${got.length} vs batch ${exp.length}")
+    assert(got.toSeq === exp.toSeq)
+  }
+
   test("multi-batch file stream: merging session windows match the batch twin over sf0.1") {
     assume(new java.io.File(s"$sfDir/events.parquet").exists)
     val stream = StreamingJobs.eventsFileStream(spark, landing, maxFilesPerTrigger = 2)
