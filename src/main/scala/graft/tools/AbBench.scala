@@ -358,6 +358,32 @@ object AbBench {
     // the literal-map per-row fold
     "text_unigram_lm_join" -> ((s, d) =>
       graft.queries.Pipeline3.unigramLm(s, d, forceJoin = true)),
+    // round-16 funnel A/B (VERDICT r15 item 8): the CHECKPOINTED chain —
+    // measured 1.17x SLOWER than the declared recompute form at sf10
+    // (materializing the per-user stage frames costs more than the
+    // pushdown-cheap filtered scans it saves)
+    "funnel_conversion_ckpt" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.events
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("fv"))
+        .localCheckpoint(eager = false)
+      val fc = ev.filter(col("event_type") === "click")
+        .join(fv, "user_id").filter(col("ts_us") > col("fv"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("fc"))
+        .localCheckpoint(eager = false)
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fc, "user_id").filter(col("ts_us") > col("fc"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("fp"))
+      def stage(idx: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"), col("n_users"))
+      stage(1, "view", fv)
+        .unionByName(stage(2, "click_after_view", fc))
+        .unionByName(stage(3, "purchase_after_click", fp))
+        .orderBy("stage_idx")
+    }),
     // round-10 basket-cap A/B (VERDICT r9 item 5): the declared
     // slice-before-fanout co-purchase edge build vs a row-identical twin
     // that fans out the FULL basket then filters pairs to the capped set —
