@@ -359,9 +359,9 @@ object Analytics {
     "window_range_frame" -> ((s, d) => {
       s.sql(
         s"""SELECT o_orderkey, o_custkey,
-           |       round(sum(o_totalprice) OVER (
+           |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
            |         PARTITION BY o_custkey ORDER BY o_orderdate
-           |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+           |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) / 1e2
            |         AS sum_30d
            |FROM parquet.`$d/orders.parquet`
            |ORDER BY o_orderkey""".stripMargin)
@@ -520,9 +520,9 @@ object Analytics {
         |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
     "window_range_frame" ->
       """SELECT o_orderkey, o_custkey,
-        |       round(sum(o_totalprice) OVER (
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderdate
-        |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS sum_30d
+        |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) / 1e2 AS sum_30d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "window_ntile" ->
       s"""SELECT c_custkey, c_nationkey,

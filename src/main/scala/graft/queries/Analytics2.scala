@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{events, rd, rdSql, t}
+import graft.Tables.{events, moneySumCents, moneySumCentsSql, rd, rdSql, t}
 
 /** Round-3 analytic-SQL widening (SURVEY.md §2.14): statistical and bitwise
   * aggregates, deterministic mode/median, struct-ordering argmax, grouping
@@ -324,7 +324,7 @@ object Analytics2 {
     */
   def resampleHourly(ev: DataFrame, trailingHours: Int = 720): DataFrame = {
     val agg = ev.groupBy("user_id", "hr")
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      .agg(count(lit(1)).as("n"), moneySumCents(col("value")).as("sum_v"))
     // one-row global cutoff, broadcast into the per-user span clamp
     val cut = ev.agg((max(col("hr")) - lit(trailingHours - 1)).as("cut"))
     val spine = ev.groupBy("user_id")
@@ -457,9 +457,9 @@ object Analytics2 {
         |WHERE rn <= 2
         |ORDER BY n_name, c_custkey""".stripMargin,
     "resample_hourly" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value FROM events),
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value FROM events),
         |a AS (SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n,
-        |             round(sum(value), 4) AS sum_v
+        |             ${moneySumCentsSql("value")} AS sum_v
         |      FROM e GROUP BY 1, 2),
         |c AS (SELECT max(hr) - 719 AS cut FROM e),
         |b AS (SELECT user_id, greatest(min(hr), (SELECT cut FROM c)) AS h0,

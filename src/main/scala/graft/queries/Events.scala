@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.Tables.events
+import graft.Tables.{events, moneySumCents, moneySumCentsSql}
 
 /** Event-time queries over the simulated stream table (SURVEY.md §2.3
   * join_asof, §2.8 func_json, §2.10 batch formulations of the streaming
@@ -295,7 +295,7 @@ object Events {
       events(s, d)
         .withColumn("tsx", timestamp_micros(col("ts_us")))
         .groupBy(window(col("tsx"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        .agg(count(lit(1)).as("n"), moneySumCents(col("value")).as("sum_v"))
         .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
         .orderBy("ws", "event_type")
     }),
@@ -311,7 +311,7 @@ object Events {
           explode(array(col("w0"), col("w0") - 1800)).as("ws_epoch"),
           col("event_type"), col("value"))
         .groupBy("ws_epoch", "event_type")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+        .agg(count(lit(1)).as("n"), moneySumCents(col("value")).as("sum_v"))
         .orderBy("ws_epoch", "event_type")
     }),
 
@@ -489,16 +489,16 @@ object Events {
         |       CAST(json_extract(props, '$.zzz') AS BIGINT) AS missing
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
     "stream_tumbling" ->
-      """SELECT date_trunc('hour', ts) AS ws, event_type,
-        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_v
+      s"""SELECT date_trunc('hour', ts) AS ws, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, ${moneySumCentsSql("value")} AS sum_v
         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
     "stream_sliding" ->
-      """WITH e AS (SELECT (epoch_us(ts) // 1000000 // 1800) * 1800 AS w0, event_type, value
+      s"""WITH e AS (SELECT (epoch_us(ts) // 1000000 // 1800) * 1800 AS w0, event_type, value
         |           FROM events),
         |x AS (SELECT w0 - 1800 * k AS ws_epoch, event_type, value
         |      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
         |SELECT ws_epoch, event_type, CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(value), 4) AS sum_v
+        |       ${moneySumCentsSql("value")} AS sum_v
         |FROM x GROUP BY ws_epoch, event_type ORDER BY ws_epoch, event_type""".stripMargin,
     "stream_session" ->
       s"""$SessionCteSql

@@ -153,7 +153,7 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
           moneySumCents(col("l_extendedprice")).as("sum_base"),
           moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("sum_disc_price"),
@@ -351,7 +351,7 @@ object Relational {
         |LIMIT 20""".stripMargin,
     "agg_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 1e2 AS sum_qty,
         |       ${moneySumCentsSql("l_extendedprice")} AS sum_base,
         |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
         |       round(avg(l_discount), 6) AS avg_disc,

@@ -17,7 +17,7 @@ object SqlSurface {
   def aggGroupBySql(spark: SparkSession, d: String): DataFrame =
     spark.sql(
       s"""SELECT l_returnflag, l_linestatus,
-         |       round(sum(l_quantity), 2) AS sum_qty,
+         |       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 1e2 AS sum_qty,
          |       ${graft.Tables.moneySumCentsSql("l_extendedprice")} AS sum_base,
          |       ${graft.Tables.moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
          |       round(avg(l_discount), 6) AS avg_disc,

@@ -33,7 +33,7 @@ object Windows {
       t(s, d, "orders")
         .select(
           col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
-          round(sum(col("o_totalprice")).over(w), 2).as("run_total"))
+          (sum(round(col("o_totalprice") * 100).cast("long")).over(w) / 100.0).as("run_total"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
@@ -81,9 +81,9 @@ object Windows {
         |ORDER BY c_nationkey, rn""".stripMargin,
     "window_running_sum" ->
       """SELECT o_custkey, o_orderdate, o_orderkey,
-        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e2 AS run_total
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "window_lag_lead" ->
