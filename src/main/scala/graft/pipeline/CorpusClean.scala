@@ -20,6 +20,14 @@ import graft.operators.MinHashLsh
   */
 object CorpusClean {
 
+  /** Shingle width of the Jaccard-1.0 duplicate fingerprint. ONE constant
+    * drives all four coupled uses (the fused kernel's n, its n_tok >= n
+    * non-null domain filter, the composed twin's shingleSize, and the
+    * shingleless keep branch) — they must stay in lock-step or the
+    * always-kept/fingerprinted partition silently splits (advisor r15 #3).
+    */
+  private val ShingleSize = 3
+
   /** @param minTokens      drop docs shorter than this many tokens
     * @param maxPunctRatio  drop docs with more punctuation than this
     * @param nearDupJaccard shingle-Jaccard threshold for near-dup removal
@@ -128,9 +136,10 @@ object CorpusClean {
           val fused = org.apache.spark.sql.GraftSqlShim.column(
             graft.plans.ShingleSetHash(
               org.apache.spark.sql.GraftSqlShim.expression(col("norm")),
-              n = 3, seed1 = 42L, seed2 = 7L))
+              n = ShingleSize, seed1 = 42L, seed2 = 7L))
           keepers
-            .filter(col("n_tok") >= 3) // fused fp is non-null exactly here
+            // fused fp is non-null exactly here
+            .filter(col("n_tok") >= ShingleSize)
             .select(col("doc_id"), fused.as("fp"))
             .select(col("doc_id"),
               col("fp").getField("fp1").as("fp1"),
@@ -138,7 +147,7 @@ object CorpusClean {
         } else {
           val sh = keepers.select(
             col("doc_id"),
-            MinHashLsh.shingles(split(col("norm"), " "), shingleSize = 3).as("sh"))
+            MinHashLsh.shingles(split(col("norm"), " "), shingleSize = ShingleSize).as("sh"))
           def fpc(seed: Long) = org.apache.spark.sql.GraftSqlShim.column(
             graft.plans.SetHashSum(
               org.apache.spark.sql.GraftSqlShim.expression(col("sh")), seed))
@@ -149,9 +158,9 @@ object CorpusClean {
       // only (two 8-byte fingerprints, id) triples enter the exchange
       val keepIds = fp.groupBy("fp1", "fp2").agg(min(col("doc_id")).as("doc_id"))
         .drop("fp1", "fp2")
-      // shingles are empty iff the doc has < 3 tokens, and n_tok IS the
-      // split-token count — no kernel call needed to route this branch
-      val shingleless = keepers.filter(col("n_tok") < 3).select(col("doc_id"))
+      // shingles are empty iff the doc has < ShingleSize tokens, and n_tok
+      // IS the split-token count — no kernel call needed to route this branch
+      val shingleless = keepers.filter(col("n_tok") < ShingleSize).select(col("doc_id"))
       keepers.join(keepIds.union(shingleless), Seq("doc_id"), "left_semi")
     } else {
       // near-dup dedup over the survivors: drop any doc paired with a
