@@ -21,14 +21,15 @@ import graft.Tables.{rd, rdSql, t}
   * exact-integer temperature mixture allocation (α = 1/2).
   *
   * Scale notes (100 TB):
-  * - `text_seg_dedup` / `dedup_substring_spans` shuffle on the SEGMENT /
-  *   GRAM string — the same key discipline as `dedup_exact`: corpus-level
-  *   frequency is one hash aggregate, membership flows back by equi-join,
-  *   and the per-doc reassembly aggregate is bounded by document length
-  *   (sort_array over ≤ len/5 surviving segments). No window touches row
-  *   cardinality. At 100 TB the gram strings would be hashed to 64-bit
-  *   fingerprints before the shuffle (xxhash64 drop-in) — the join shape
-  *   is unchanged, so the string form is the honest small-scale twin.
+  * - `text_seg_dedup` / `dedup_substring_spans` key every shuffle on a
+  *   128-BIT two-seed xxhash64 FINGERPRINT of the segment / gram (round
+  *   16 — the r15 design note made real): corpus-level frequency is one
+  *   hash aggregate over 16-byte keys, membership flows back by equi-join
+  *   on the same keys, and the per-doc reassembly aggregate is bounded by
+  *   document length (sort_array over ≤ len/5 surviving segments).
+  *   Semantics stay defined on the string (oracles unchanged); the
+  *   collision bound at 1e12 distinct grams is ~1.5e-15 expected pairs.
+  *   The raw-string forms live on as AbBench twins (`*_str`).
   * - `sample_domain_quota` is the two-phase per-group top-k: a local
   *   row_number per (source, input-partition) prefilters to ≤ Q rows per
   *   partition BEFORE the per-source window, so no single task ever sorts
