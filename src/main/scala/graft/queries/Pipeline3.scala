@@ -218,13 +218,18 @@ object Pipeline3 {
     "text_novelty" -> ((s, d) => {
       // per-doc distinct 3-grams from the native kernel (plans.NGrams):
       // dedup happens INSIDE the row, so the old (g3, doc_id) groupBy
-      // shuffle is gone — the window's g3 exchange is now the only
-      // corpus-sized shuffle before the per-doc aggregate (2 total; the
-      // join-back formulation measured 1.47 s vs 0.9 s at sf0.1 before
-      // the kernel, and the kernel removed another ~⅓)
+      // shuffle is gone.
       // inline explode (round 13, the text_tfidf finding): the aliased
       // form let InferFiltersFromGenerate re-run the normText+shingle
-      // chain inside its inferred filter — 21.8 → 9.4 s at sf10
+      // chain inside its inferred filter — 21.8 → 9.4 s at sf10.
+      // Round 16 NEGATIVE: a fingerprint-keyed hash-agg + join-back (the
+      // text_seg_dedup discipline, 128-bit xxhash64 keys) measured 2.72×
+      // SLOWER interleaved at sf10 (21.7 vs 8.0 s) — it runs the
+      // explode+shingle kernel twice and pays TWO 27M-row shuffles (agg +
+      // probe) against ~20M distinct fingerprints, where the window pays
+      // ONE exchange+sort. The r13 join-back negative stands even with
+      // string keys replaced by fingerprints; twin kept as AbBench
+      // text_novelty_aggjoin.
       val g = t(s, d, "documents")
         .select(col("doc_id"),
           explode(graft.operators.MinHashLsh.shingles(toks(col("text")), 3)).as("g3"))

@@ -358,6 +358,27 @@ object AbBench {
     // the literal-map per-row fold
     "text_unigram_lm_join" -> ((s, d) =>
       graft.queries.Pipeline3.unigramLm(s, d, forceJoin = true)),
+    // round-16 novelty NEGATIVE twin: fingerprint-keyed hash-agg +
+    // join-back — 2.72x slower than the declared window form at sf10
+    // (double kernel pass + two 27M-row shuffles vs one exchange+sort)
+    "text_novelty_aggjoin" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val g = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.operators.MinHashLsh.shingles(
+            split(normText(col("text")), " "), 3)).as("g3"))
+        .select(col("doc_id"),
+          xxhash64(col("g3")).as("h1"), xxhash64(col("g3"), lit(1)).as("h2"))
+      val firsts = g.groupBy(col("h1"), col("h2"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      g.join(firsts, Seq("h1", "h2"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          round(avg((col("first_doc") === col("doc_id")).cast("double")), 4).as("novelty"))
+        .orderBy("doc_id")
+    }),
     // round-16 funnel A/B (VERDICT r15 item 8): the CHECKPOINTED chain —
     // measured 1.17x SLOWER than the declared recompute form at sf10
     // (materializing the per-user stage frames costs more than the
