@@ -300,6 +300,12 @@ object Corpus {
 
     val firstRows = emb.sort(col("vec_id")).limit(1).collect()
     if (firstRows.isEmpty) return result(Nil)
+    // NULL vectors (failed embedding jobs null the column at scale) cannot
+    // cross the driver boundary — the exact long arithmetic below has no
+    // null. Fall back to the incremental cluster form, whose SQL null
+    // semantics survive a null-riddled corpus by construction
+    // (NullCorpusSpec pins the no-crash contract on every declared key).
+    if (firstRows(0).isNullAt(1)) return coresetFps(s, d, incremental = true)
     val firstId = firstRows(0).getLong(0)
     val firstVec = firstRows(0).getSeq[Long](1).toArray
 
@@ -323,17 +329,25 @@ object Corpus {
     var pickedIds = Set(firstId)
     var pendingCenters: List[Array[Long]] = Nil // since last sync
 
+    // null-vector rows have NULL md2 (sqDist of a null operand) and sink
+    // below every real candidate in the desc order; they surface in a
+    // fetch only when fewer than `cand` real rows exist — detected here,
+    // same fallback as the first-row guard
+    final case class NullVec() extends Exception
     def fetch(): (Array[Cand], Long) = {
       val rows = state
         .filter(!col("vec_id").isin(pickedIds.toSeq: _*))
         .orderBy(col("md2").desc, col("vec_id"))
         .limit(cand)
         .collect()
+      if (rows.exists(r => r.isNullAt(1) || r.isNullAt(2))) throw NullVec()
       val cands = rows.map(r => Cand(r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
       val thr = if (cands.length < cand) Long.MinValue else cands.last.md2
       (cands, thr)
     }
-    var (cands, threshold) = fetch()
+    var (cands, threshold) = (Array.empty[Cand], 0L)
+    try { val ft = fetch(); cands = ft._1; threshold = ft._2 }
+    catch { case NullVec() => return coresetFps(s, d, incremental = true) }
 
     var i = 2
     while (i <= CoreK && (cands.nonEmpty || threshold > Long.MinValue)) {
