@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Analytics2, Corpus, Events, Extras, Functions3, Graphs, Pipeline3, PpdbQueries, Quality, Relational, Scalars, ScaleOps, TextPipeline, TextSim, TrainPrep, Windows, WindowOps}
+import graft.queries.{Analytics, Analytics2, Corpus, Curation, Events, Extras, Functions3, Graphs, Pipeline3, PpdbQueries, Quality, Relational, Scalars, ScaleOps, TextPipeline, TextSim, TrainPrep, Windows, WindowOps}
 import graft.sources.FileSources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,15 +28,16 @@ object SparkEntry {
       FileSources.queries ++ ScaleOps.queries ++ Analytics2.queries ++
       Functions3.queries ++ Pipeline3.queries ++ WindowOps.queries ++
       Graphs.queries ++ TextSim.queries ++ TrainPrep.queries ++
-      Corpus.queries
+      Corpus.queries ++ Curation.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted on purpose for the nine approximate
+    * the same parquet tables. Omitted on purpose for the ten approximate
     * operators (`agg_approx_distinct`, `agg_approx_percentile`,
     * `agg_approx_topk`, `agg_hll_union`, `agg_kmv_distinct`,
     * `agg_weighted_median_approx`, `dedup_minhash`, `sim_ann_lsh`,
-    * `sim_ann_ivf`) → driver records a weaker rows-only check; each has a
-    * hash-checked exact twin (SURVEY.md §2.4, §2.11, §2.12).
+    * `sim_ann_ivf`, `sim_ann_pq`) → driver records a weaker rows-only
+    * check; each has a hash-checked exact twin (SURVEY.md §2.4, §2.11,
+    * §2.12, §2.20).
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ PpdbQueries.oracle ++ Windows.oracle ++
@@ -45,5 +46,5 @@ object SparkEntry {
       FileSources.oracle ++ ScaleOps.oracle ++ Analytics2.oracle ++
       Functions3.oracle ++ Pipeline3.oracle ++ WindowOps.oracle ++
       Graphs.oracle ++ TextSim.oracle ++ TrainPrep.oracle ++
-      Corpus.oracle
+      Corpus.oracle ++ Curation.oracle
 }

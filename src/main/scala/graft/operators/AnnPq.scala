@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization approximate nearest-neighbor search (Jégou, Douze,
+  * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI 2011)
+  * — the third ANN family next to [[AnnLsh]] (hash-bucketed) and [[AnnIvf]]
+  * (coarse-quantizer-pruned): the corpus is COMPRESSED, not pruned. Each
+  * unit-normalized vector is sliced into `m` subvectors and each subvector
+  * replaced by the id of its nearest per-subspace codebook centroid, so a
+  * dim-double vector becomes `m` small ints (dim·8 bytes → m bytes at
+  * k_sub ≤ 256 — 64× here). Search is ADC (asymmetric distance
+  * computation): per query, a LUT of subspace dot products turns each
+  * corpus row's score into `m` table lookups + adds — no per-row float
+  * vector ever rescans.
+  *
+  * The deliverable trade vs the other two families: LSH/IVF cut the
+  * CANDIDATE COUNT but still read full vectors for candidates; PQ reads
+  * every row but only `m` BYTES of it. At 100 TB of embeddings the
+  * PQ-coded table is ~1.5 TB — the difference between "the index fits in
+  * cluster RAM" and "it doesn't". The standard composition (IVF-PQ:
+  * coarse-prune THEN scan codes) is one `.join` away from these parts;
+  * the declared key keeps pure PQ so each mechanism is gated separately.
+  *
+  * Exactness/recall discipline (the family contract):
+  *  - codebooks are fit EXECUTOR-SIDE over the same bounded deterministic
+  *    hash-ordered sample as [[AnnIvf.fitCentroids]] (seeded Lloyd via
+  *    [[AnnIvf.fitLocal]], seed varies per subspace) — no corpus vector is
+  *    ever collected; only m·kSub·(dim/m) centroid doubles cross back.
+  *  - the ADC pass RANKS but never reports: the top-`rerank` candidates
+  *    per query are re-scored with the EXACT cosine kernels
+  *    (graft.plans.VecExprs — bit-identical to sim_knn_cosine's), so every
+  *    reported (nid, cos) row is exact; only membership of the candidate
+  *    set is approximate. Recall@5 ≥ 0.8 vs the brute-force twin is
+  *    spec-pinned (AnnPqSpec), the [[AnnLsh]]/[[AnnIvf]] bar.
+  *  - deterministic end to end: seeded fit, deterministic sample,
+  *    strict-< argmin encode, (score desc, vec_id) and (cos desc, vec_id)
+  *    total orders at both ranking stages.
+  *
+  * Scale design (100 TB): encode is one map pass (codes shuffle nowhere);
+  * scoring is a broadcast of ≤ q·m·kSub LUT doubles against the coded
+  * scan; per-query top-`rerank` is the TWO-PHASE heap pattern (local
+  * row_number per (query, input partition) bounds what any single task
+  * sorts — the sample_domain_quota discipline); only rerank·q candidate
+  * ids reach the exact re-rank join.
+  */
+object AnnPq {
+
+  /** Top-k approximate neighbors, exact-rescored. emb: (vec_id,
+    * vec array<double>); queries: (qid, qvec array<double>).
+    */
+  def topK(
+      emb0: DataFrame,
+      queries0: DataFrame,
+      k: Int = 5,
+      m: Int = 8,
+      kSub: Int = 16,
+      rerank: Int = 64,
+      sampleCap: Int = 4096): DataFrame = {
+
+    // ANN family input contract (AnnIvf/AnnLsh): null vectors fail loudly —
+    // silently dropping them from the coded index is invisible recall loss.
+    def requireVec(vec: Column, side: String): Column =
+      when(vec.isNotNull, vec).otherwise(raise_error(lit(
+        s"AnnPq: null $side vector (ANN input contract: filter null embeddings upstream)")))
+    val emb = emb0.withColumn("vec", requireVec(col("vec"), "corpus"))
+    val queries = queries0.withColumn("qvec", requireVec(col("qvec"), "query"))
+    val spark = emb.sparkSession
+
+    val books = fitCodebooks(emb, m, kSub, iters = 5, sampleCap = sampleCap)
+    if (books.isEmpty) {
+      // empty corpus → empty result with the contract schema
+      return queries
+        .select(col("qid"), lit(0L).as("rnk"), col("qid").as("nid"), lit(0.0).as("cos"))
+        .limit(0)
+    }
+
+    // ── encode: one map pass, vector → m code bytes ────────────────────
+    // Closure UDF on purpose (AnnIvf.nearestUdf rationale): the expression
+    // form would inline m·kSub·subDim centroid literals into one codegen
+    // tree that janino chokes on.
+    val encodeUdf = udf((v: Seq[Double]) => {
+      val u = normalize(v.toArray)
+      val subDim = u.length / books.length
+      val codes = new Array[Int](books.length)
+      var mi = 0
+      while (mi < books.length) {
+        val cb = books(mi)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          val cv = cb(c)
+          var s = 0.0; var i = 0
+          while (i < subDim) {
+            val dx = u(mi * subDim + i) - cv(i); s += dx * dx; i += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        codes(mi) = best
+        mi += 1
+      }
+      codes
+    })
+    // fan out: a one-file scan arrives as one partition; encode + ADC are
+    // CPU bound (the AnnIvf assignment rationale)
+    val coded = emb
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), encodeUdf(col("vec")).as("codes"))
+
+    // ── per-query ADC lookup tables (bounded: queries are the tiny side;
+    // only q·m·kSub doubles ever reach the driver — never a corpus row) ──
+    val qRows = queries.select(col("qid"), col("qvec")).collect()
+    val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
+      val qid = r.getLong(0)
+      val u = normalize(r.getSeq[Double](1).toArray)
+      val subDim = u.length / books.length
+      val lut = Array.tabulate(books.length) { mi =>
+        val cb = books(mi)
+        Array.tabulate(cb.length) { c =>
+          var s = 0.0; var i = 0
+          while (i < subDim) { s += u(mi * subDim + i) * cb(c)(i); i += 1 }
+          s
+        }
+      }
+      qid -> lut
+    }.toMap
+    val scoreUdf = udf((codes: Seq[Int], qid: Long) => {
+      val lut = luts(qid)
+      var s = 0.0; var mi = 0
+      while (mi < lut.length) { s += lut(mi)(codes(mi)); mi += 1 }
+      s
+    })
+
+    // ── compressed-domain scan + two-phase top-rerank per query ─────────
+    val scored = coded
+      .crossJoin(broadcast(queries.select(col("qid"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), scoreUdf(col("codes"), col("qid")).as("score"))
+    val localW = Window.partitionBy(col("qid"), col("pid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val globalW = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val cands = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lr", row_number().over(localW)).filter(col("lr") <= rerank)
+      .withColumn("gr", row_number().over(globalW)).filter(col("gr") <= rerank)
+      .select(col("qid").as("c_qid"), col("vec_id"))
+
+    // ── exact re-rank of the ≤ rerank·q candidates ──────────────────────
+    val dot = graft.functions.Vec.dotNative(spark, "vec", "qvec")
+    val nv = graft.functions.Vec.l2Native(spark, "vec")
+    val nq = graft.functions.Vec.l2Native(spark, "qvec")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cands
+      .join(emb, "vec_id")
+      .join(broadcast(queries), col("c_qid") === col("qid"))
+      .withColumn("cos", dot / (nv * nq))
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id").as("nid"), col("cos"))
+  }
+
+  /** Unit-normalize (cosine domain — ADC dot products on unit vectors rank
+    * by cosine). A zero vector stays zero: deterministic, scores 0
+    * everywhere, never a NaN.
+    */
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    if (s == 0.0) return v
+    val inv = 1.0 / math.sqrt(s)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+    out
+  }
+
+  /** Executor-side per-subspace codebook fit over the bounded
+    * deterministic sample (the [[AnnIvf.fitCentroids]] sampling, sliced
+    * into `m` subspaces, [[AnnIvf.fitLocal]] per slice with a per-subspace
+    * seed). Returns books(mi)(c) = centroid c of subspace mi, or empty on
+    * an empty corpus. Fails loudly if dim is not divisible by `m` — a
+    * silent ragged slice would mis-encode every vector.
+    */
+  private[operators] def fitCodebooks(
+      emb: DataFrame, m: Int, kSub: Int, iters: Int, sampleCap: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.{Encoder, Row}
+    implicit val enc: Encoder[Seq[Seq[Seq[Double]]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Seq[Double]]]]()
+    emb
+      .select(col("vec_id"), col("vec"),
+        pmod(xxhash64(col("vec_id")), lit(1000000007L)).as("hk"))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(sampleCap)
+      .coalesce(1)
+      .mapPartitions { (it: Iterator[Row]) =>
+        val rows = it.toArray.sortBy(r => (r.getLong(2), r.getLong(0)))
+        val pts = rows.map(r => normalize(r.getSeq[Double](1).toArray))
+        if (pts.isEmpty) Iterator.empty
+        else {
+          val dim = pts(0).length
+          require(dim % m == 0,
+            s"AnnPq: dim $dim not divisible by m=$m subspaces")
+          val subDim = dim / m
+          val books: Seq[Seq[Seq[Double]]] = (0 until m).toList.map { mi =>
+            val sub = pts.map(p => java.util.Arrays.copyOfRange(p, mi * subDim, (mi + 1) * subDim))
+            AnnIvf.fitLocal(sub, kSub, iters, seed = 42L + mi)
+              .map(_.toSeq).toSeq
+          }.toSeq
+          Iterator.single(books)
+        }
+      }
+      .collect()
+      .headOption
+      .map(_.map(_.map(_.toArray).toArray).toArray)
+      .getOrElse(Array.empty[Array[Array[Double]]])
+  }
+}

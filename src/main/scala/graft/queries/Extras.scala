@@ -213,6 +213,23 @@ object Extras {
         .orderBy("qid", "rnk")
     }),
 
+    // PQ ANN (product quantization + ADC scan, exact re-rank) — the THIRD
+    // ANN family (round 16): LSH prunes by hash bucket, IVF by coarse cell;
+    // PQ compresses every vector to m=8 code bytes and scans the
+    // compressed domain, the memory-bound regime's answer (the coded 100 TB
+    // table is ~1.5 TB). Approximate ⇒ oracle-less; recall vs
+    // sim_knn_cosine is spec-pinned (AnnPqSpec), and every reported cosine
+    // is EXACT (re-rank kernel = the brute-force twin's).
+    "sim_ann_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      graft.operators.AnnPq.topK(emb, q, k = 5, m = 8, kSub = 32, rerank = 128)
+        .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
     // Multimodal binary column with a REAL javax.imageio decode: committed
     // png/jpg/bmp payloads (fixtures/media_images.parquet, see
     // tools.GenMediaFixture) → true width/height/format + a checksum over

@@ -233,6 +233,30 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Recursive-CTE fixpoint of the near-dup component labels — the oracle
+    * core of `dedup_components`, shared with `dedup_cluster_rep`
+    * (queries.Curation): `t` = the blocked doc frame (doc_id, lang, toks),
+    * `comp` = (doc_id, component). Callers append their own final SELECT.
+    */
+  private[graft] val ComponentsCteSql: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, lang, list_distinct(string_split($norm, ' ')) AS toks
+       |  FROM documents WHERE doc_id < 500),
+       |e AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7),
+       |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |walk AS (
+       |  SELECT doc_id AS node, doc_id AS lbl FROM t
+       |  UNION
+       |  SELECT s.dst AS node, w.lbl
+       |  FROM walk w JOIN sym s ON s.src = w.node),
+       |comp AS (
+       |  SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+       |  FROM walk GROUP BY node)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "join_salted" ->
       s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
@@ -244,22 +268,8 @@ object ScaleOps {
          |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
          |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "dedup_components" ->
-      s"""WITH RECURSIVE t AS (
-         |  SELECT doc_id, lang, list_distinct(string_split($norm, ' ')) AS toks
-         |  FROM documents WHERE doc_id < 500),
-         |e AS (
-         |  SELECT a.doc_id AS src, b.doc_id AS dst
-         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-         |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7),
-         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-         |walk AS (
-         |  SELECT doc_id AS node, doc_id AS lbl FROM t
-         |  UNION
-         |  SELECT s.dst AS node, w.lbl
-         |  FROM walk w JOIN sym s ON s.src = w.node)
-         |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
-         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+      s"""$ComponentsCteSql
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
     "cte_recursive" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT TIMESTAMP '1995-01-01' AS m

@@ -80,8 +80,8 @@ class PlanSpec extends SparkSpec {
     // are held to the full rule below.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LogicalPlan, Union, Window => LWindow}
     val autoCrossover = Set("doc_shard_assign", "skyline_pareto", "agg_weighted_median")
-    val checkpointed = Set("dedup_components", "pipeline_corpus_clean", "sim_ann_ivf",
-      "graph_pagerank")
+    val checkpointed = Set("dedup_components", "dedup_cluster_rep",
+      "pipeline_corpus_clean", "sim_ann_ivf", "graph_pagerank")
     // A frame is BOUNDED iff every path from the window's input down to a
     // leaf passes through an Aggregate (group-cardinality bound) or a
     // GlobalLimit (rank_fusion ranks within each system's top-500 list —
@@ -144,16 +144,18 @@ class PlanSpec extends SparkSpec {
     //   sample_diversity / sample_coreset / sample_temperature /
     //   doc_shard_assign — broadcast a ≤k-row centroid/quota/boundary frame
     //   (k = declared cluster/stratum count, constant in corpus size)
+    //   sim_ann_pq      — broadcast of the ≤q-row query-id frame against
+    //   the coded scan (the ADC pass; q = declared query count, constant)
     val declaredBounded = Set("join_cross", "sim_knn_cosine", "embedding_kmeans",
       "dedup_semantic", "sample_diversity", "doc_shard_assign", "sample_temperature",
-      "sample_coreset")
+      "sample_coreset", "sim_ann_pq")
     // these run real jobs at construction time (quantizer-sample collect,
     // iterative label rounds), and for the localCheckpoint-based ones the
     // executedPlan is a truncated checkpoint scan this test couldn't see
     // joins through anyway — their shapes are asserted by their operator
     // specs instead
-    val checkpointed = Set("dedup_components", "pipeline_corpus_clean", "sim_ann_ivf",
-      "graph_pagerank")
+    val checkpointed = Set("dedup_components", "dedup_cluster_rep",
+      "pipeline_corpus_clean", "sim_ann_ivf", "graph_pagerank")
     // ≤1-row build: walking down through exchanges/projects, the first
     // aggregate hit must be a no-grouping (global) aggregate; a BNLJ of two
     // one-row sides (graph_triangles' census, compact_files' report) is
