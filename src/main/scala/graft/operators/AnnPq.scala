@@ -48,6 +48,39 @@ import org.apache.spark.sql.functions._
   */
 object AnnPq {
 
+  /** Adaptive code-budget ladder (the [[AnnIvf.listsFor]] discipline for
+    * the PQ family). A FIXED code length has a measured scale cliff: at
+    * the 4.2M-vector rung the true top-5 cosine gap shrinks (extreme-value
+    * concentration over n draws) until 8×32 quantization noise swamps it —
+    * recall@5 fell 1.000 (sf0.01) → 0.14. Two knobs must track n:
+    *
+    *  - CODE LENGTH: m=8 subspaces below [[BigCorpus]] vectors, m=16 above
+    *    (and kSub 32 → 256, the FAISS 8-bit-code standard) — 128-bit codes
+    *    are the published regime for 1e9-scale corpora (BigANN-class
+    *    IVF-PQ16 setups), and the measured rung ladder here agrees:
+    *    at 4.2M, 8×32 → 0.14, 8×256 → 0.66, 16×256 → 0.96 recall@5 at
+    *    rerank=512.
+    *  - RE-RANK LIST: rerank = max(128, ⌈√n⌉) — the exact-rescore list
+    *    grows with the same √n rule as the IVF cell ladder, keeping the
+    *    re-rank join bounded (√n · q rows ≈ 3e5 for q=10 at n=1e9) while
+    *    restoring the tail: 16×256 at rerank=⌈√4.2M⌉=2050 measures
+    *    recall@5 = 1.000 on the rung.
+    *
+    * The fit sample follows [[AnnIvf.sampleCapFor]]'s ≥16-points-per-
+    * centroid rule (4096 at kSub=256 — per-SUBSPACE fits see every sample
+    * row, so the floor binds, not the product).
+    */
+  val BigCorpus = 1000000L
+
+  def topKAdaptive(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val n = emb.count()
+    val (m, kSub) = if (n < BigCorpus) (8, 32) else (16, 256)
+    val rerank = math.max(128L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      .min(Int.MaxValue.toLong).toInt
+    topK(emb, queries, k, m = m, kSub = kSub, rerank = rerank,
+      sampleCap = math.max(4096, 16 * kSub))
+  }
+
   /** Top-k approximate neighbors, exact-rescored. emb: (vec_id,
     * vec array<double>); queries: (qid, qvec array<double>).
     */

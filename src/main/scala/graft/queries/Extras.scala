@@ -225,7 +225,11 @@ object Extras {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-      graft.operators.AnnPq.topK(emb, q, k = 5, m = 8, kSub = 32, rerank = 128)
+      // adaptive code budget (AnnPq.topKAdaptive): 8×32 codes below 1M
+      // vectors, 16×256 + √n re-rank above — the measured rung ladder
+      // (recall@5 = 1.000 at sf0.01 AND at the 4.2M rung; a FIXED 8×32
+      // was measured collapsing 1.000 → 0.14 at 4.2M, AnnPq scaladoc)
+      graft.operators.AnnPq.topKAdaptive(emb, q, k = 5)
         .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
         .orderBy("qid", "rnk")
     }),

@@ -53,6 +53,22 @@ class AnnPqSpec extends SparkSpec {
     }
   }
 
+  test("recall holds at the 4.2M-vector rung (codebooks from a 4096-row sample of 4.2M)") {
+    // the Round13Spec emb4m gate for the PQ family: the fit sample is a
+    // fixed 4096 rows however large the corpus grows, so this pins that
+    // sample-fit codebooks still rank well at 1000x the sample size
+    assume(new java.io.File("/tmp/emb4m/embeddings.parquet").exists)
+    val sf = "/tmp/emb4m"
+    val exact = top5("sim_knn_cosine", sf)
+    val approx = top5("sim_ann_pq", sf)
+    val recalls = exact.map { case (qid, ex) =>
+      approx.getOrElse(qid, Set.empty[Long]).intersect(ex).size / ex.size.toDouble
+    }
+    val r = recalls.sum / recalls.size
+    info(f"sim_ann_pq mean recall@5 at 4.2M vectors = $r%.3f")
+    assert(r >= 0.8, f"PQ mean recall@5 at 4.2M = $r%.3f")
+  }
+
   test("deterministic: two runs produce identical rows") {
     val a = q("sim_ann_pq").collect().map(_.toString).toSeq
     val b = q("sim_ann_pq").collect().map(_.toString).toSeq

@@ -87,6 +87,43 @@ class StreamingSf01Spec extends SparkSpec {
     }
   }
 
+  test("multi-batch file stream: sliding windows match the batch twin over sf0.1") {
+    // round 16, the 5th end-to-end gate: the OVERLAPPING-window aggregation
+    // (1h windows sliding by 30min — every event lives in exactly 2
+    // windows) replayed multi-batch. The batch twin (`stream_sliding`)
+    // buckets via explicit epoch arithmetic, the streaming side via the
+    // builtin window(…, '1 hour', '30 minutes'); both are epoch-aligned,
+    // so (window-start epoch, event_type, n) must agree key-for-key.
+    assume(new java.io.File(s"$sfDir/events.parquet").exists)
+    val stream = StreamingJobs.eventsFileStream(spark, landing, maxFilesPerTrigger = 2)
+    val batches = runStream(StreamingJobs.sliding(stream), "sf01slide", OutputMode.Update)
+    assert(batches >= 3, s"expected a genuinely multi-batch run, got $batches batches")
+    val expected = SparkEntry.queries("stream_sliding")(spark, sfDir)
+    val maxWs = expected.agg(max(col("ws_epoch"))).head().getLong(0)
+    // update mode re-emits a window each batch it changes; final state of a
+    // key is its max-n row (the tumbling-gate reading)
+    val got = spark.table("sf01slide")
+      .select(expr("unix_micros(ws) div 1000000").as("ws_epoch"),
+        col("event_type"), col("n"), col("sum_v"))
+      .groupBy(col("ws_epoch"), col("event_type"))
+      .agg(max(struct(col("n"), col("sum_v"))).as("m"))
+      .filter(col("ws_epoch") <= maxWs) // drop the sentinel's windows
+      .select(col("ws_epoch"), col("event_type"), col("m.n").as("n"), col("m.sum_v").as("sum_v"))
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_.toString)
+    val expRows = expected.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_.toString)
+    assert(gotRows.length === expRows.length, "window count differs from the batch twin")
+    assert(gotRows.toSeq === expRows.toSeq)
+    // sums agree to rounding (streaming side is an unrounded double sum)
+    val gotSums = got.collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getDouble(3))).toMap
+    expected.collect().foreach { r =>
+      val k = (r.getLong(0), r.getString(1))
+      assert(math.abs(gotSums(k) - r.getDouble(3)) < 1e-4, s"sum_v diverged for $k")
+    }
+  }
+
   test("multi-batch file stream: watermarked stream-stream join matches the batch twin over sf0.1") {
     // VERDICT r11 item 8: the view→purchase interval join (both sides
     // watermarked, event time bounded on BOTH ends so state stores evict)
