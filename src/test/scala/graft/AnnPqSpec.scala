@@ -59,7 +59,7 @@ class AnnPqSpec extends SparkSpec {
     // sample-fit codebooks still rank well at 1000x the sample size
     assume(new java.io.File("/tmp/emb4m/embeddings.parquet").exists)
     val sf = "/tmp/emb4m"
-    val exact = top5("sim_knn_cosine", sf)
+    val exact = Emb4mExact.top5(spark) // shared with the IVF rung gate
     val approx = top5("sim_ann_pq", sf)
     val recalls = exact.map { case (qid, ex) =>
       approx.getOrElse(qid, Set.empty[Long]).intersect(ex).size / ex.size.toDouble
