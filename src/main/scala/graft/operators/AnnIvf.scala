@@ -304,7 +304,7 @@ object AnnIvf {
   /** Ranked center indices by squared L2, nearest first (probe side only —
     * queries are tiny).
     */
-  private def rankedIdx(centers: Array[Array[Double]], q: Array[Double]): Seq[Int] =
+  private[operators] def rankedIdx(centers: Array[Array[Double]], q: Array[Double]): Seq[Int] =
     centers.indices.map { c =>
       val cv = centers(c)
       var s = 0.0; var i = 0

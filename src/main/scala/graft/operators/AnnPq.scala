@@ -111,10 +111,30 @@ object AnnPq {
     }
 
     // ── encode: one map pass, vector → m code bytes ────────────────────
-    // Closure UDF on purpose (AnnIvf.nearestUdf rationale): the expression
-    // form would inline m·kSub·subDim centroid literals into one codegen
-    // tree that janino chokes on.
-    val encodeUdf = udf((v: Seq[Double]) => {
+    // fan out: a one-file scan arrives as one partition; encode + ADC are
+    // CPU bound (the AnnIvf assignment rationale)
+    val coded = emb
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), encoder(books)(col("vec")).as("codes"))
+
+    // ── compressed-domain scan: every coded row scores against every
+    // query (pure PQ — the pruned composition lives in AnnIvfPq) ─────────
+    val scored = coded
+      .crossJoin(broadcast(queries.select(col("qid"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        adcScorer(queries, books)(col("codes"), col("qid")).as("score"))
+    val cands = topRerank(scored, rerank)
+    exactRerank(cands, emb, queries, k)
+  }
+
+  /** Encode closure UDF: vector → m nearest-subspace-centroid codes on the
+    * unit-normalized vector. A closure UDF on purpose (AnnIvf.nearestUdf
+    * rationale): the expression form would inline m·kSub·subDim centroid
+    * literals into one codegen tree that janino chokes on.
+    */
+  private[operators] def encoder(books: Array[Array[Array[Double]]]) =
+    udf((v: Seq[Double]) => {
       val u = normalize(v.toArray)
       val subDim = u.length / books.length
       val codes = new Array[Int](books.length)
@@ -137,14 +157,14 @@ object AnnPq {
       }
       codes
     })
-    // fan out: a one-file scan arrives as one partition; encode + ADC are
-    // CPU bound (the AnnIvf assignment rationale)
-    val coded = emb
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), encodeUdf(col("vec")).as("codes"))
 
-    // ── per-query ADC lookup tables (bounded: queries are the tiny side;
-    // only q·m·kSub doubles ever reach the driver — never a corpus row) ──
+  /** ADC score closure UDF: per-query lookup tables of subspace dot
+    * products, built driver-side from the (tiny) query frame — only
+    * q·m·kSub doubles ever reach the driver, never a corpus row.
+    * score(codes, qid) = Σ lut(qid)(mi)(codes(mi)).
+    */
+  private[operators] def adcScorer(
+      queries: DataFrame, books: Array[Array[Array[Double]]]) = {
     val qRows = queries.select(col("qid"), col("qvec")).collect()
     val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
       val qid = r.getLong(0)
@@ -160,29 +180,38 @@ object AnnPq {
       }
       qid -> lut
     }.toMap
-    val scoreUdf = udf((codes: Seq[Int], qid: Long) => {
+    udf((codes: Seq[Int], qid: Long) => {
       val lut = luts(qid)
       var s = 0.0; var mi = 0
       while (mi < lut.length) { s += lut(mi)(codes(mi)); mi += 1 }
       s
     })
+  }
 
-    // ── compressed-domain scan + two-phase top-rerank per query ─────────
-    val scored = coded
-      .crossJoin(broadcast(queries.select(col("qid"))))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), scoreUdf(col("codes"), col("qid")).as("score"))
+  /** Two-phase top-`rerank` per query over a scored (qid, vec_id, score)
+    * frame — local row_number per (query, input partition) bounds what any
+    * single task sorts (the sample_domain_quota heap discipline). Returns
+    * (c_qid, vec_id) candidate pairs.
+    */
+  private[operators] def topRerank(scored: DataFrame, rerank: Int): DataFrame = {
     val localW = Window.partitionBy(col("qid"), col("pid"))
       .orderBy(col("score").desc, col("vec_id"))
     val globalW = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
-    val cands = scored
+    scored
       .withColumn("pid", spark_partition_id())
       .withColumn("lr", row_number().over(localW)).filter(col("lr") <= rerank)
       .withColumn("gr", row_number().over(globalW)).filter(col("gr") <= rerank)
       .select(col("qid").as("c_qid"), col("vec_id"))
+  }
 
-    // ── exact re-rank of the ≤ rerank·q candidates ──────────────────────
+  /** Exact cosine re-rank of the ≤ rerank·q (c_qid, vec_id) candidates —
+    * the kernel is bit-identical to the brute-force twin's, so every
+    * reported cosine is exact; only candidate MEMBERSHIP was approximate.
+    */
+  private[operators] def exactRerank(
+      cands: DataFrame, emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
     val dot = graft.functions.Vec.dotNative(spark, "vec", "qvec")
     val nv = graft.functions.Vec.l2Native(spark, "vec")
     val nq = graft.functions.Vec.l2Native(spark, "qvec")
@@ -201,7 +230,7 @@ object AnnPq {
     * by cosine). A zero vector stays zero: deterministic, scores 0
     * everywhere, never a NaN.
     */
-  private def normalize(v: Array[Double]): Array[Double] = {
+  private[operators] def normalize(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     if (s == 0.0) return v

@@ -234,6 +234,21 @@ object Extras {
         .orderBy("qid", "rnk")
     }),
 
+    // IVF-PQ ANN — the composition of the two (FAISS IndexIVFPQ, the
+    // standard billion-scale architecture): the coarse quantizer PRUNES to
+    // nProbe cells, the PQ codes make what's scanned 64× narrower — the
+    // only family member with BOTH the candidate cut and the bandwidth
+    // cut. Approximate ⇒ oracle-less; recall gate beside the parents'.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      graft.operators.AnnIvfPq.topKAdaptive(emb, q, k = 5)
+        .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
     // Multimodal binary column with a REAL javax.imageio decode: committed
     // png/jpg/bmp payloads (fixtures/media_images.parquet, see
     // tools.GenMediaFixture) → true width/height/format + a checksum over

@@ -75,6 +75,32 @@ class AnnPqSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // ---- the IVF-PQ composition (sim_ann_ivfpq) ----
+
+  test("sim_ann_ivfpq recall@5 >= 0.8 vs brute force over all 10 queries at sf0.01") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val sf = "/root/testdata/sf0.01"
+    val exact = top5("sim_knn_cosine", sf)
+    val approx = top5("sim_ann_ivfpq", sf)
+    val recalls = exact.map { case (qid, ex) =>
+      approx.getOrElse(qid, Set.empty[Long]).intersect(ex).size / ex.size.toDouble
+    }
+    val r = recalls.sum / recalls.size
+    assert(r >= 0.8, f"IVF-PQ mean recall@5 = $r%.3f")
+  }
+
+  test("sim_ann_ivfpq recall holds at the 4.2M-vector rung (prune AND compress)") {
+    assume(new java.io.File("/tmp/emb4m/embeddings.parquet").exists)
+    val exact = Emb4mExact.top5(spark) // shared ground truth
+    val approx = top5("sim_ann_ivfpq", "/tmp/emb4m")
+    val recalls = exact.map { case (qid, ex) =>
+      approx.getOrElse(qid, Set.empty[Long]).intersect(ex).size / ex.size.toDouble
+    }
+    val r = recalls.sum / recalls.size
+    info(f"sim_ann_ivfpq mean recall@5 at 4.2M vectors = $r%.3f")
+    assert(r >= 0.8, f"IVF-PQ mean recall@5 at 4.2M = $r%.3f")
+  }
+
   test("fitCodebooks: empty corpus yields empty books; topK yields empty result") {
     val de = TestTables.dirEmpty(spark)
     val out = SparkEntry.queries("sim_ann_pq")(spark, de)

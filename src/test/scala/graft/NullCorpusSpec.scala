@@ -21,8 +21,8 @@ class NullCorpusSpec extends SparkSpec {
     * the CLEAR refusal message instead of success.
     */
   private val refusesNullVectors =
-    Set("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "dedup_embedding_ann",
-      "dedup_embedding")
+    Set("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq",
+      "dedup_embedding_ann", "dedup_embedding")
 
   private def causeChain(e: Throwable): String = {
     val sb = new StringBuilder

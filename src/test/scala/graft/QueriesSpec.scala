@@ -10,14 +10,15 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 213 declared queries (53 SURVEY §2 + 160 extras), 203 with oracles") {
-    assert(SparkEntry.queries.size === 213)
+  test("inventory: 214 declared queries (53 SURVEY §2 + 161 extras), 203 with oracles") {
+    assert(SparkEntry.queries.size === 214)
     assert(SparkEntry.oracleSql.size === 203)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
-      "sim_ann_pq", "agg_kmv_distinct", "agg_approx_percentile",
-      "agg_hll_union", "agg_approx_topk", "agg_weighted_median_approx"))
+      "sim_ann_pq", "sim_ann_ivfpq", "agg_kmv_distinct",
+      "agg_approx_percentile", "agg_hll_union", "agg_approx_topk",
+      "agg_weighted_median_approx"))
   }
 
   test("sim_ann_ivf recall: finds the aligned vector for query 0") {
