@@ -69,15 +69,29 @@ object AnnIvfPq {
     val spark = emb.sparkSession
 
     // spherical coarse quantizer: cells live on the unit sphere like the
-    // codes, so cell-nearness tracks angle, not magnitude (both fits read
-    // the same unit frame; the exact re-rank reads the RAW vectors)
+    // codes, so cell-nearness tracks angle, not magnitude. The unit frame
+    // is built from ONE pre-sampled slice, not the whole corpus: both fits
+    // sample the top-cap rows by (xxhash64(vec_id), vec_id), so sampling
+    // the max of the two caps FIRST and normalizing only those rows gives
+    // each fit its exact same sample (re-sampling a hash-ordered superset
+    // by the same key is a prefix) while the per-row normalize UDF runs
+    // O(cap) times instead of O(n) — at the 4.2M rung that was a full
+    // redundant corpus pass per fit (review finding, round 16b).
+    val capC = AnnIvf.sampleCapFor(nLists)
+    val capB = math.max(4096, 16 * kSub)
     val normalizeUdf = udf((v: Seq[Double]) => AnnPq.normalize(v.toArray).toSeq)
-    val unit = emb.select(col("vec_id"), normalizeUdf(col("vec")).as("vec"))
+    val unitSample = emb
+      .select(col("vec_id"), col("vec"),
+        pmod(xxhash64(col("vec_id")), lit(1000000007L)).as("hk"))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(math.max(capC, capB))
+      .select(col("vec_id"), normalizeUdf(col("vec")).as("vec"))
+      .localCheckpoint() // both fits scan it; ≤ max(capC, capB) rows
 
-    val centers = AnnIvf.fitCentroids(unit, nLists, iters = 5,
-      sampleCap = AnnIvf.sampleCapFor(nLists))
-    val books = AnnPq.fitCodebooks(unit, m, kSub, iters = 5,
-      sampleCap = math.max(4096, 16 * kSub))
+    val centers = AnnIvf.fitCentroids(unitSample, nLists, iters = 5,
+      sampleCap = capC)
+    val books = AnnPq.fitCodebooks(unitSample, m, kSub, iters = 5,
+      sampleCap = capB)
     if (centers.isEmpty || books.isEmpty) {
       return queries
         .select(col("qid"), lit(0L).as("rnk"), col("qid").as("nid"), lit(0.0).as("cos"))

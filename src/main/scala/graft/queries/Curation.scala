@@ -61,11 +61,11 @@ object Curation {
   private val WStop = 3.0
   private val WWlen = 1.0
 
-  /** The en-stopword marker set — same 5 markers `text_quality`'s stop
-    * ratio uses (queries.Extras), so the logistic model's stop feature is
-    * the proven-parity one.
+  /** The en-stopword marker set — SHARED with `text_quality`'s stop ratio
+    * (Extras.enStop), so the logistic model's stop feature is the
+    * proven-parity one and the two keys can never drift apart.
     */
-  private val EnStop = Seq("the", "of", "and", "is", "not")
+  private val EnStop = Extras.enStop
 
   val queries: Map[String, Q] = Map(
     // Soft dedup: weight = 1/exact-dup-cluster-size. One md5-keyed window —
@@ -114,8 +114,7 @@ object Curation {
       val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
       val punct = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
         greatest(length(col("text")), lit(1)).cast("double")
-      val stop = org.apache.spark.sql.GraftSqlShim.column(graft.plans.CountInSet(
-        org.apache.spark.sql.GraftSqlShim.expression(toks), EnStop)).cast("double") /
+      val stop = Extras.markerHits(toks, EnStop).cast("double") /
         greatest(nTok, lit(1.0))
       val fLen = least(nTok / 100.0, lit(1.0))
       val fWlen = least(chars / greatest(nTok, lit(1.0)) / 10.0, lit(1.0))
@@ -131,8 +130,7 @@ object Curation {
 
   private val norm = normTextSql("text")
 
-  private val enStopSql =
-    s"len(list_filter(string_split($norm, ' '), t -> list_contains([${EnStop.map("'" + _ + "'").mkString(", ")}], t)))"
+  private val enStopSql = Extras.hitsSql(EnStop)
 
   val oracle: Map[String, String] = Map(
     "dedup_soft_weights" ->

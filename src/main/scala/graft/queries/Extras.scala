@@ -23,7 +23,9 @@ object Extras {
     "fr" -> Seq("le", "la", "et", "est", "ne"),
     "zh" -> Seq("的", "是", "不", "了", "我"))
 
-  private val enStop = langMarkers.toMap.apply("en")
+  // shared with Curation's logistic quality gate so the stop feature can
+  // never drift between the two keys
+  private[queries] val enStop = langMarkers.toMap.apply("en")
 
   /** Char-trigram profiles (high-frequency trigrams per language). */
   private val triProfiles: Seq[(String, Seq[String])] = Seq(
@@ -38,7 +40,7 @@ object Extras {
     * higher-order form it replaces is an interpreted CodegenFallback (and
     * null-parity is preserved: NULL toks → SQL NULL in both forms).
     */
-  private def markerHits(toks: Column, set: Seq[String]): Column =
+  private[queries] def markerHits(toks: Column, set: Seq[String]): Column =
     org.apache.spark.sql.GraftSqlShim.column(graft.plans.CountInSet(
       org.apache.spark.sql.GraftSqlShim.expression(toks), set))
 
@@ -391,7 +393,7 @@ object Extras {
   private val norm = normTextSql("text")
   private val bpePattern = "[a-z0-9]+|[^a-z0-9\\s]"
 
-  private def hitsSql(set: Seq[String]): String =
+  private[queries] def hitsSql(set: Seq[String]): String =
     s"len(list_filter(string_split($norm, ' '), t -> list_contains([${set.map("'" + _ + "'").mkString(", ")}], t)))"
 
   val oracle: Map[String, String] = Map(
