@@ -51,6 +51,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // ---- sink mode (round 17, VERDICT r16 item 6) ----
+    // `count` (default, CANONICAL across every round — do not change it for
+    // comparability) lets Catalyst prune columns the count doesn't need,
+    // which reduces per-row-map keys (dedup_soft_weights,
+    // text_quality_logreg read ~0.13 s flat at sf10 because their maps
+    // never run). `noop` drains every ROW through Spark's built-in no-op
+    // DSv2 sink instead — all columns materialize, nothing hits disk — so
+    // map-only keys get an honest per-row reading at the rungs. Env-gated,
+    // never the driver default; records stamp `"sink"` so a noop run can
+    // never be diffed against a count run unnoticed.
+    val sink = sys.env.getOrElse("SPARK_GRAFT_SINK", "count")
+    require(sink == "count" || sink == "noop", s"SPARK_GRAFT_SINK=$sink (want count|noop)")
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      if (sink == "noop") df.write.format("noop").mode("overwrite").save()
+      else df.count()
     // ---- mid-run ambient series (round 16, VERDICT r15 item 6) ----
     // One single-shot probe every MidEvery queries, stamped as
     // `probes_mid`: a driver bench that OVERLAPS other load (the r15
@@ -76,7 +91,7 @@ object Bench {
         while (r < reps && !broken) {
           val t0 = System.nanoTime()
           try {
-            fn(spark, sfDir).count()
+            drain(fn(spark, sfDir))
             // only SUCCESSFUL reps count toward the median — a fast
             // AnalysisException would otherwise masquerade as a
             // normal-looking (and misleadingly small) timing
@@ -149,7 +164,7 @@ object Bench {
     // schema 2: `value` sums FULLY-successful queries only (schema 1 — rounds
     // ≤6 — included partial-rep medians of queries that later failed), so
     // cross-round total comparisons can detect the semantics change
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","schema":2,"queries":$qs,"reps":$reps,"reps_ok":$repsOk,"failed":$failedJson,"ambient":$ambientJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","schema":2,"queries":$qs,"reps":$reps,"reps_ok":$repsOk,"failed":$failedJson,"ambient":$ambientJson,"sink":"$sink","sf":"$sfDir"}"""
     println(fullLine)
     // durable copy of the COMPLETE per-query record: the driver keeps only a
     // 2 KB stdout tail, so without this file regression hunts are blind below
@@ -186,7 +201,7 @@ object Bench {
       .sortBy(-_._2).take(10)
       .map { case (k, v, _) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","total_sec":${ms3(total)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"schema":2,"reps":$reps,"ambient":$ambientJson,"sf":"$sfDir","top10_slowest":$top}""")
+    println(s"""{"metric":"summary","total_sec":${ms3(total)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"schema":2,"reps":$reps,"ambient":$ambientJson,"sink":"$sink","sf":"$sfDir","top10_slowest":$top}""")
     spark.stop()
   }
 }

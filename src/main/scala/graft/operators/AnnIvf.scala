@@ -286,9 +286,9 @@ object AnnIvf {
   }
 
   /** Index of the nearest center by squared L2 — the one inner loop every
-    * closure here shares.
+    * closure here shares (and [[AnnIvfPq.topK2Level]]'s assignment reuses).
     */
-  private def nearestIdx(centers: Array[Array[Double]], q: Array[Double]): Int = {
+  private[operators] def nearestIdx(centers: Array[Array[Double]], q: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < centers.length) {

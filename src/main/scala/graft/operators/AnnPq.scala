@@ -133,59 +133,103 @@ object AnnPq {
     * rationale): the expression form would inline m·kSub·subDim centroid
     * literals into one codegen tree that janino chokes on.
     */
-  private[operators] def encoder(books: Array[Array[Array[Double]]]) =
-    udf((v: Seq[Double]) => {
-      val u = normalize(v.toArray)
-      val subDim = u.length / books.length
-      val codes = new Array[Int](books.length)
-      var mi = 0
-      while (mi < books.length) {
-        val cb = books(mi)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb.length) {
-          val cv = cb(c)
-          var s = 0.0; var i = 0
-          while (i < subDim) {
-            val dx = u(mi * subDim + i) - cv(i); s += dx * dx; i += 1
-          }
-          if (s < bestD) { bestD = s; best = c }
-          c += 1
-        }
-        codes(mi) = best
-        mi += 1
-      }
-      codes
-    })
+  private[graft] def encoder(books: Array[Array[Array[Double]]]) =
+    udf((v: Seq[Double]) => encodePoint(books, normalize(v.toArray)))
 
-  /** ADC score closure UDF: per-query lookup tables of subspace dot
-    * products, built driver-side from the (tiny) query frame — only
-    * q·m·kSub doubles ever reach the driver, never a corpus row.
-    * score(codes, qid) = Σ lut(qid)(mi)(codes(mi)).
+  /** Nearest-subspace-centroid codes of an ALREADY-prepared point (unit
+    * vector for the direct flavor, cell residual for `by_residual`) —
+    * the shared inner encode of [[encoder]] and [[AnnIvfPq]]'s fused
+    * assign+encode pass.
     */
-  private[operators] def adcScorer(
+  private[graft] def encodePoint(books: Array[Array[Array[Double]]], u: Array[Double]): Array[Int] = {
+    val subDim = u.length / books.length
+    val codes = new Array[Int](books.length)
+    var mi = 0
+    while (mi < books.length) {
+      val cb = books(mi)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cv = cb(c)
+        var s = 0.0; var i = 0
+        while (i < subDim) {
+          val dx = u(mi * subDim + i) - cv(i); s += dx * dx; i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    codes
+  }
+
+  /** ADC scoring column: per-query lookup tables of subspace dot products,
+    * built driver-side from the (tiny) query frame — only q·m·kSub doubles
+    * ever reach the driver, never a corpus row.
+    * score(codes, qid) = Σ lut(qid)(mi·kSub + codes(mi)), as the native
+    * codegen'd [[graft.plans.AdcScore]] kernel (the LshBuckets/VecExprs
+    * playbook): the per-row kernel of the whole PQ family — m lookups +
+    * adds over EVERY corpus row — so the closure-UDF form it replaces
+    * blocked whole-stage codegen exactly where the engine spends its time
+    * at q·n scale. Scores are bit-identical to the UDF twin below (same
+    * doubles, same ascending-mi fold — AnnPqParitySpec pins it).
+    */
+  private[graft] def adcScorer(
+      queries: DataFrame, books: Array[Array[Array[Double]]]): (Column, Column) => Column = {
+    val kSub = books(0).length
+    val luts = lutSeq(queries, books)
+    (codes: Column, qid: Column) =>
+      org.apache.spark.sql.GraftSqlShim.column(graft.plans.AdcScore(
+        org.apache.spark.sql.GraftSqlShim.expression(codes),
+        org.apache.spark.sql.GraftSqlShim.expression(qid),
+        luts, kSub))
+  }
+
+  /** The retired closure-UDF scorer, kept ONLY as the parity twin the spec
+    * compares the native kernel against (and the A/B baseline) — not on any
+    * query path.
+    */
+  private[graft] def adcScorerUdf(
       queries: DataFrame, books: Array[Array[Array[Double]]]) = {
-    val qRows = queries.select(col("qid"), col("qvec")).collect()
-    val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
+    val kSub = books(0).length
+    val luts: Map[Long, Array[Double]] = lutSeq(queries, books)
+      .map { case (qid, flat) => qid -> flat.toArray }.toMap
+    udf((codes: Seq[Int], qid: Long) => {
+      val flat = luts(qid)
+      var s = 0.0; var mi = 0
+      while (mi < codes.length) { s += flat(mi * kSub + codes(mi)); mi += 1 }
+      s
+    })
+  }
+
+  /** Flattened per-query LUTs: (qid, lut) where lut(mi·kSub + c) is the dot
+    * product of the query's mi-th unit-normalized subvector with codebook
+    * centroid c of subspace mi. One layout shared by the native kernel and
+    * the UDF twin so parity is structural.
+    */
+  private def lutSeq(
+      queries: DataFrame, books: Array[Array[Array[Double]]]): Seq[(Long, Seq[Double])] = {
+    val kSub = books(0).length
+    queries.select(col("qid"), col("qvec")).collect().toSeq.map { r =>
       val qid = r.getLong(0)
       val u = normalize(r.getSeq[Double](1).toArray)
       val subDim = u.length / books.length
-      val lut = Array.tabulate(books.length) { mi =>
+      val flat = new Array[Double](books.length * kSub)
+      var mi = 0
+      while (mi < books.length) {
         val cb = books(mi)
-        Array.tabulate(cb.length) { c =>
+        var c = 0
+        while (c < cb.length) {
           var s = 0.0; var i = 0
           while (i < subDim) { s += u(mi * subDim + i) * cb(c)(i); i += 1 }
-          s
+          flat(mi * kSub + c) = s
+          c += 1
         }
+        mi += 1
       }
-      qid -> lut
-    }.toMap
-    udf((codes: Seq[Int], qid: Long) => {
-      val lut = luts(qid)
-      var s = 0.0; var mi = 0
-      while (mi < lut.length) { s += lut(mi)(codes(mi)); mi += 1 }
-      s
-    })
+      qid -> flat.toSeq
+    }
   }
 
   /** Two-phase top-`rerank` per query over a scored (qid, vec_id, score)
@@ -193,7 +237,7 @@ object AnnPq {
     * single task sorts (the sample_domain_quota heap discipline). Returns
     * (c_qid, vec_id) candidate pairs.
     */
-  private[operators] def topRerank(scored: DataFrame, rerank: Int): DataFrame = {
+  private[graft] def topRerank(scored: DataFrame, rerank: Int): DataFrame = {
     val localW = Window.partitionBy(col("qid"), col("pid"))
       .orderBy(col("score").desc, col("vec_id"))
     val globalW = Window.partitionBy(col("qid"))
@@ -209,7 +253,7 @@ object AnnPq {
     * the kernel is bit-identical to the brute-force twin's, so every
     * reported cosine is exact; only candidate MEMBERSHIP was approximate.
     */
-  private[operators] def exactRerank(
+  private[graft] def exactRerank(
       cands: DataFrame, emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val spark = emb.sparkSession
     val dot = graft.functions.Vec.dotNative(spark, "vec", "qvec")
@@ -248,8 +292,9 @@ object AnnPq {
     * an empty corpus. Fails loudly if dim is not divisible by `m` — a
     * silent ragged slice would mis-encode every vector.
     */
-  private[operators] def fitCodebooks(
-      emb: DataFrame, m: Int, kSub: Int, iters: Int, sampleCap: Int): Array[Array[Array[Double]]] = {
+  private[graft] def fitCodebooks(
+      emb: DataFrame, m: Int, kSub: Int, iters: Int, sampleCap: Int,
+      normalizeInput: Boolean = true): Array[Array[Array[Double]]] = {
     import org.apache.spark.sql.{Encoder, Row}
     implicit val enc: Encoder[Seq[Seq[Seq[Double]]]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Seq[Double]]]]()
@@ -261,7 +306,13 @@ object AnnPq {
       .coalesce(1)
       .mapPartitions { (it: Iterator[Row]) =>
         val rows = it.toArray.sortBy(r => (r.getLong(2), r.getLong(0)))
-        val pts = rows.map(r => normalize(r.getSeq[Double](1).toArray))
+        // normalizeInput=false is the by_residual fit: rows are already
+        // cell residuals, and re-normalizing them would distort exactly the
+        // magnitudes the residual codebook exists to capture
+        val pts = rows.map { r =>
+          val v = r.getSeq[Double](1).toArray
+          if (normalizeInput) normalize(v) else v
+        }
         if (pts.isEmpty) Iterator.empty
         else {
           val dim = pts(0).length

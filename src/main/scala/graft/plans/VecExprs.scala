@@ -130,6 +130,46 @@ object VecExprs {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** ADC (asymmetric distance computation) score of one PQ-coded row
+    * against one query's lookup table: Σ_mi lut[mi·kSub + codes[mi]].
+    * `luts` maps qid → the query's flattened m·kSub subspace-dot-product
+    * table (built once driver-side from the tiny query frame, shipped as a
+    * codegen reference object). This is the per-row kernel of the PQ scan —
+    * m lookups + adds over EVERY corpus row — so it must stay inside
+    * whole-stage codegen; the closure-UDF form it replaces blocked codegen
+    * for the entire scoring stage. Same ascending-mi left-fold as the UDF,
+    * so scores are bit-identical.
+    *
+    * Fail-fast contract (the VecExprs norm): an unknown qid or an
+    * out-of-range code throws — both mean the LUT and the encoded corpus
+    * disagree about the codebook, and a silent 0.0 would quietly rank
+    * garbage.
+    */
+  def adcScore(
+      codes: ArrayData,
+      qid: Long,
+      luts: java.util.HashMap[java.lang.Long, Array[Double]],
+      kSub: Int): Double = {
+    val flat = luts.get(qid)
+    if (flat == null)
+      throw new IllegalArgumentException(s"adc_score: unknown qid $qid")
+    val m = codes.numElements()
+    if (m * kSub != flat.length)
+      throw new IllegalArgumentException(
+        s"adc_score: $m codes vs ${flat.length / kSub}-subspace LUT")
+    var s = 0.0
+    var mi = 0
+    while (mi < m) {
+      val c = codes.getInt(mi)
+      if (c < 0 || c >= kSub)
+        throw new IllegalArgumentException(
+          s"adc_score: code $c out of range [0, $kSub) at subspace $mi")
+      s += flat(mi * kSub + c)
+      mi += 1
+    }
+    s
+  }
+
   private[plans] def checkDoubleArray(name: String, e: Expression): TypeCheckResult =
     e.dataType match {
       case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -211,6 +251,53 @@ case class LshBuckets(child: Expression, planes: Seq[Seq[Double]], nPlanes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =
     copy(child = newChild)
+}
+
+/** `adc_score(codes, qid)` — PQ asymmetric-distance score as one codegen'd
+  * kernel call (the [[LshBuckets]] pattern: per-query constant state rides
+  * a codegen reference object, not the expression tree, so janino never
+  * sees the q·m·kSub doubles). `luts` is Seq-typed for structural equality
+  * (plan canonicalization); the kernel sees a primitive java.util.HashMap
+  * built once per executor via the lazy val.
+  */
+case class AdcScore(
+    left: Expression, // codes: array<int>
+    right: Expression, // qid: long
+    luts: Seq[(Long, Seq[Double])],
+    kSub: Int)
+  extends BinaryExpression {
+
+  require(kSub > 0, "kSub must be positive")
+
+  @transient private lazy val lutMap: java.util.HashMap[java.lang.Long, Array[Double]] = {
+    val m = new java.util.HashMap[java.lang.Long, Array[Double]](luts.length * 2)
+    luts.foreach { case (qid, flat) => m.put(qid, flat.toArray) }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<int>, bigint), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+
+  override protected def nullSafeEval(codes: Any, qid: Any): Any =
+    VecExprs.adcScore(codes.asInstanceOf[ArrayData], qid.asInstanceOf[Long], lutMap, kSub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("luts", lutMap, "java.util.HashMap")
+    defineCodeGen(ctx, ev, (codes, qid) =>
+      s"graft.plans.VecExprs.adcScore($codes, $qid, $ref, $kSub)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Rewrite target of [[VecRewrite]]: the fast kernel with the ORIGINAL

@@ -97,7 +97,11 @@ object Extras {
       val toks = split(normText(col("text")), " ")
       val nTok = size(toks).cast("double")
       val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
-      // \p classes: non-ASCII letters are NOT punctuation (validated identical in RE2/Java)
+      // \p classes: non-ASCII letters are NOT punctuation. The DuckDB oracle
+      // uses the SAME Unicode classes since round 17 (it carried an
+      // ASCII-only '[a-z0-9\s]' before — latent divergence on accented/CJK
+      // text); PunctParitySpec exhibits the old divergence and pins the
+      // aligned classes cross-engine on non-ASCII literals.
       val punct = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
         greatest(length(col("text")), lit(1)).cast("double")
       val stop = markerHits(toks, enStop).cast("double") / greatest(nTok, lit(1.0))
@@ -432,7 +436,7 @@ object Extras {
          |  SELECT doc_id,
          |         CAST(len(string_split($norm, ' ')) AS DOUBLE) AS n_tok,
          |         CAST(length(replace($norm, ' ', '')) AS DOUBLE) AS chars,
-         |         CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |         CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
          |           / greatest(length(text), 1) AS punct,
          |         CAST(${hitsSql(enStop)} AS DOUBLE) / greatest(len(string_split($norm, ' ')), 1) AS stop
          |  FROM documents)

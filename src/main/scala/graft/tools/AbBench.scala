@@ -648,6 +648,78 @@ object AbBench {
           when(coalesce(col("g"), lit(0L)) > 0,
             rd(col("dup").cast("double") / col("g"), 6)).as("dup_ratio"))
         .orderBy("doc_id")
+    }),
+    // sim_ann_pq with the RETIRED closure-UDF ADC scorer (round 17, VERDICT
+    // r16 item 1): the A/B baseline for the native AdcScore codegen kernel.
+    // Same adaptive ladder, same candidates (Round17Spec pins them
+    // bit-identical) — only the per-row scoring kernel differs.
+    "sim_ann_pq_udf_scored" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{rd, t}
+      import graft.operators.AnnPq
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val n = emb.count()
+      val (m, kSub) = if (n < AnnPq.BigCorpus) (8, 32) else (16, 256)
+      val rerank = math.max(128L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+      val books = AnnPq.fitCodebooks(emb, m, kSub, iters = 5,
+        sampleCap = math.max(4096, 16 * kSub))
+      val coded = emb
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), AnnPq.encoder(books)(col("vec")).as("codes"))
+      val scored = coded
+        .crossJoin(broadcast(q.select(col("qid"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          AnnPq.adcScorerUdf(q, books)(col("codes"), col("qid")).as("score"))
+      val cands = AnnPq.topRerank(scored, rerank)
+      AnnPq.exactRerank(cands, emb, q, 5)
+        .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+    // sim_ann_ivfpq with by_residual=true codebooks (round 17, VERDICT r16
+    // item 3): the FAISS-default residual coding at the SAME code budget,
+    // coarse width, probe list, and re-rank as the shipped direct flavor —
+    // the measured answer to whether residual coding buys recall per byte
+    // here or the direct flavor's cell-independence is free.
+    "sim_ann_ivfpq_residual" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{rd, t}
+      import graft.operators.{AnnIvf, AnnIvfPq, AnnPq}
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val n = emb.count()
+      val lists = math.min(AnnIvf.listsFor(n), AnnIvf.MaxLists)
+      val (m, kSub) = if (n < AnnPq.BigCorpus) (8, 32) else (16, 256)
+      val rerank = math.max(128L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+      AnnIvfPq.topKResidual(emb, q, k = 5, nLists = lists,
+        nProbe = math.max(1, lists / 2), m = m, kSub = kSub, rerank = rerank)
+        .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+    // the direct-coded flavor at the SAME flat coarse quantizer as the
+    // residual twin above — the fair A/B pair past the clamp, where the
+    // declared sim_ann_ivfpq now dispatches two-level
+    "sim_ann_ivfpq_flat" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{rd, t}
+      import graft.operators.{AnnIvf, AnnIvfPq, AnnPq}
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val n = emb.count()
+      val lists = math.min(AnnIvf.listsFor(n), AnnIvf.MaxLists)
+      val (m, kSub) = if (n < AnnPq.BigCorpus) (8, 32) else (16, 256)
+      val rerank = math.max(128L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+      AnnIvfPq.topK(emb, q, k = 5, nLists = lists,
+        nProbe = math.max(1, lists / 2), m = m, kSub = kSub, rerank = rerank)
+        .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("qid", "rnk")
     })
   )
 

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the punct-feature class alignment (VERDICT r16 item 4 / ADVICE r16):
+  * Spark's quality features count `[\p{L}\p{N}\s]` (any Unicode
+  * letter/digit) as non-punctuation; until round 17 the DuckDB oracle used
+  * `[a-z0-9\s]` over `lower(text)`, so every accented or CJK LETTER counted
+  * as punctuation only in DuckDB — invisible on the ASCII gate corpora, but
+  * with W_punct = −3.0 a single such doc flips text_quality_logreg's keep
+  * decision cross-engine. Round 17 aligned the oracle to the same Unicode
+  * classes (DuckDB's regex engine is RE2, which supports them).
+  *
+  * Two layers (the MoneySumSpec honesty pattern):
+  *  1. EXHIBIT the divergence: on a non-ASCII literal, the old ASCII class
+  *     and the Unicode class disagree in Spark itself — proving the gate
+  *     corpora being ASCII is the only reason this never fired.
+  *  2. Prove cross-engine agreement of the ALIGNED class: run the actual
+  *     DuckDB regexp (shelling out to the driver's python3+duckdb, the
+  *     compare.py engine — guarded by `assume`, verification
+  *     infrastructure only) on accented/CJK/mixed literals and assert the
+  *     punct counts match Spark's java.util.regex answer exactly.
+  */
+class PunctParitySpec extends SparkSpec {
+
+  private val literals = Seq(
+    "Héllo, wörld! 你好",            // accented + CJK letters, ASCII punct
+    "naïve café — résumé…",          // accents + non-ASCII punctuation
+    "数字123と句読点、テスト。",        // CJK letters + CJK punct + digits
+    "Ψυχή καὶ σῶμα; δύο ἐν ἑνί.",    // polytonic Greek
+    "plain ascii text, with. punct!" // the gate-corpus regime
+  )
+
+  private def sparkPunct(cls: String): Seq[Int] = {
+    val df = spark.createDataFrame(literals.map(Tuple1(_))).toDF("text")
+    df.select(length(regexp_replace(col("text"), cls, "")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+  }
+
+  test("EXHIBIT: the retired ASCII class disagrees with the Unicode class on non-ASCII text") {
+    val unicodeCls = sparkPunct("[\\p{L}\\p{N}\\s]")
+    val asciiCls = {
+      val df = spark.createDataFrame(literals.map(Tuple1(_))).toDF("text")
+      df.select(length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n"))
+        .collect().map(_.getInt(0)).toSeq
+    }
+    // on the ASCII literal they agree — which is why the sf gates stayed
+    // green for 14 rounds; on every non-ASCII literal they must differ
+    assert(unicodeCls.last === asciiCls.last, "ASCII regime must agree")
+    literals.indices.dropRight(1).foreach { i =>
+      assert(unicodeCls(i) !== asciiCls(i),
+        s"expected divergence on '${literals(i)}': both counted ${unicodeCls(i)}")
+    }
+  }
+
+  test("ALIGNED: DuckDB's RE2 '[\\p{L}\\p{N}\\s]' counts match Spark's exactly on non-ASCII text") {
+    val py = new java.io.File("/usr/bin/python3")
+    assume(py.exists, "python3 not on this host")
+    val probe = os("python3", "-c", "import duckdb; print('ok')")
+    assume(probe.contains("ok"), "duckdb python module not on this host")
+
+    val script =
+      """import duckdb, json, sys
+        |lits = json.load(sys.stdin)
+        |out = [duckdb.execute(
+        |  "SELECT length(regexp_replace(?, '[\\p{L}\\p{N}\\s]', '', 'g'))",
+        |  [t]).fetchone()[0] for t in lits]
+        |print(json.dumps(out))""".stripMargin
+    val got = osWithStdin(
+      Seq("python3", "-c", script),
+      "[" + literals.map(l => "\"" + l.replace("\"", "\\\"") + "\"").mkString(",") + "]")
+    val duck = got.trim.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toInt).toSeq
+    val sparkN = sparkPunct("[\\p{L}\\p{N}\\s]")
+    assert(duck === sparkN,
+      s"cross-engine punct mismatch: duckdb=$duck spark=$sparkN on $literals")
+  }
+
+  private def os(cmd: String*): String =
+    try scala.sys.process.Process(cmd).!!
+    catch { case _: Throwable => "" }
+
+  private def osWithStdin(cmd: Seq[String], stdin: String): String = {
+    val bytes = stdin.getBytes("UTF-8")
+    (scala.sys.process.Process(cmd) #< new java.io.ByteArrayInputStream(bytes)).!!
+  }
+}

@@ -218,4 +218,126 @@ class StreamingSf01Spec extends SparkSpec {
     assert(got.toSeq === islands.toSeq,
       "streaming sessions must also match the gaps-and-islands batch twin")
   }
+
+  test("multi-batch file stream: windowed top-k matches the batch twin over sf0.1") {
+    // VERDICT r16 item 8a: stream_topk_windowed's streaming face. Ranking
+    // is not an incremental streaming operator — the production shape is
+    // the watermarked windowed count agg emitting updates, with the top-k
+    // rank applied downstream of the emission (foreachBatch / the serving
+    // layer). The cross-batch part under test is the windowed counts; the
+    // spec then applies the DECLARED key's exact rank to the final state
+    // and requires row-for-row agreement with the batch key.
+    assume(new java.io.File(s"$sfDir/events.parquet").exists)
+    val stream = StreamingJobs.eventsFileStream(spark, landing, maxFilesPerTrigger = 2)
+    val batches = runStream(StreamingJobs.tumbling(stream), "sf01topk", OutputMode.Update)
+    assert(batches >= 3, s"expected a genuinely multi-batch run, got $batches batches")
+    val expected = SparkEntry.queries("stream_topk_windowed")(spark, sfDir)
+    val maxWs = expected.agg(max(unix_micros(col("ws")))).head().getLong(0)
+    val finalCounts = spark.table("sf01topk")
+      .groupBy(col("ws"), col("event_type"))
+      .agg(max(col("n")).as("n")) // update mode: final state of a key = max-n row
+      .filter(unix_micros(col("ws")) <= maxWs) // drop the sentinel's window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ws").orderBy(col("n").desc, col("event_type"))
+    val got = finalCounts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_.toString)
+    val exp = expected
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_.toString)
+    assert(got.length === exp.length, "top-k row count differs from the batch twin")
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("multi-batch file stream: stream_late_drop's watermark log matches MicroBatchExecution's") {
+    // VERDICT r16 item 8b: stream_late_drop's streaming face. The batch key
+    // MODELS the between-batch watermark update over a deterministic
+    // arrival displacement (event_id % 100 == 7 arrives 1500 positions
+    // late; micro-batch = arrival position div 1000). Here the same
+    // displacement replays through the REAL file source — one landing file
+    // per modeled batch, maxFilesPerTrigger=1 — into a watermarked
+    // aggregation keyed on the event-time column itself (so lateness is
+    // decided by ROW time, not window membership). Two exact pins:
+    //
+    //  1. THE DECLARED KEY'S WATERMARK LOG IS THE ENGINE'S: the
+    //     `watermark_us` column (running max event time of PRIOR batches
+    //     − 1h) must equal, batch for batch, the watermark
+    //     MicroBatchExecution itself reports in each batch's progress
+    //     (ms-truncated — EventTimeStatsAccum tracks µs/1000).
+    //  2. THE DROP COUNTS, at the engine's own cadence: the value the
+    //     engine FILTERS batch b with is the watermark PUBLISHED in batch
+    //     b−1's progress (the post-batch update becomes effective one
+    //     batch later — measured here: batch 2 dropped exactly the rows
+    //     below max(batch 0) − 1h, not max(batch 1) − 1h). The spec
+    //     recomputes the model at that cadence and requires EXACT
+    //     per-batch equality with numRowsDroppedByWatermark. (Every ts in
+    //     the corpus is distinct and no row sits on a ms boundary, so
+    //     row-vs-key counting and ≤-vs-< edge semantics cannot blur this.)
+    assume(new java.io.File(s"$sfDir/events.parquet").exists)
+    // arrival-ordered landing: one file per modeled micro-batch b, written
+    // in b order (the suite's landing layout discipline)
+    val land = java.nio.file.Files.createTempDirectory("land-arrival").toString
+    val src = spark.read.parquet(s"$sfDir/events.parquet")
+    val withB = src.withColumn("b",
+      expr("(event_id + if(event_id % 100 = 7, 1500, 0)) div 1000")).localCheckpoint()
+    val bs = withB.select("b").distinct().orderBy("b").collect().map(_.getLong(0))
+    bs.foreach { b =>
+      withB.filter(col("b") === b).drop("b").coalesce(1).write.mode("append").parquet(land)
+    }
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", bs.length + 16)
+    val stream = StreamingJobs.eventsFileStream(spark, land, maxFilesPerTrigger = 1)
+    val agg = stream
+      .withWatermark("tsx", "1 hour") // = the key's LatenessUs
+      .groupBy(col("tsx")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sf01late")
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val progress = try {
+      q.awaitTermination(300000)
+      q.recentProgress.filter(_.numInputRows > 0)
+        .map(p => (p.numInputRows,
+          p.stateOperators.headOption.map(_.numRowsDroppedByWatermark).getOrElse(0L),
+          java.time.Instant.parse(p.eventTime.get("watermark")).toEpochMilli))
+        .toSeq
+    } finally q.stop()
+    assert(progress.length === bs.length,
+      s"expected ${bs.length} data micro-batches, got ${progress.length}")
+
+    val twin = SparkEntry.queries("stream_late_drop")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1) // (batch, n_events, n_late, watermark_us)
+
+    // pin 1: per-batch arrivals + the watermark log itself
+    assert(progress.map(_._1).toSeq === twin.map(_._2).toSeq,
+      "per-batch input rows diverge from the declared key's batches")
+    twin.zip(progress).foreach { case ((b, _, _, wUs), (_, _, wmMs)) =>
+      val expectMs = if (wUs == -1L) 0L else wUs / 1000
+      assert(wmMs === expectMs,
+        s"batch $b: engine watermark ${wmMs}ms != declared key's ${wUs}us")
+    }
+
+    // pin 2: drops at the engine's one-batch publication lag, ms precision
+    val rows = Tables.events(spark, sfDir)
+      .select(expr("(event_id + if(event_id % 100 = 7, 1500, 0)) div 1000").as("b"),
+        col("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byB = rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2)
+    val maxMsThrough = byB.scanLeft(Long.MinValue) { (acc, rs) =>
+      math.max(acc, rs.map(_._2 / 1000).max)
+    } // maxMsThrough(i) = max event ms over batches < i
+    val model = byB.zipWithIndex.map { case (rs, i) =>
+      // filter watermark of batch i = the one PUBLISHED in batch i−1 =
+      // running max through batch i−2, minus the delay
+      val pub = if (i < 2) Long.MinValue else maxMsThrough(i - 1)
+      if (pub == Long.MinValue) 0L
+      else rs.count(_._2 <= (pub - 3600000L) * 1000).toLong
+    }
+    assert(progress.map(_._2).toSeq === model,
+      "per-batch watermark drops diverge from the engine-cadence model")
+    info(s"total late-dropped rows: engine=${progress.map(_._2).sum}, " +
+      s"declared key (no publication lag)=${twin.map(_._3).sum}")
+  }
 }
