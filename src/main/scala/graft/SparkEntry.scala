@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Analytics2, Corpus, Curation, Events, Extras, Functions3, Graphs, Pipeline3, PpdbQueries, Quality, Relational, Scalars, ScaleOps, TextPipeline, TextSim, TrainPrep, Windows, WindowOps}
+import graft.queries.{Analytics, Analytics2, Corpus, Curation, Events, Selection, Extras, Functions3, Graphs, Pipeline3, PpdbQueries, Quality, Relational, Scalars, ScaleOps, TextPipeline, TextSim, TrainPrep, Windows, WindowOps}
 import graft.sources.FileSources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,7 +28,7 @@ object SparkEntry {
       FileSources.queries ++ ScaleOps.queries ++ Analytics2.queries ++
       Functions3.queries ++ Pipeline3.queries ++ WindowOps.queries ++
       Graphs.queries ++ TextSim.queries ++ TrainPrep.queries ++
-      Corpus.queries ++ Curation.queries
+      Corpus.queries ++ Curation.queries ++ Selection.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted on purpose for the eleven
@@ -46,5 +46,5 @@ object SparkEntry {
       FileSources.oracle ++ ScaleOps.oracle ++ Analytics2.oracle ++
       Functions3.oracle ++ Pipeline3.oracle ++ WindowOps.oracle ++
       Graphs.oracle ++ TextSim.oracle ++ TrainPrep.oracle ++
-      Corpus.oracle ++ Curation.oracle
+      Corpus.oracle ++ Curation.oracle ++ Selection.oracle
 }

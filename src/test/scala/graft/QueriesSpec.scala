@@ -10,9 +10,9 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 214 declared queries (53 SURVEY §2 + 161 extras), 203 with oracles") {
-    assert(SparkEntry.queries.size === 214)
-    assert(SparkEntry.oracleSql.size === 203)
+  test("inventory: 217 declared queries (53 SURVEY §2 + 164 extras), 206 with oracles") {
+    assert(SparkEntry.queries.size === 217)
+    assert(SparkEntry.oracleSql.size === 206)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
