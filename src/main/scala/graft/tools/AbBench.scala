@@ -701,6 +701,44 @@ object AbBench {
         .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
         .orderBy("qid", "rnk")
     }),
+    // ADC KERNEL isolation at q=100 (round 17): the end-to-end key at q=10
+    // is encode-dominated (the native-vs-UDF ratio read 0.97× — the swap
+    // invisible exactly as predicted), so this pair multiplies the ADC work
+    // ×10 and sinks into ONE aggregate — no rerank windows, no re-rank
+    // join — to measure the scoring kernel itself. Same encode cost both
+    // sides; only the per-row scorer differs.
+    "adc_scan_native_q100" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.t
+      import graft.operators.AnnPq
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val books = AnnPq.fitCodebooks(emb, 16, 256, iters = 5, sampleCap = 4096)
+      val coded = emb
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), AnnPq.encoder(books)(col("vec")).as("codes"))
+      coded.crossJoin(broadcast(q.select(col("qid"))))
+        .select(AnnPq.adcScorer(q, books)(col("codes"), col("qid")).as("score"))
+        .agg(sum(col("score")).as("s")) // sum, NOT count: count would let Catalyst prune the kernel away
+    }),
+    "adc_scan_udf_q100" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.t
+      import graft.operators.AnnPq
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val books = AnnPq.fitCodebooks(emb, 16, 256, iters = 5, sampleCap = 4096)
+      val coded = emb
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), AnnPq.encoder(books)(col("vec")).as("codes"))
+      coded.crossJoin(broadcast(q.select(col("qid"))))
+        .select(AnnPq.adcScorerUdf(q, books)(col("codes"), col("qid")).as("score"))
+        .agg(sum(col("score")).as("s"))
+    }),
     // the direct-coded flavor at the SAME flat coarse quantizer as the
     // residual twin above — the fair A/B pair past the clamp, where the
     // declared sim_ann_ivfpq now dispatches two-level
