@@ -67,6 +67,15 @@ object Tables {
   def normTextSql(c: String): String =
     s"regexp_replace(trim(lower($c)), '\\s+', ' ', 'g')"
 
+  /** Punctuation count (non-\p{L}\p{N}\s code points) as the native
+    * codegen kernel — bit-identical to
+    * `length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", ""))` (the oracle keeps
+    * that composition; PunctParitySpec pins the two).
+    */
+  def punctCount(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.plans.PunctCount(org.apache.spark.sql.GraftSqlShim.expression(c)))
+
   /** Parity-safe rounding for PER-ROW doubles: floor(x·10ⁿ + 0.5)/10ⁿ.
     *
     * Spark's `round` rounds the shortest decimal representation

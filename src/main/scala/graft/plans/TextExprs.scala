@@ -169,6 +169,44 @@ object TextExprs {
 
   private val WsRun = java.util.regex.Pattern.compile("\\s+")
 
+  private val PunctClass = java.util.regex.Pattern.compile("[\\p{L}\\p{N}\\s]")
+
+  /** Punctuation count — code points that are NOT Unicode letters (\p{L}),
+    * NOT Unicode numbers (\p{N}) and NOT Java-regex whitespace (\s, the
+    * ASCII set) — in one pass, the kernel behind the quality-feature punct
+    * ratio. The composition it replaces,
+    * `length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))`, runs the
+    * regex engine per code point AND allocates the stripped copy per row
+    * just to take its length; round 17's noop-sink bench exposed the
+    * quality-feature pass at 56 s/500k docs at sf10 with this as a main
+    * line.
+    *
+    * Parity contract, bit-identical by construction (the [[normText]]
+    * discipline): ASCII-only input takes the byte fast path ([a-zA-Z0-9]
+    * and [ \t\n\x0B\f\r] are exactly what \p{L}\p{N}\s match in ASCII);
+    * ANY non-ASCII byte delegates the whole row to the identical compiled
+    * pattern + code-point count — no re-implementation of Unicode
+    * categories to drift. PunctParitySpec pins kernel ≡ composition on the
+    * non-ASCII literals and property-generated strings.
+    */
+  def punctCount(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = s.numBytes()
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) { // non-ASCII byte → exact regex delegation
+        val kept = PunctClass.matcher(s.toString).replaceAll("")
+        return kept.codePointCount(0, kept.length).toLong
+      }
+      val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+      if (!alnum && !ws) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
   /** Normalized document text in ONE byte pass: `lower → trim → collapse
     * whitespace runs to a single space` — the kernel behind
     * [[graft.Tables.normText]], the primitive at the head of every text
@@ -550,6 +588,32 @@ case class NormText(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.normText($c)")
 
   override protected def withNewChildInternal(newChild: Expression): NormText =
+    copy(child = newChild)
+}
+
+/** `punct_count(s)` — non-letter/number/whitespace code points in one
+  * codegen'd pass (see [[TextExprs.punctCount]] for the bit-parity contract
+  * with the `length(regexp_replace(s, "[\\p{L}\\p{N}\\s]", ""))`
+  * composition it replaces). NULL in → NULL out, like the composition.
+  */
+case class PunctCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "punct_count"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextExprs.punctCount(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.punctCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PunctCount =
     copy(child = newChild)
 }
 

@@ -112,7 +112,7 @@ object Curation {
       val toks = split(normText(col("text")), " ")
       val nTok = size(toks).cast("double")
       val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
-      val punct = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+      val punct = graft.Tables.punctCount(col("text")).cast("double") / // native kernel (round 17)
         greatest(length(col("text")), lit(1)).cast("double")
       val stop = Extras.markerHits(toks, EnStop).cast("double") /
         greatest(nTok, lit(1.0))

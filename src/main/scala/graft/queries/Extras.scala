@@ -25,7 +25,7 @@ object Extras {
 
   // shared with Curation's logistic quality gate so the stop feature can
   // never drift between the two keys
-  private[queries] val enStop = langMarkers.toMap.apply("en")
+  private[graft] val enStop = langMarkers.toMap.apply("en")
 
   /** Char-trigram profiles (high-frequency trigrams per language). */
   private val triProfiles: Seq[(String, Seq[String])] = Seq(
@@ -40,7 +40,7 @@ object Extras {
     * higher-order form it replaces is an interpreted CodegenFallback (and
     * null-parity is preserved: NULL toks → SQL NULL in both forms).
     */
-  private[queries] def markerHits(toks: Column, set: Seq[String]): Column =
+  private[graft] def markerHits(toks: Column, set: Seq[String]): Column =
     org.apache.spark.sql.GraftSqlShim.column(graft.plans.CountInSet(
       org.apache.spark.sql.GraftSqlShim.expression(toks), set))
 
@@ -102,7 +102,7 @@ object Extras {
       // ASCII-only '[a-z0-9\s]' before — latent divergence on accented/CJK
       // text); PunctParitySpec exhibits the old divergence and pins the
       // aligned classes cross-engine on non-ASCII literals.
-      val punct = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+      val punct = graft.Tables.punctCount(col("text")).cast("double") / // native kernel (round 17)
         greatest(length(col("text")), lit(1)).cast("double")
       val stop = markerHits(toks, enStop).cast("double") / greatest(nTok, lit(1.0))
       val quality = lit(0.4) * least(nTok / 100.0, lit(1.0)) +

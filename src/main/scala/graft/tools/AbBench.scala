@@ -701,6 +701,62 @@ object AbBench {
         .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
         .orderBy("qid", "rnk")
     }),
+    // punct-feature kernel A/B (round 17): the noop-sink bench exposed the
+    // quality-feature pass at ~56 s/500k docs at sf10, with the
+    // length(regexp_replace(text, CLASS, "")) punct counter as a main line
+    // (regex engine per code point + a stripped copy allocated per row just
+    // for its length). Pair sinks into ONE aggregate over the ratio so the
+    // count() protocol cannot prune the work under test.
+    "tq_punct_regex" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.t
+      t(s, d, "documents")
+        .select((length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double")).as("p"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p")), 2).as("sp"))
+    }),
+    "tq_punct_kernel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.t
+      t(s, d, "documents")
+        .select((graft.Tables.punctCount(col("text")).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double")).as("p"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p")), 2).as("sp"))
+    }),
+    // the WHOLE quality-feature pass, old punct form — the end-to-end twin
+    // for the kernel swap under a work-preserving aggregate sink
+    "text_quality_agg_regex" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, rd, t}
+      val toks = split(normText(col("text")), " ")
+      val nTok = size(toks).cast("double")
+      val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
+      val punct = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")
+      val stop = graft.queries.Extras.markerHits(toks, graft.queries.Extras.enStop)
+        .cast("double") / greatest(nTok, lit(1.0))
+      val quality = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punct) + lit(0.3) * stop
+      t(s, d, "documents")
+        .select(rd(quality, 4).as("q"), rd(chars / greatest(nTok, lit(1.0)), 4).as("a"))
+        .agg(count(lit(1)).as("n"), round(sum(col("q")) + sum(col("a")), 2).as("sq"))
+    }),
+    "text_quality_agg_kernel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, rd, t}
+      val toks = split(normText(col("text")), " ")
+      val nTok = size(toks).cast("double")
+      val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
+      val punct = graft.Tables.punctCount(col("text")).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")
+      val stop = graft.queries.Extras.markerHits(toks, graft.queries.Extras.enStop)
+        .cast("double") / greatest(nTok, lit(1.0))
+      val quality = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punct) + lit(0.3) * stop
+      t(s, d, "documents")
+        .select(rd(quality, 4).as("q"), rd(chars / greatest(nTok, lit(1.0)), 4).as("a"))
+        .agg(count(lit(1)).as("n"), round(sum(col("q")) + sum(col("a")), 2).as("sq"))
+    }),
     // ADC KERNEL isolation at q=100 (round 17): the end-to-end key at q=10
     // is encode-dominated (the native-vs-UDF ratio read 0.97× — the swap
     // invisible exactly as predicted), so this pair multiplies the ADC work

@@ -75,6 +75,39 @@ class PunctParitySpec extends SparkSpec {
       s"cross-engine punct mismatch: duckdb=$duck spark=$sparkN on $literals")
   }
 
+  test("KERNEL: plans.PunctCount is bit-identical to the regexp composition (round 17)") {
+    // the native kernel that replaced length(regexp_replace(text, CLASS, ""))
+    // on the quality hot path (noop-sink bench exposed the regex pass at
+    // ~56 s/500k docs at sf10): ASCII fast path + exact regex delegation on
+    // any non-ASCII byte — pinned on the divergence literals AND generated
+    // strings mixing ASCII, accents, CJK, punctuation, and surrogates
+    val rnd = new scala.util.Random(17)
+    val alphabet: IndexedSeq[String] =
+      ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString) ++
+        Seq(" ", "\t", "\n", "", "\f", "\r", ",", ".", "!", "—", "…",
+          "é", "ö", "你", "好", "数", "Ψ", "ή", "،", "۔", "¾", "Ⅻ", "½",
+          " ", " ", "𝔸", "𞸀", "😀", "́")
+    val gen = Seq.fill(400)(Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.size))).mkString)
+    val df = spark.createDataFrame((literals ++ gen).map(Tuple1(_))).toDF("text")
+    val rows = df.select(
+      graft.Tables.punctCount(col("text")).as("k"),
+      length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("long").as("r"),
+      col("text"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), s"kernel!=regex on '${r.getString(2)}'")
+    }
+    // and it must stay inside whole-stage codegen — over a FILE scan (a
+    // LocalRelation input gets constant-folded by ConvertToLocalRelation,
+    // erasing the expression from the plan entirely)
+    val agg = Tables.t(spark, TestTables.dir(spark), "documents")
+      .select(graft.Tables.punctCount(col("text")).as("k")).agg(sum(col("k")))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("punct_count") && l.contains("*(")),
+      s"punct_count outside codegen:\n$plan")
+  }
+
   private def os(cmd: String*): String =
     try scala.sys.process.Process(cmd).!!
     catch { case _: Throwable => "" }
