@@ -44,18 +44,28 @@ object AnnIvfPq {
     * regime this operator's scaladoc motivates is exactly where the flat
     * clamp stopped improving).
     */
-  def topKAdaptive(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+  def topKAdaptive(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    topKAdaptive(emb, queries, k, AnnIvf.MaxLists)
+
+  /** Clamp-injectable form so the two-level DISPATCH (the l1 × k2 split
+    * wiring above, not just topK2Level's internals) executes in an
+    * always-on sf0.01 test without a multi-million-vector fixture
+    * (ADVICE r17): a forced tiny maxLists sends the small corpus down the
+    * exact branch the 16M rung takes in production.
+    */
+  private[graft] def topKAdaptive(
+      emb: DataFrame, queries: DataFrame, k: Int, maxLists: Int): DataFrame = {
     val n = emb.count()
     val lists = AnnIvf.listsFor(n)
     val (m, kSub) = if (n < AnnPq.BigCorpus) (8, 32) else (16, 256)
     val rerank = math.max(128L, math.ceil(math.sqrt(n.toDouble)).toLong)
       .min(Int.MaxValue.toLong).toInt
-    if (lists <= AnnIvf.MaxLists)
+    if (lists <= maxLists)
       topK(emb, queries, k, nLists = lists, nProbe = math.max(1, lists / 2),
         m = m, kSub = kSub, rerank = rerank)
     else {
       val l1 = 1 << math.ceil(math.log(math.sqrt(lists.toDouble)) / math.log(2.0)).toInt
-      topK2Level(emb, queries, k, l1 = l1, k2 = lists / l1,
+      topK2Level(emb, queries, k, l1 = l1, k2 = math.max(1, lists / l1),
         m = m, kSub = kSub, rerank = rerank)
     }
   }

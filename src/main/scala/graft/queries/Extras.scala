@@ -436,7 +436,7 @@ object Extras {
          |  SELECT doc_id,
          |         CAST(len(string_split($norm, ' ')) AS DOUBLE) AS n_tok,
          |         CAST(length(replace($norm, ' ', '')) AS DOUBLE) AS chars,
-         |         CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |         CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]', '', 'g')) AS DOUBLE)
          |           / greatest(length(text), 1) AS punct,
          |         CAST(${hitsSql(enStop)} AS DOUBLE) / greatest(len(string_split($norm, ' ')), 1) AS stop
          |  FROM documents)

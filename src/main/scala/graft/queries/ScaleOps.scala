@@ -285,7 +285,7 @@ object ScaleOps {
       s"""WITH n AS (
          |  SELECT doc_id, $norm AS norm,
          |         len(string_split($norm, ' ')) AS n_tok,
-         |         len(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE /
+         |         len(regexp_replace(text, '[\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]', '', 'g'))::DOUBLE /
          |           greatest(len(text), 1) AS punct_ratio
          |  FROM documents),
          |q AS (SELECT doc_id, norm, n_tok FROM n

@@ -64,11 +64,17 @@ object Selection {
 
   /** floor(min(n_tok,100)/100 · 2⁵²) as exact integer arithmetic (`div`,
     * never `/` — Spark's `/` on bigints returns DOUBLE, and 100·2⁵² > 2⁵³
-    * is not double-representable), then a 13-hex-digit lowercase string —
-    * the importance coin's threshold. 100·2⁵² < 2⁶³: no bigint overflow.
+    * is not double-representable), rendered at a FOURTEEN-hex-digit width —
+    * one digit wider than the 13-hex coin, because the w = 1.0 threshold
+    * 2⁵² is '10000000000000' (14 digits): at width 13 lpad TRUNCATES it to
+    * 2⁴⁸ and the docs the ramp says to always keep survive with
+    * probability ~1/16 instead (the round-17 advisory bug — both engines
+    * carried the same truncation, so the parity gate stayed green while
+    * both were wrong). At width 14 every 13-hex coin lpads to '0'+u and
+    * sorts strictly below '1000000000000 0'. 100·2⁵² < 2⁶³: no overflow.
     */
   private val coinThreshold =
-    lpad(lower(hex(expr("least(n_tok, 100) * 4503599627370496 div 100"))), 13, "0")
+    lpad(lower(hex(expr("least(n_tok, 100) * 4503599627370496 div 100"))), 14, "0")
 
   val queries: Map[String, Q] = Map(
     // Importance resampling: keep doc iff md5-coin < min(n_tok/100, 1).
@@ -78,7 +84,7 @@ object Selection {
       val nTok = size(split(normText(col("text")), " ")).cast("long")
       t(s, d, "documents")
         .select(col("doc_id"), nTok.as("n_tok"),
-          substring(md5(concat_ws("|", lit("imp"), col("doc_id"))), 1, 13).as("u"))
+          lpad(substring(md5(concat_ws("|", lit("imp"), col("doc_id"))), 1, 13), 14, "0").as("u"))
         .filter(col("u") < coinThreshold)
         .select(col("doc_id"), col("n_tok"),
           rd(least(col("n_tok").cast("double") / 100.0, lit(1.0)), 6).as("w"))
@@ -162,8 +168,8 @@ object Selection {
          |SELECT doc_id, n_tok,
          |       ${rdSql("least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)", 6)} AS w
          |FROM f
-         |WHERE substring(md5('imp' || '|' || doc_id), 1, 13)
-         |      < lpad(lower(to_hex(least(n_tok, 100) * 4503599627370496 // 100)), 13, '0')
+         |WHERE lpad(substring(md5('imp' || '|' || doc_id), 1, 13), 14, '0')
+         |      < lpad(lower(to_hex(least(n_tok, 100) * 4503599627370496 // 100)), 14, '0')
          |ORDER BY doc_id""".stripMargin,
     "audience_overlap" ->
       s"""WITH a AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -28,7 +28,8 @@ class PunctParitySpec extends SparkSpec {
     "naïve café — résumé…",          // accents + non-ASCII punctuation
     "数字123と句読点、テスト。",        // CJK letters + CJK punct + digits
     "Ψυχή καὶ σῶμα; δύο ἐν ἑνί.",    // polytonic Greek
-    "plain ascii text, with. punct!" // the gate-corpus regime
+    "plain ascii text, with. punct!", // the gate-corpus regime
+    "vertical\u000Btab, ascii; ok."  // U+000B: Java \s has it, RE2 \s does NOT (ADVICE r17)
   )
 
   private def sparkPunct(cls: String): Seq[Int] = {
@@ -44,35 +45,71 @@ class PunctParitySpec extends SparkSpec {
       df.select(length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n"))
         .collect().map(_.getInt(0)).toSeq
     }
-    // on the ASCII literal they agree — which is why the sf gates stayed
-    // green for 14 rounds; on every non-ASCII literal they must differ
-    assert(unicodeCls.last === asciiCls.last, "ASCII regime must agree")
-    literals.indices.dropRight(1).foreach { i =>
-      assert(unicodeCls(i) !== asciiCls(i),
-        s"expected divergence on '${literals(i)}': both counted ${unicodeCls(i)}")
+    // on the ASCII-regime literals they agree — which is why the sf gates
+    // stayed green for 14 rounds; on every non-ASCII literal they must
+    // differ (the VT literal is ASCII-regime: Java \s covers U+000B in
+    // BOTH classes — its divergence is cross-ENGINE, pinned below)
+    literals.indices.foreach { i =>
+      if (literals(i).forall(_ < 128))
+        assert(unicodeCls(i) === asciiCls(i), s"ASCII regime must agree on '${literals(i)}'")
+      else
+        assert(unicodeCls(i) !== asciiCls(i),
+          s"expected divergence on '${literals(i)}': both counted ${unicodeCls(i)}")
     }
   }
 
-  test("ALIGNED: DuckDB's RE2 '[\\p{L}\\p{N}\\s]' counts match Spark's exactly on non-ASCII text") {
+  // the shipped oracle class (round 18): RE2's \s is [\t\n\f\r ] — it
+  // EXCLUDES vertical tab U+000B, which Java's \s includes, so the oracle
+  // spells the whitespace set explicitly instead of using \s (ADVICE r17)
+  private val OracleClass = "[\\\\p{L}\\\\p{N}\\\\t\\\\n\\\\x0B\\\\f\\\\r ]"
+
+  private def duckPunct(cls: String): Seq[Int] = {
+    val script =
+      s"""import duckdb, json, sys
+         |lits = json.load(sys.stdin)
+         |out = [duckdb.execute(
+         |  "SELECT length(regexp_replace(?, '$cls', '', 'g'))",
+         |  [t]).fetchone()[0] for t in lits]
+         |print(json.dumps(out))""".stripMargin
+    // json-escape: quotes AND control chars (json.load rejects raw < 0x20)
+    val payload = "[" + literals.map { l =>
+      "\"" + l.flatMap {
+        case '"'            => "\\\""
+        case '\\'           => "\\\\"
+        case c if c < 0x20  => f"\\u${c.toInt}%04x"
+        case c              => c.toString
+      } + "\""
+    }.mkString(",") + "]"
+    val got = osWithStdin(Seq("python3", "-c", script), payload)
+    got.trim.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toInt).toSeq
+  }
+
+  test("ALIGNED: DuckDB's explicit oracle class counts match Spark's Java \\s class exactly") {
     val py = new java.io.File("/usr/bin/python3")
     assume(py.exists, "python3 not on this host")
     val probe = os("python3", "-c", "import duckdb; print('ok')")
     assume(probe.contains("ok"), "duckdb python module not on this host")
 
-    val script =
-      """import duckdb, json, sys
-        |lits = json.load(sys.stdin)
-        |out = [duckdb.execute(
-        |  "SELECT length(regexp_replace(?, '[\\p{L}\\p{N}\\s]', '', 'g'))",
-        |  [t]).fetchone()[0] for t in lits]
-        |print(json.dumps(out))""".stripMargin
-    val got = osWithStdin(
-      Seq("python3", "-c", script),
-      "[" + literals.map(l => "\"" + l.replace("\"", "\\\"") + "\"").mkString(",") + "]")
-    val duck = got.trim.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toInt).toSeq
+    val duck = duckPunct(OracleClass)
     val sparkN = sparkPunct("[\\p{L}\\p{N}\\s]")
     assert(duck === sparkN,
       s"cross-engine punct mismatch: duckdb=$duck spark=$sparkN on $literals")
+  }
+
+  test("EXHIBIT: DuckDB's RE2 \\s class diverges from Java's on U+000B (the retired oracle spelling)") {
+    val py = new java.io.File("/usr/bin/python3")
+    assume(py.exists, "python3 not on this host")
+    val probe = os("python3", "-c", "import duckdb; print('ok')")
+    assume(probe.contains("ok"), "duckdb python module not on this host")
+
+    val duckOld = duckPunct("[\\\\p{L}\\\\p{N}\\\\s]")
+    val sparkN = sparkPunct("[\\p{L}\\p{N}\\s]")
+    val vtIdx = literals.indexWhere(_.contains('\u000B'))
+    assert(duckOld(vtIdx) === sparkN(vtIdx) + 1,
+      s"RE2 \\s should count VT as punct where Java does not: duckdb=${duckOld(vtIdx)} spark=${sparkN(vtIdx)}")
+    literals.indices.filterNot(_ == vtIdx).foreach { i =>
+      assert(duckOld(i) === sparkN(i), s"unexpected divergence beyond VT on '${literals(i)}'")
+    }
   }
 
   test("KERNEL: plans.PunctCount is bit-identical to the regexp composition (round 17)") {

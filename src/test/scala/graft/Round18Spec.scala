@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round 18 gates for the advisory fixes:
+  *
+  *  1. `sample_importance`'s hex coin at FOURTEEN digits (ADVICE r17 high):
+  *     the w = 1.0 threshold 2⁵² is '10000000000000' — 14 hex digits — and
+  *     the old `lpad(…, 13, '0')` TRUNCATED it to 2⁴⁸, so docs the policy
+  *     says to keep with probability 1.0 survived with probability ~1/16,
+  *     on BOTH engines (the oracle carried the identical truncation, so the
+  *     parity gate stayed green while both were wrong). The gate here is
+  *     the property the policy states: every doc with n_tok ≥ 100 is KEPT.
+  *     With 64 such docs, the old code passes with probability ~0.0625⁶⁴.
+  *
+  *  2. `AnnIvfPq.topKAdaptive`'s two-level DISPATCH executed always-on
+  *     (ADVICE r17 low): the l1 × k2 split wiring only ran under
+  *     /tmp/emb4m//tmp/emb16m assume-gates before; a forced tiny clamp
+  *     sends the sf-unit corpus down the exact branch the 16M rung takes.
+  */
+class Round18Spec extends SparkSpec {
+
+  import graft.operators.{AnnIvf, AnnIvfPq}
+
+  test("sample_importance keeps EVERY doc with n_tok >= 100, at w = 1.0 (the 14-hex-digit coin)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-imp").toString
+    // 64 substantial docs (n_tok 100..163 — all at the w=1.0 ramp top) with
+    // varied doc_ids so the md5 coins spread over [0, 16^13); plus short
+    // docs that must get the fractional ramp, not certainty
+    val docs =
+      (0 until 64).map { i =>
+        (i.toLong * 37 + 1, Seq.fill(100 + i)("tok").mkString(" "), "en", "srcA", 400L)
+      } ++ Seq(
+        (9001L, "a b c", "en", "srcB", 5L),     // n_tok = 3 → w = 0.03
+        (9002L, "one two three four", "en", "srcB", 18L)) // n_tok = 4
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+
+    val out = SparkEntry.queries("sample_importance")(spark, d).collect()
+    val kept = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    (0 until 64).foreach { i =>
+      val id = i.toLong * 37 + 1
+      assert(kept.contains(id), s"doc $id (n_tok=${100 + i}) must ALWAYS be kept at w=1.0")
+      assert(kept(id) === 1.0, s"doc $id weight must be 1.0, got ${kept(id)}")
+    }
+    // short docs: if kept at all, their recorded weight is the ramp value
+    kept.get(9001L).foreach(w => assert(w === 0.03))
+    kept.get(9002L).foreach(w => assert(w === 0.04))
+  }
+
+  test("the 14-digit threshold hex for w = 1.0 is representable (the exact truncation the old width hit)") {
+    val threshold = 4503599627370496L // 2^52 = least(100,100) * 2^52 div 100
+    val hex = java.lang.Long.toHexString(threshold)
+    assert(hex.length === 14, s"w=1.0 threshold needs 14 hex digits, got '$hex'")
+    assert(hex === "10000000000000")
+    // at width 13 the old lpad TRUNCATED it to 2^48 — the advisory bug
+    assert(java.lang.Long.parseLong(hex.take(13), 16) === (1L << 48))
+    // every 13-hex md5 coin, left-padded to 14, sorts strictly below it
+    assert("0fffffffffffff" < hex)
+  }
+
+  test("topKAdaptive's two-level dispatch runs always-on: forced clamp, recall@5 >= 0.8 vs exact") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val sf = "/root/testdata/sf0.01"
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val n = emb.count()
+    val lists = AnnIvf.listsFor(n)
+    val forcedClamp = math.max(1, lists / 4) // strictly below listsFor(n) → two-level branch
+    assert(lists > forcedClamp, s"forced clamp must trigger the two-level branch (lists=$lists)")
+    val out = AnnIvfPq.topKAdaptive(emb, q, 5, forcedClamp).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (qid, a) => (qid, a.map(_._2).toSet) }
+    val exact = SparkEntry.queries("sim_knn_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (qid, a) => (qid, a.map(_._2).toSet) }
+    val rs = exact.map { case (qid, ex) =>
+      out.getOrElse(qid, Set.empty[Long]).intersect(ex).size / ex.size.toDouble
+    }
+    val recall = rs.sum / rs.size
+    assert(recall >= 0.8, f"two-level adaptive dispatch recall@5 = $recall%.3f")
+  }
+}
