@@ -107,7 +107,16 @@ object Extras {
       val stop = markerHits(toks, enStop).cast("double") / greatest(nTok, lit(1.0))
       val quality = lit(0.4) * least(nTok / 100.0, lit(1.0)) +
         lit(0.3) * (lit(1.0) - punct) + lit(0.3) * stop
+      // ORDER-FIRST (round 18): the contract ORDER BY under a materializing
+      // sink made RangePartitioning's boundary sampler re-evaluate the whole
+      // feature chain (sf10 noop: 9.5 s unsorted → 35.1 s sorted). Sorting
+      // the slim (doc_id, text) scan FIRST and projecting features after
+      // keeps the sampler on the cheap scan and runs the features exactly
+      // once, post-shuffle; a narrow projection preserves the total order,
+      // and under the count() protocol EliminateSorts still prunes the sort.
       t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(
           col("doc_id"),
           size(toks).cast("long").as("n_tok"),
@@ -115,7 +124,6 @@ object Extras {
           rd(punct, 4).as("punct_ratio"),
           rd(stop, 4).as("stop_ratio"),
           rd(quality, 4).as("quality"))
-        .orderBy("doc_id")
     }),
 
     // Token counting: whitespace tokens + a BPE-ish regex segmentation

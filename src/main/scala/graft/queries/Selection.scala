@@ -82,13 +82,22 @@ object Selection {
     // independent of every other md5 coin in the engine.
     "sample_importance" -> ((s, d) => {
       val nTok = size(split(normText(col("text")), " ")).cast("long")
-      t(s, d, "documents")
+      // SLIM-CHECKPOINT pre-sort (round 18): the coin filter's tokenize+md5
+      // chain can't be kept out of the range-boundary sampler by reordering
+      // (the sampler runs the sort's whole child), so the kept set is
+      // materialized as 16-byte (doc_id, n_tok) rows first — the expensive
+      // pass runs exactly once and the sort shuffles only the slim rows
+      // (sf10 noop read 16.1 s for a ~5.3 s honest pass).
+      val kept = t(s, d, "documents")
         .select(col("doc_id"), nTok.as("n_tok"),
           lpad(substring(md5(concat_ws("|", lit("imp"), col("doc_id"))), 1, 13), 14, "0").as("u"))
         .filter(col("u") < coinThreshold)
+        .select(col("doc_id"), col("n_tok"))
+        .localCheckpoint()
+      kept
+        .orderBy("doc_id")
         .select(col("doc_id"), col("n_tok"),
           rd(least(col("n_tok").cast("double") / 100.0, lit(1.0)), 6).as("w"))
-        .orderBy("doc_id")
     }),
 
     // Audience overlap: Jaccard between the distinct user sets of every
