@@ -136,6 +136,46 @@ object Curation {
         .orderBy("doc_id")
         .select(col("doc_id"), score.as("score"))
         .withColumn("keep", col("score") >= 0.5)
+    }),
+
+    // Quality-WEIGHTED importance sampling (round 18, VERDICT r17 item 4):
+    // the DCLM/FineWeb-shaped selection step — each doc kept with
+    // probability equal to its MODEL quality score (the logreg sigmoid
+    // above), not a length ramp. The acceptance coin is the
+    // sample_importance exact-integer hex algebra: the score's 4-dp
+    // numerator k = floor(sigmoid·1e4 + 0.5) ∈ [0, 10000] is exact and
+    // cross-engine identical (same IEEE ops both sides), the threshold
+    // floor(k·2⁴⁸/10000) is exact bigint arithmetic (k·2⁴⁸ ≤ 2.82e18 <
+    // 2⁶³), and the coin is a 12-hex md5 prefix — compared at WIDTH 13 so
+    // the k = 10000 threshold 2⁴⁸ ('1000000000000', 13 digits) is
+    // representable and certainty docs are always kept (the round-18
+    // lpad-truncation lesson).
+    "sample_quality_weighted" -> ((s, d) => {
+      val toks = split(normText(col("text")), " ")
+      val nTok = size(toks).cast("double")
+      val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
+      val punct = graft.Tables.punctCount(col("text")).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")
+      val stop = Extras.markerHits(toks, EnStop).cast("double") /
+        greatest(nTok, lit(1.0))
+      val fLen = least(nTok / 100.0, lit(1.0))
+      val fWlen = least(chars / greatest(nTok, lit(1.0)) / 10.0, lit(1.0))
+      val z = lit(B) + lit(WLen) * fLen + lit(WPunct) * punct +
+        lit(WStop) * stop + lit(WWlen) * fWlen
+      val sig = lit(1.0) / (lit(1.0) + exp(lit(0.0) - z))
+      val k = floor(sig * 1e4 + lit(0.5)).cast("long") // the rd(…,4) numerator, exact
+      // slim-checkpoint pre-sort (the sample_importance pattern): the
+      // feature+coin chain runs once; only 16-byte (doc_id, k) rows sort
+      val kept = t(s, d, "documents")
+        .select(col("doc_id"), k.as("k"),
+          lpad(substring(md5(concat_ws("|", lit("qimp"), col("doc_id"))), 1, 12), 13, "0").as("u"))
+        .filter(col("u") < lpad(lower(hex(expr("k * 281474976710656 div 10000"))), 13, "0"))
+        .select(col("doc_id"), col("k"))
+        .localCheckpoint()
+      kept
+        .orderBy("doc_id")
+        .select(col("doc_id"),
+          (col("k").cast("double") / lit(10000.0)).as("score"))
     })
   )
 
@@ -186,6 +226,31 @@ object Curation {
          |  SELECT doc_id, ${rdSql("1.0 / (1.0 + exp(0.0 - z))", 4)} AS score
          |  FROM z)
          |SELECT doc_id, score, score >= 0.5 AS keep
-         |FROM sc ORDER BY doc_id""".stripMargin
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "sample_quality_weighted" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split($norm, ' ')) AS DOUBLE) AS n_tok,
+         |         CAST(length(replace($norm, ' ', '')) AS DOUBLE) AS chars,
+         |         CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]', '', 'g')) AS DOUBLE)
+         |           / greatest(length(text), 1) AS punct,
+         |         CAST($enStopSql AS DOUBLE)
+         |           / greatest(len(string_split($norm, ' ')), 1) AS stop
+         |  FROM documents),
+         |z AS (
+         |  SELECT doc_id,
+         |         $B + $WLen * least(n_tok / 100.0, 1.0) + $WPunct * punct
+         |            + $WStop * stop
+         |            + $WWlen * least(chars / greatest(n_tok, 1.0) / 10.0, 1.0) AS z
+         |  FROM f),
+         |kk AS (
+         |  SELECT doc_id,
+         |         CAST(floor((1.0 / (1.0 + exp(0.0 - z))) * 1e4 + 0.5) AS BIGINT) AS k
+         |  FROM z)
+         |SELECT doc_id, CAST(k AS DOUBLE) / 10000.0 AS score
+         |FROM kk
+         |WHERE lpad(substring(md5('qimp' || '|' || doc_id), 1, 12), 13, '0')
+         |      < lpad(lower(to_hex(k * 281474976710656 // 10000)), 13, '0')
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -60,6 +60,34 @@ class Round18Spec extends SparkSpec {
     assert("0fffffffffffff" < hex)
   }
 
+  test("sample_quality_weighted: kept set is the score-thresholded coin subset of text_quality_logreg") {
+    val d = TestTables.dir(spark)
+    val scores = SparkEntry.queries("text_quality_logreg")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = SparkEntry.queries("sample_quality_weighted")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // kept docs carry EXACTLY the logreg 4-dp score as their weight
+    out.foreach { case (id, s) =>
+      assert(scores.contains(id) && math.abs(scores(id) - s) < 1e-12,
+        s"doc $id: weight $s != logreg score ${scores.get(id)}")
+    }
+    // and membership is the deterministic coin: recompute it independently
+    val md = java.security.MessageDigest.getInstance("MD5")
+    scores.foreach { case (id, s) =>
+      val k = math.floor(s * 1e4 + 0.5).toLong // s IS k/10000, recovery exact
+      val hex = md.digest(s"qimp|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = java.lang.Long.parseLong(hex, 16)
+      val keepExpected = u < k * 281474976710656L / 10000L
+      assert(out.contains(id) === keepExpected,
+        s"doc $id: score $s coin=$u threshold=${k * 281474976710656L / 10000L}")
+    }
+    // determinism
+    val again = SparkEntry.queries("sample_quality_weighted")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === out)
+  }
+
   test("topKAdaptive's two-level dispatch runs always-on: forced clamp, recall@5 >= 0.8 vs exact") {
     assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
     val sf = "/root/testdata/sf0.01"
