@@ -47,6 +47,28 @@ object AnnIvfPq {
   def topKAdaptive(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
     topKAdaptive(emb, queries, k, AnnIvf.MaxLists)
 
+  /** The adaptive parameter rules as ONE shared derivation — consumed by
+    * [[topKAdaptive]] AND [[AnnIndex.buildAdaptive]] in lockstep, so a
+    * persisted index can never be built under different rules than the
+    * fresh-fit query it must replay (round 18). twoLevel ⇔ lists > the
+    * clamp; l1/k2 are meaningful only then.
+    */
+  private[graft] final case class IvfPqParams(
+      lists: Int, l1: Int, k2: Int, m: Int, kSub: Int, rerank: Int, twoLevel: Boolean)
+
+  private[graft] def paramsFor(n: Long, maxLists: Int = AnnIvf.MaxLists): IvfPqParams = {
+    val lists = AnnIvf.listsFor(n)
+    val (m, kSub) = if (n < AnnPq.BigCorpus) (8, 32) else (16, 256)
+    val rerank = math.max(128L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      .min(Int.MaxValue.toLong).toInt
+    if (lists <= maxLists)
+      IvfPqParams(lists, 0, 0, m, kSub, rerank, twoLevel = false)
+    else {
+      val l1 = 1 << math.ceil(math.log(math.sqrt(lists.toDouble)) / math.log(2.0)).toInt
+      IvfPqParams(lists, l1, math.max(1, lists / l1), m, kSub, rerank, twoLevel = true)
+    }
+  }
+
   /** Clamp-injectable form so the two-level DISPATCH (the l1 × k2 split
     * wiring above, not just topK2Level's internals) executes in an
     * always-on sf0.01 test without a multi-million-vector fixture
@@ -55,19 +77,13 @@ object AnnIvfPq {
     */
   private[graft] def topKAdaptive(
       emb: DataFrame, queries: DataFrame, k: Int, maxLists: Int): DataFrame = {
-    val n = emb.count()
-    val lists = AnnIvf.listsFor(n)
-    val (m, kSub) = if (n < AnnPq.BigCorpus) (8, 32) else (16, 256)
-    val rerank = math.max(128L, math.ceil(math.sqrt(n.toDouble)).toLong)
-      .min(Int.MaxValue.toLong).toInt
-    if (lists <= maxLists)
-      topK(emb, queries, k, nLists = lists, nProbe = math.max(1, lists / 2),
-        m = m, kSub = kSub, rerank = rerank)
-    else {
-      val l1 = 1 << math.ceil(math.log(math.sqrt(lists.toDouble)) / math.log(2.0)).toInt
-      topK2Level(emb, queries, k, l1 = l1, k2 = math.max(1, lists / l1),
-        m = m, kSub = kSub, rerank = rerank)
-    }
+    val p = paramsFor(emb.count(), maxLists)
+    if (!p.twoLevel)
+      topK(emb, queries, k, nLists = p.lists, nProbe = math.max(1, p.lists / 2),
+        m = p.m, kSub = p.kSub, rerank = p.rerank)
+    else
+      topK2Level(emb, queries, k, l1 = p.l1, k2 = p.k2,
+        m = p.m, kSub = p.kSub, rerank = p.rerank)
   }
 
   /** Top-k approximate neighbors through the pruned compressed scan.
@@ -346,7 +362,7 @@ object AnnIvfPq {
     * would have sampled from the raw corpus while the per-row normalize
     * runs O(cap) times instead of O(n) per fit (review finding, round 16b).
     */
-  private def unitSampleOf(emb: DataFrame, cap: Int): DataFrame = {
+  private[operators] def unitSampleOf(emb: DataFrame, cap: Int): DataFrame = {
     val normalizeUdf = udf((v: Seq[Double]) => AnnPq.normalize(v.toArray).toSeq)
     emb
       .select(col("vec_id"), col("vec"),

@@ -263,6 +263,24 @@ object Extras {
         .orderBy("qid", "rnk")
     }),
 
+    // PERSISTED ANN index, build-once-serve-many (round 18): the first call
+    // per (session, sfDir) fits + encodes ONCE into a parquet index
+    // (partitioned by cell so serving PRUNES unprobed cells at the file
+    // level); every later call is the serve-only path — no fit, no encode.
+    // The fits are deterministic, so the served rows are BIT-IDENTICAL to
+    // sim_ann_ivfpq's fresh-fit answer (Round18Spec pins it at sf0.01 and
+    // the 4.2M rung). Approximate ⇒ oracle-less, same recall pins as the
+    // in-memory key it persists.
+    "sim_ann_index_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      graft.operators.AnnIndex.servedFromCache(emb, q, 5, d)
+        .select(col("qid"), col("rnk"), col("nid"), rd(col("cos"), 4).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
     // Multimodal binary column with a REAL javax.imageio decode: committed
     // png/jpg/bmp payloads (fixtures/media_images.parquet, see
     // tools.GenMediaFixture) → true width/height/format + a checksum over

@@ -22,7 +22,7 @@ class NullCorpusSpec extends SparkSpec {
     */
   private val refusesNullVectors =
     Set("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq",
-      "dedup_embedding_ann", "dedup_embedding")
+      "sim_ann_index_serve", "dedup_embedding_ann", "dedup_embedding")
 
   private def causeChain(e: Throwable): String = {
     val sb = new StringBuilder

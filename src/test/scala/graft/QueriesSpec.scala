@@ -10,15 +10,15 @@ class QueriesSpec extends SparkSpec {
   private lazy val d = TestTables.dir(spark)
   private def q(name: String) = SparkEntry.queries(name)(spark, d)
 
-  test("inventory: 217 declared queries (53 SURVEY §2 + 164 extras), 206 with oracles") {
-    assert(SparkEntry.queries.size === 217)
-    assert(SparkEntry.oracleSql.size === 206)
+  test("inventory: 219 declared queries (53 SURVEY §2 + 166 extras), 207 with oracles") {
+    assert(SparkEntry.queries.size === 219)
+    assert(SparkEntry.oracleSql.size === 207)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set(
       "agg_approx_distinct", "dedup_minhash", "sim_ann_lsh", "sim_ann_ivf",
       "sim_ann_pq", "sim_ann_ivfpq", "agg_kmv_distinct",
       "agg_approx_percentile", "agg_hll_union", "agg_approx_topk",
-      "agg_weighted_median_approx"))
+      "agg_weighted_median_approx", "sim_ann_index_serve"))
   }
 
   test("sim_ann_ivf recall: finds the aligned vector for query 0") {

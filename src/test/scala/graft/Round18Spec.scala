@@ -88,6 +88,78 @@ class Round18Spec extends SparkSpec {
     assert(again === out)
   }
 
+  // ---- ANN index persistence (VERDICT r17 item 3) ----
+
+  private def embQ(sf: String) = {
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    (emb, q)
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map { r =>
+      // raw double bits — "identical" must mean BIT-identical
+      s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}|${java.lang.Double.doubleToRawLongBits(r.getDouble(3))}"
+    }.sorted.toSeq
+
+  test("reloaded ANN index serves BIT-IDENTICAL rows to the fresh fit at sf0.01") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val sf = "/root/testdata/sf0.01"
+    val (emb, q) = embQ(sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString
+    operators.AnnIndex.buildAdaptive(emb, dir)
+    val served = rowsOf(operators.AnnIndex.serve(spark, dir, emb, q, 5))
+    val fresh = rowsOf(operators.AnnIvfPq.topKAdaptive(emb, q, 5))
+    assert(served.nonEmpty && served === fresh)
+    // serve is deterministic across calls (no refit anywhere)
+    assert(rowsOf(operators.AnnIndex.serve(spark, dir, emb, q, 5)) === served)
+  }
+
+  test("the persisted index round-trips the TWO-LEVEL path too (forced clamp)") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val sf = "/root/testdata/sf0.01"
+    val (emb, q) = embQ(sf)
+    val lists = operators.AnnIvf.listsFor(emb.count())
+    val clamp = math.max(1, lists / 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx2l").toString
+    operators.AnnIndex.buildAdaptive(emb, dir, maxLists = clamp)
+    val served = rowsOf(operators.AnnIndex.serve(spark, dir, emb, q, 5))
+    val fresh = rowsOf(operators.AnnIvfPq.topKAdaptive(emb, q, 5, clamp))
+    assert(served.nonEmpty && served === fresh)
+  }
+
+  test("reloaded ANN index serves BIT-IDENTICAL rows to the fresh fit at the 4.2M rung") {
+    assume(new java.io.File("/tmp/emb4m/embeddings.parquet").exists)
+    val (emb, q) = embQ("/tmp/emb4m")
+    val dir = "/tmp/graft-ann-index-emb4m"
+    operators.AnnIndex.buildAdaptive(emb, dir)
+    val served = rowsOf(operators.AnnIndex.serve(spark, dir, emb, q, 5))
+    val fresh = rowsOf(operators.AnnIvfPq.topKAdaptive(emb, q, 5))
+    assert(served.nonEmpty && served === fresh)
+  }
+
+  test("sim_ann_index_serve declared key: cached build, serve parity with sim_ann_ivfpq") {
+    val d = TestTables.dir(spark)
+    val viaIndex = SparkEntry.queries("sim_ann_index_serve")(spark, d).collect().map(_.toString).sorted
+    val fresh = SparkEntry.queries("sim_ann_ivfpq")(spark, d).collect().map(_.toString).sorted
+    assert(viaIndex.nonEmpty && (viaIndex.toSeq === fresh.toSeq))
+    // second call is the serve-only path (cache hit) and must be identical
+    val again = SparkEntry.queries("sim_ann_index_serve")(spark, d).collect().map(_.toString).sorted
+    assert(again.toSeq === viaIndex.toSeq)
+  }
+
+  test("AnnIndex on an EMPTY corpus: build writes, serve returns the empty contract frame") {
+    val d = TestTables.dirEmpty(spark)
+    val emb = Tables.t(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val q = emb.select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx-empty").toString
+    operators.AnnIndex.buildAdaptive(emb, dir)
+    assert(operators.AnnIndex.serve(spark, dir, emb, q, 5).count() === 0L)
+  }
+
   test("topKAdaptive's two-level dispatch runs always-on: forced clamp, recall@5 >= 0.8 vs exact") {
     assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
     val sf = "/root/testdata/sf0.01"
