@@ -73,8 +73,11 @@ object AnnIndex {
         AnnIvf.fitSubCenters(unitSample, centers, p.k2, iters = 5, cap2 = cap2)
       else Array.empty
 
-    Seq((n, p.lists, p.l1, p.k2, p.m, p.kSub, p.rerank, p.twoLevel))
-      .toDF("n", "lists", "l1", "k2", "m", "k_sub", "rerank", "two_level")
+    // sub_probe_frac rides in meta so an index built under one probing rule
+    // can never be served under another (the round-18 subwide shipping)
+    val subFrac = if (p.twoLevel) AnnIvfPq.SubProbeFrac2L else 0.0
+    Seq((n, p.lists, p.l1, p.k2, p.m, p.kSub, p.rerank, p.twoLevel, subFrac))
+      .toDF("n", "lists", "l1", "k2", "m", "k_sub", "rerank", "two_level", "sub_probe_frac")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell_id", "center")
@@ -184,12 +187,13 @@ object AnnIndex {
             .take(nProbe).map(_.toLong))
       } else {
         val subsB = sc0.broadcast(subs)
+        val subFrac = meta.getAs[Double]("sub_probe_frac")
         val l1Probe = math.max(1, math.ceil(centers.length * math.sqrt(0.5)).toInt)
         udf((qv: Seq[Double]) => {
           val u = AnnPq.normalize(qv.toArray)
           AnnIvf.rankedIdx(centersB.value, u).take(l1Probe).flatMap { c1 =>
             val cell = subsB.value(c1)
-            val subProbe = math.max(1, math.ceil(cell.length * math.sqrt(0.5)).toInt)
+            val subProbe = math.max(1, math.ceil(cell.length * subFrac).toInt)
             AnnIvf.rankedIdx(cell, u).take(subProbe).map(s2 => c1.toLong * k2 + s2)
           }
         })

@@ -75,6 +75,22 @@ object AnnIvfPq {
     * (ADVICE r17): a forced tiny maxLists sends the small corpus down the
     * exact branch the 16M rung takes in production.
     */
+  /** Sub-level probe fraction for the two-level IVF-PQ dispatch (round 18,
+    * VERDICT r17 item 6). The 16M rung read recall@5 0.940 at √½-per-level
+    * while both parents read 0.980; the equal-budget A/B isolated the cause
+    * as SUB-CELL BOUNDARY PRUNING, not quantization noise:
+    *   base (√½·√½, rerank √n)     0.940 @ 99 s
+    *   subwide (√½·0.85, same)     0.960 @ 152 s   ← shipped
+    *   rerank2x (√½·√½, 2√n)       0.940 @ 148 s   (no gain — the missing
+    *                                neighbors are never probed)
+    * Probed fraction for this one composition is ≈ 0.60 (√½·0.85) instead
+    * of the family's ½ — the composition pays a wider candidate cut
+    * because PQ-noise ranking inside the probed set cannot recover cells
+    * never read. AnnIvf's own two-level path keeps √½ (its exact scan
+    * re-ranks everything it probes; 0.980 at 16M without the widening).
+    */
+  private[graft] val SubProbeFrac2L = 0.85
+
   private[graft] def topKAdaptive(
       emb: DataFrame, queries: DataFrame, k: Int, maxLists: Int): DataFrame = {
     val p = paramsFor(emb.count(), maxLists)
@@ -83,7 +99,8 @@ object AnnIvfPq {
         m = p.m, kSub = p.kSub, rerank = p.rerank)
     else
       topK2Level(emb, queries, k, l1 = p.l1, k2 = p.k2,
-        m = p.m, kSub = p.kSub, rerank = p.rerank)
+        m = p.m, kSub = p.kSub, rerank = p.rerank,
+        subProbeFrac = SubProbeFrac2L)
   }
 
   /** Top-k approximate neighbors through the pruned compressed scan.
@@ -286,7 +303,12 @@ object AnnIvfPq {
       k2: Int = 32,
       m: Int = 8,
       kSub: Int = 32,
-      rerank: Int = 128): DataFrame = {
+      rerank: Int = 128,
+      // per-level probe fractions (default √½ each ⇒ probed fraction ≈ ½,
+      // the family constant). Parameterized for the round-18 16M recall
+      // A/B: wider sub-probing vs a wider exact re-rank at equal budget.
+      l1ProbeFrac: Double = math.sqrt(0.5),
+      subProbeFrac: Double = math.sqrt(0.5)): DataFrame = {
 
     def requireVec(vec: Column, side: String): Column =
       when(vec.isNotNull, vec).otherwise(raise_error(lit(
@@ -335,12 +357,12 @@ object AnnIvfPq {
 
     // hierarchical probe at √½ per level (probed fraction ≈ ½, the family
     // constant), on the unit query
-    val l1Probe = math.max(1, math.ceil(centers.length * math.sqrt(0.5)).toInt)
+    val l1Probe = math.max(1, math.ceil(centers.length * l1ProbeFrac).toInt)
     val probeUdf = udf((qv: Seq[Double]) => {
       val u = AnnPq.normalize(qv.toArray)
       AnnIvf.rankedIdx(centersB.value, u).take(l1Probe).flatMap { c1 =>
         val cell = subsB.value(c1)
-        val subProbe = math.max(1, math.ceil(cell.length * math.sqrt(0.5)).toInt)
+        val subProbe = math.max(1, math.ceil(cell.length * subProbeFrac).toInt)
         AnnIvf.rankedIdx(cell, u).take(subProbe).map(s2 => c1.toLong * k2 + s2)
       }
     })

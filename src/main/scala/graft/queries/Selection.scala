@@ -60,7 +60,7 @@ object Selection {
     * distinct document frequencies (the synthetic documents speak
     * query-plan English).
     */
-  private[queries] val Bm25Terms = Seq("join", "merge", "sort")
+  private[graft] val Bm25Terms = Seq("join", "merge", "sort")
 
   /** floor(min(n_tok,100)/100 · 2⁵²) as exact integer arithmetic (`div`,
     * never `/` — Spark's `/` on bigints returns DOUBLE, and 100·2⁵² > 2⁵³

@@ -337,6 +337,47 @@ object AbBench {
     // row-identical, so the ratio is purely the candidate-generation cost
     "dedup_semantic_quadratic" -> ((s, d) =>
       graft.queries.Corpus.semanticNn(s, d, quadratic = true)),
+    // round-18 rank_bm25 A/B (VERDICT r17 item 8): the declared form
+    // tokenizes the corpus TWICE (stats needs dl over all docs; tf needs
+    // the tokens). This twin tokenizes ONCE and localCheckpoints a SLIM
+    // frame — (doc_id, dl, tokens FILTERED to the 3 query terms) — that
+    // both branches consume; the checkpoint is ~24 B + matching tokens per
+    // doc, not the full token arrays. Output identical by construction
+    // (same algebra off the same per-doc quantities).
+    "rank_bm25_slimckpt" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, rd, t}
+      val terms = graft.queries.Selection.Bm25Terms
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          filter(col("w"), tk => tk.isin(terms: _*)).as("mtoks"))
+        .localCheckpoint()
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("mtoks")).as("token"))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfq), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+        .withColumn("s",
+          col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+              (col("tot_dl").cast("double") / col("n_docs").cast("double")))))
+      val termCols = terms.map(tm =>
+        coalesce(max(when(col("token") === tm, col("s"))), lit(0.0)))
+      scored
+        .groupBy(col("doc_id"))
+        .agg(termCols.reduce(_ + _).as("score0"), count(lit(1)).as("n_terms"))
+        .select(col("doc_id"), col("n_terms"), rd(col("score0"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
     // round-10 coreset A/B: the recompute FPS form the incremental state
     // frame replaced — every round re-derives min-distance against the
     // WHOLE selected set (k-row fan-out + groupBy), O(K²·n·dim) total

@@ -160,6 +160,18 @@ class Round18Spec extends SparkSpec {
     assert(operators.AnnIndex.serve(spark, dir, emb, q, 5).count() === 0L)
   }
 
+  test("rank_bm25_slimckpt twin is ROW-IDENTICAL to the declared recompute form") {
+    // the round-18 single-tokenize A/B twin (AbBench) must be the same
+    // query, not merely the same row count — pinned here on the unit
+    // fixture AND sf0.01
+    for (d <- Seq(TestTables.dir(spark), "/root/testdata/sf0.01")
+         if new java.io.File(d).isDirectory) {
+      val a = SparkEntry.queries("rank_bm25")(spark, d).collect().map(_.toString)
+      val b = tools.AbBench.variants("rank_bm25_slimckpt")(spark, d).collect().map(_.toString)
+      assert(a.toSeq === b.toSeq, s"bm25 twin diverges at $d")
+    }
+  }
+
   test("topKAdaptive's two-level dispatch runs always-on: forced clamp, recall@5 >= 0.8 vs exact") {
     assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
     val sf = "/root/testdata/sf0.01"
