@@ -164,15 +164,18 @@ object Curation {
         lit(WStop) * stop + lit(WWlen) * fWlen
       val sig = lit(1.0) / (lit(1.0) + exp(lit(0.0) - z))
       val k = floor(sig * 1e4 + lit(0.5)).cast("long") // the rd(…,4) numerator, exact
-      // slim-checkpoint pre-sort (the sample_importance pattern): the
-      // feature+coin chain runs once; only 16-byte (doc_id, k) rows sort
-      val kept = t(s, d, "documents")
+      // slim-checkpoint BEFORE the coin filter (round 18): predicate
+      // pushdown would substitute the whole feature chain into the filter
+      // and evaluate it a second time for the projection (measured 17.4 s
+      // vs the logreg pass's 3.9 at the sf10 noop sink); the 24-byte
+      // (doc_id, k, u) barrier runs the chain ONCE, and filter + sort read
+      // only slim rows
+      val scored = t(s, d, "documents")
         .select(col("doc_id"), k.as("k"),
           lpad(substring(md5(concat_ws("|", lit("qimp"), col("doc_id"))), 1, 12), 13, "0").as("u"))
-        .filter(col("u") < lpad(lower(hex(expr("k * 281474976710656 div 10000"))), 13, "0"))
-        .select(col("doc_id"), col("k"))
         .localCheckpoint()
-      kept
+      scored
+        .filter(col("u") < lpad(lower(hex(expr("k * 281474976710656 div 10000"))), 13, "0"))
         .orderBy("doc_id")
         .select(col("doc_id"),
           (col("k").cast("double") / lit(10000.0)).as("score"))

@@ -82,19 +82,18 @@ object Selection {
     // independent of every other md5 coin in the engine.
     "sample_importance" -> ((s, d) => {
       val nTok = size(split(normText(col("text")), " ")).cast("long")
-      // SLIM-CHECKPOINT pre-sort (round 18): the coin filter's tokenize+md5
-      // chain can't be kept out of the range-boundary sampler by reordering
-      // (the sampler runs the sort's whole child), so the kept set is
-      // materialized as 16-byte (doc_id, n_tok) rows first — the expensive
-      // pass runs exactly once and the sort shuffles only the slim rows
-      // (sf10 noop read 16.1 s for a ~5.3 s honest pass).
-      val kept = t(s, d, "documents")
+      // SLIM-CHECKPOINT pre-filter (round 18): the sort's boundary sampler
+      // would re-run the tokenize+md5 chain, and predicate pushdown would
+      // substitute it into the coin filter for a SECOND evaluation — the
+      // 24-byte (doc_id, n_tok, u) barrier runs the chain exactly once;
+      // filter, sort and the weight projection read only slim rows (sf10
+      // noop: 16.1 s with no barrier, 5.7 with a post-filter one, ~4 here).
+      val scored = t(s, d, "documents")
         .select(col("doc_id"), nTok.as("n_tok"),
           lpad(substring(md5(concat_ws("|", lit("imp"), col("doc_id"))), 1, 13), 14, "0").as("u"))
-        .filter(col("u") < coinThreshold)
-        .select(col("doc_id"), col("n_tok"))
         .localCheckpoint()
-      kept
+      scored
+        .filter(col("u") < coinThreshold)
         .orderBy("doc_id")
         .select(col("doc_id"), col("n_tok"),
           rd(least(col("n_tok").cast("double") / 100.0, lit(1.0)), 6).as("w"))
