@@ -36,6 +36,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def sentinelMedian(k: Int): Seq[Double] = Seq.fill(k)(sentinelProbe())
+    // ---- parallel shuffle sentinel (round 18) ----
+    // The single-thread sentinel is nearly BLIND to multi-tenant host
+    // memory-bandwidth degradation: round 18 measured sentinel 0.195–0.25
+    // ("quiet", ref 0.17) while every shuffle-heavy key ran 3–5× slow in
+    // ISOLATION on a load-average-0 guest (join_salted 39.4 s vs 10.6 s on
+    // the same commit, same fixture, 40 min apart; a 32-proc page-alloc
+    // probe read 10–12 GB/s aggregate vs 33 GB/s at 16 procs during the
+    // episode, and Spark recovered the moment it lifted). This probe IS the
+    // workload class that suffers: an all-core ~1 GB hash+shuffle
+    // (write+read) through the engine itself. Same philosophy as the scalar
+    // sentinel: repo code can never touch spark.range/xxhash64/repartition.
+    def parProbe(): Double = {
+      import org.apache.spark.sql.functions.{col, max}
+      val t0 = System.nanoTime()
+      spark.range(60000000L).selectExpr("xxhash64(id) as h")
+        .repartition(cpus.toInt, col("h")).agg(max("h")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    parProbe() // JIT/codegen warmup, discarded like the scalar sentinel's
+    def parMedian(k: Int): Double = {
+      val s = Seq.fill(k)(parProbe()).sorted; s((s.length - 1) / 2)
+    }
     // The FIRST probe JIT-compiles the probe pipeline itself and read
     // 0.63–0.72 s on a measured-idle host (vs 0.18–0.21 steady-state), so it
     // is discarded as declared warmup; the guard statistic is the median of
@@ -43,6 +65,7 @@ object Bench {
     // on an idle host (measured 2026-08-14, two fresh-JVM runs).
     sentinelProbe()
     val sentinelPre = sentinelMedian(4)
+    val parPre = parMedian(3)
     // sorted for run-to-run comparability (Map iteration order is
     // hash-dependent and would reshuffle warm-cache effects across rounds)
     var failed = List.empty[String]
@@ -140,27 +163,40 @@ object Bench {
     val preSorted = sentinelPre.sorted
     val sentinel = preSorted((preSorted.length - 1) / 2)
     val sentinelPost = sentinelMedian(3).sorted
+    val parPost = parMedian(2)
     // reference band: committed quiet-host medians per cpu count (JSON of
     // the shape {"32": 0.62, "16": 1.1}); overridable for local experiments
     val refPath = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REF", "bench/sentinel_ref.json")
-    val sentinelRef: Option[Double] = try {
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)), "UTF-8")
-      s""""$cpus"\\s*:\\s*([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+    val refTxt: Option[String] = try {
+      Some(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)), "UTF-8"))
     } catch { case _: Throwable => None }
+    def refKey(key: String): Option[Double] = refTxt.flatMap(txt =>
+      (s""""$key"\\s*:\\s*([0-9.]+)""").r.findFirstMatchIn(txt).map(_.group(1).toDouble))
+    val sentinelRef: Option[Double] = refKey(cpus)
+    // quiet-host reference for the parallel shuffle sentinel, keyed
+    // "par_<cpus>" in the same file; absent ⇒ stamp-only, never block
+    val parRef: Option[Double] = refKey(s"par_$cpus")
     // 1.5× — calibrated against both sides of the decision: measured idle
     // in-Bench pre-medians span 0.156–0.195 s (four fresh-JVM runs,
     // load-average 0.00 host) while round-11-style contention reads ≥ ~0.6 s
     // (6× query inflation), so 0.17 × 1.5 = 0.26 sits 33% above the worst
     // idle sample and ≥ 2× below the mildest contended one. 1.25× put the
     // threshold (0.20) inside idle noise and false-flagged quiet runs.
-    val contended = sentinelRef.exists(ref => sentinel > ref * 1.5)
+    // The parallel guard uses the SAME 1.5× rule: during the round-18
+    // episode the par probe would have read ≥ 3× its quiet band (the
+    // isolated shuffle keys did), while healthy same-day medians sit within
+    // ±15% — 1.5× clears idle noise and catches every observed episode.
+    val contended = sentinelRef.exists(ref => sentinel > ref * 1.5) ||
+      parRef.exists(ref => parPre > ref * 1.5)
     def ms3(v: Double): Double = math.rint(v * 1000) / 1000 // locale-safe 3dp
     val ambientJson =
       s"""{"sentinel_sec":${ms3(sentinel)},"probes_pre":[${preSorted.map(ms3).mkString(",")}],""" +
         s""""probes_mid":[${midProbes.map(ms3).mkString(",")}],""" +
         s""""probes_post":[${sentinelPost.map(ms3).mkString(",")}],""" +
-        s""""ref_sec":${sentinelRef.map(ms3).getOrElse(-1.0)},"contended":$contended}"""
+        s""""ref_sec":${sentinelRef.map(ms3).getOrElse(-1.0)},""" +
+        s""""par_sec":${ms3(parPre)},"par_post":${ms3(parPost)},""" +
+        s""""par_ref_sec":${parRef.map(ms3).getOrElse(-1.0)},"contended":$contended}"""
     // schema 2: `value` sums FULLY-successful queries only (schema 1 — rounds
     // ≤6 — included partial-rep medians of queries that later failed), so
     // cross-round total comparisons can detect the semantics change
