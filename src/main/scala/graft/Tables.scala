@@ -57,6 +57,16 @@ object Tables {
     org.apache.spark.sql.GraftSqlShim.column(
       graft.plans.NormText(org.apache.spark.sql.GraftSqlShim.expression(c)))
 
+  /** `split(c, " ")` as the native zero-copy byte kernel — bit-parity with
+    * the builtin (SpaceSplitSpec pins it). The tokenize half of every
+    * text-key `split(normText(text), " ")` chain (round 18): the builtin
+    * decodes to UTF-16 and re-encodes every token; the kernel emits
+    * zero-copy slices.
+    */
+  def spaceSplit(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.plans.SpaceSplit(org.apache.spark.sql.GraftSqlShim.expression(c)))
+
   /** The builtin composition [[normText]] replaced — kept as the parity
     * oracle for NormTextSpec and the AbBench `_builtin_norm` twins.
     */

@@ -97,29 +97,20 @@ object AnnIndex {
         emb.select(col("vec_id"), lit(0L).as("list_id"),
           array().cast("array<int>").as("codes")).limit(0)
       else {
-        val centersB = sc0.broadcast(centers)
-        val booksB = sc0.broadcast(books)
-        val k2 = p.k2
-        val assignEncodeUdf =
-          if (!p.twoLevel)
-            udf((v: Seq[Double]) => {
-              val u = AnnPq.normalize(v.toArray)
-              (AnnIvf.nearestIdx(centersB.value, u).toLong,
-                AnnPq.encodePoint(booksB.value, u))
-            })
-          else {
-            val subsB = sc0.broadcast(subs)
-            udf((v: Seq[Double]) => {
-              val u = AnnPq.normalize(v.toArray)
-              val c1 = AnnIvf.nearestIdx(centersB.value, u)
-              (c1.toLong * k2 + AnnIvf.nearestIdx(subsB.value(c1), u),
-                AnnPq.encodePoint(booksB.value, u))
-            })
-          }
+        // native fused assign+encode kernel (round 18, the AnnIvfPq.topK
+        // rationale): the closure-UDF form was re-evaluated inside the
+        // inferred isnotnull filter; the non-nullable kernel runs once
+        val subsSeq: Seq[Seq[Seq[Double]]] =
+          if (!p.twoLevel) Nil else subs.map(_.map(_.toSeq).toSeq).toSeq
         emb
           .repartition(sc0.defaultParallelism, col("vec_id"))
-          .select(col("vec_id"), assignEncodeUdf(col("vec")).as("ae"))
-          .select(col("vec_id"), col("ae._1").as("list_id"), col("ae._2").as("codes"))
+          .select(col("vec_id"),
+            org.apache.spark.sql.GraftSqlShim.column(graft.plans.PqAssignEncode(
+              org.apache.spark.sql.GraftSqlShim.expression(col("vec")),
+              centers.map(_.toSeq).toSeq, subsSeq, p.k2,
+              books.map(_.map(_.toSeq).toSeq).toSeq))
+              .as("ae"))
+          .select(col("vec_id"), col("ae.list_id").as("list_id"), col("ae.codes").as("codes"))
       }
     // one file per cell (the BucketedJoin one-file-per-bucket discipline):
     // repartition ON the partition column so each task holds whole cells

@@ -288,18 +288,8 @@ object AnnIvf {
   /** Index of the nearest center by squared L2 — the one inner loop every
     * closure here shares (and [[AnnIvfPq.topK2Level]]'s assignment reuses).
     */
-  private[operators] def nearestIdx(centers: Array[Array[Double]], q: Array[Double]): Int = {
-    var best = 0; var bestD = Double.MaxValue
-    var c = 0
-    while (c < centers.length) {
-      val cv = centers(c)
-      var s = 0.0; var i = 0
-      while (i < q.length) { val dx = q(i) - cv(i); s += dx * dx; i += 1 }
-      if (s < bestD) { bestD = s; best = c }
-      c += 1
-    }
-    best
-  }
+  private[operators] def nearestIdx(centers: Array[Array[Double]], q: Array[Double]): Int =
+    graft.plans.VecExprs.nearestIdx(centers, q) // canonical copy (round 18)
 
   /** Ranked center indices by squared L2, nearest first (probe side only —
     * queries are tiny).

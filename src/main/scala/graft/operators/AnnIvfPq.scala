@@ -137,22 +137,24 @@ object AnnIvfPq {
         .limit(0)
     }
     val centersB = spark.sparkContext.broadcast(centers)
-    val booksB = spark.sparkContext.broadcast(books)
 
     // ONE fused map pass: cell assignment + PQ encode off a single
-    // normalize (round 17: the two-UDF form — separate assign and encode
-    // closures, each normalizing the vector — measured 1.15× slower at the
-    // 4.2M rung when the by_residual twin shipped the fused pass first;
-    // codes and assignments are byte-identical, only the plumbing fused)
-    val assignEncodeUdf = udf((v: Seq[Double]) => {
-      val u = AnnPq.normalize(v.toArray)
-      val c1 = AnnIvf.nearestIdx(centersB.value, u)
-      (c1, AnnPq.encodePoint(booksB.value, u))
-    })
+    // normalize, as the NATIVE plans.PqAssignEncode kernel (round 18). The
+    // round-17 closure-UDF form regressed the declared key 2.3× at sf10:
+    // the join key's inferred isnotnull(UDF(vec)._1) filter pushed the
+    // whole closure below the exchange, so every corpus row paid
+    // normalize+assign+encode TWICE (plans/r18/sim_ann_ivfpq_before.txt
+    // line 66 shows the duplicated filter). The kernel declares
+    // non-nullable output (requireVec raises upstream), so no isnotnull is
+    // inferred, and codegen subexpression elimination runs it once.
     val coded = emb
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), assignEncodeUdf(col("vec")).as("ae"))
-      .select(col("vec_id"), col("ae._1").as("list_id"), col("ae._2").as("codes"))
+      .select(col("vec_id"),
+        org.apache.spark.sql.GraftSqlShim.column(graft.plans.PqAssignEncode(
+          org.apache.spark.sql.GraftSqlShim.expression(col("vec")),
+          centers.map(_.toSeq).toSeq, Nil, 0, books.map(_.map(_.toSeq).toSeq).toSeq))
+          .as("ae"))
+      .select(col("vec_id"), col("ae.list_id").as("list_id"), col("ae.codes").as("codes"))
 
     // probe: nProbe nearest cells per (tiny) query, on the unit query
     val nProbe0 = math.min(nProbe, centers.length)
@@ -343,17 +345,19 @@ object AnnIvfPq {
     // ONE fused map pass (the topK rationale): hierarchical cell assignment
     // + PQ encode off a single normalize; list_id = c1·k2 + sub is
     // globally unique
-    val booksB = sc.broadcast(books)
-    val assignEncodeUdf = udf((v: Seq[Double]) => {
-      val u = AnnPq.normalize(v.toArray)
-      val c1 = AnnIvf.nearestIdx(centersB.value, u)
-      (c1.toLong * k2 + AnnIvf.nearestIdx(subsB.value(c1), u),
-        AnnPq.encodePoint(booksB.value, u))
-    })
+    // native fused assign+encode kernel (round 18) — the topK rationale:
+    // the closure-UDF form was duplicated into the join key's inferred
+    // isnotnull filter; the non-nullable kernel can't be
     val coded = emb
       .repartition(sc.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), assignEncodeUdf(col("vec")).as("ae"))
-      .select(col("vec_id"), col("ae._1").as("list_id"), col("ae._2").as("codes"))
+      .select(col("vec_id"),
+        org.apache.spark.sql.GraftSqlShim.column(graft.plans.PqAssignEncode(
+          org.apache.spark.sql.GraftSqlShim.expression(col("vec")),
+          centers.map(_.toSeq).toSeq,
+          subs.map(_.map(_.toSeq).toSeq).toSeq, k2,
+          books.map(_.map(_.toSeq).toSeq).toSeq))
+          .as("ae"))
+      .select(col("vec_id"), col("ae.list_id").as("list_id"), col("ae.codes").as("codes"))
 
     // hierarchical probe at √½ per level (probed fraction ≈ ½, the family
     // constant), on the unit query

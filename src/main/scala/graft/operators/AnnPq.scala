@@ -141,28 +141,8 @@ object AnnPq {
     * the shared inner encode of [[encoder]] and [[AnnIvfPq]]'s fused
     * assign+encode pass.
     */
-  private[graft] def encodePoint(books: Array[Array[Array[Double]]], u: Array[Double]): Array[Int] = {
-    val subDim = u.length / books.length
-    val codes = new Array[Int](books.length)
-    var mi = 0
-    while (mi < books.length) {
-      val cb = books(mi)
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cb.length) {
-        val cv = cb(c)
-        var s = 0.0; var i = 0
-        while (i < subDim) {
-          val dx = u(mi * subDim + i) - cv(i); s += dx * dx; i += 1
-        }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
-      }
-      codes(mi) = best
-      mi += 1
-    }
-    codes
-  }
+  private[graft] def encodePoint(books: Array[Array[Array[Double]]], u: Array[Double]): Array[Int] =
+    graft.plans.VecExprs.pqEncode(books, u) // canonical copy (round 18)
 
   /** ADC scoring column: per-query lookup tables of subspace dot products,
     * built driver-side from the (tiny) query frame — only q·m·kSub doubles
@@ -274,16 +254,8 @@ object AnnPq {
     * by cosine). A zero vector stays zero: deterministic, scores 0
     * everywhere, never a NaN.
     */
-  private[operators] def normalize(v: Array[Double]): Array[Double] = {
-    var s = 0.0; var i = 0
-    while (i < v.length) { s += v(i) * v(i); i += 1 }
-    if (s == 0.0) return v
-    val inv = 1.0 / math.sqrt(s)
-    val out = new Array[Double](v.length)
-    i = 0
-    while (i < v.length) { out(i) = v(i) * inv; i += 1 }
-    out
-  }
+  private[operators] def normalize(v: Array[Double]): Array[Double] =
+    graft.plans.VecExprs.normalizeUnit(v) // canonical copy (round 18)
 
   /** Executor-side per-subspace codebook fit over the bounded
     * deterministic sample (the [[AnnIvf.fitCentroids]] sampling, sliced

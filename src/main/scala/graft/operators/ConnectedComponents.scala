@@ -61,7 +61,11 @@ object ConnectedComponents {
       .join(vids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
       .distinct()
-      .localCheckpoint()
+      // LAZY (round 18, the graph_pagerank discipline): the edge list
+      // materializes inside the first convergence-sum job below instead of
+      // paying its own eager scheduling round-trip; every later round reads
+      // the stored blocks all the same
+      .localCheckpoint(eager = false)
 
     // iterate over edge-TOUCHED vertices only: an isolated vertex can never
     // change its label, so it has no business inside the per-round join +
@@ -74,7 +78,7 @@ object ConnectedComponents {
       if (iterateAll) vertices.select(col("id"))
       else sym.select(col("src").as("id")).distinct())
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // labels only ever DECREASE (least of self and neighbors), so Σcomp is
     // a fixpoint witness: unchanged sum ⇔ no label moved. One scalar
     // aggregate per round replaces a join + filter + count.
@@ -93,7 +97,12 @@ object ConnectedComponents {
         .select(
           col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        // LAZY: the convergence sum right below is the round's one action —
+        // it materializes the checkpoint blocks (truncating lineage for the
+        // next round) in the SAME job, halving the per-round scheduling
+        // round-trips the eager form paid (round 18; graph_pagerank's 5
+        // eager → lazy rewrite is the precedent)
+        .localCheckpoint(eager = false)
       val newSum = updated.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
       labels = updated
       converged = newSum == prevSum

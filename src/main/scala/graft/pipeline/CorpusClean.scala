@@ -69,7 +69,7 @@ object CorpusClean {
       s"nearDupJaccard must be in (0, 1], got ${cfg.nearDupJaccard}")
     val normalized = docs
       .withColumn("norm", normText(col("text")))
-      .withColumn("n_tok", size(split(col("norm"), " ")))
+      .withColumn("n_tok", size(graft.Tables.spaceSplit(col("norm"))))
       .withColumn(
         "punct_ratio",
         length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
@@ -147,7 +147,7 @@ object CorpusClean {
         } else {
           val sh = keepers.select(
             col("doc_id"),
-            MinHashLsh.shingles(split(col("norm"), " "), shingleSize = ShingleSize).as("sh"))
+            MinHashLsh.shingles(graft.Tables.spaceSplit(col("norm")), shingleSize = ShingleSize).as("sh"))
           def fpc(seed: Long) = org.apache.spark.sql.GraftSqlShim.column(
             graft.plans.SetHashSum(
               org.apache.spark.sql.GraftSqlShim.expression(col("sh")), seed))
@@ -167,7 +167,7 @@ object CorpusClean {
       // smaller-id near-duplicate (pairs are emitted with a_id < b_id);
       // shingles recompute from the checkpoint instead of pinning a cache
       val pairs = MinHashLsh.nearDupPairs(
-        keepers.select(col("doc_id"), split(col("norm"), " ").as("tokens")),
+        keepers.select(col("doc_id"), graft.Tables.spaceSplit(col("norm")).as("tokens")),
         "doc_id", "tokens", threshold = cfg.nearDupJaccard,
         maxBucketSize = cfg.maxBucketSize,
         persistShingles = false)

@@ -167,6 +167,72 @@ object TextExprs {
     cnt
   }
 
+  /** Byte-level split on a single ASCII space — bit-parity with the builtin
+    * `split(s, " ")` (= Java `String.split(" ", -1)`, the single-char
+    * non-regex fast path): consecutive spaces yield empty tokens, a leading
+    * space yields a leading empty token, trailing empties are KEPT
+    * (limit −1), and empty input yields `[""]`. The builtin decodes the
+    * whole string to UTF-16, allocates a `java.lang.String` per token and
+    * re-encodes each one back to UTF-8; this kernel walks the bytes once
+    * and emits ZERO-COPY `fromBytes` slices of the input's array (0x20
+    * never occurs inside a UTF-8 multibyte sequence, so byte slicing is
+    * code-point safe). SpaceSplitSpec pins kernel ≡ builtin on the edge
+    * literals and generated strings.
+    */
+  def spaceSplit(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0)
+      return new GenericArrayData(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8))
+    var cnt = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == 0x20) cnt += 1; i += 1 }
+    val out = new Array[Any](cnt)
+    var start = 0
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == 0x20) {
+        out(k) = org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, start, i - start)
+        k += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    out(k) = org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, start, n - start)
+    new GenericArrayData(out)
+  }
+
+  /** Left-to-right fold `acc += m[token]` over a token array — the native
+    * twin of `aggregate(w, 0.0D, (acc, tk) -> acc + element_at(m, tk))`
+    * over a literal map (round 18). The builtin chain is DOUBLY interpreted:
+    * ArrayAggregate is a CodegenFallback (breaks the whole-stage span) and
+    * `element_at` on a map literal is a LINEAR scan of the key array per
+    * token (ArrayBasedMapData has no hash index) — O(|w|·|vocab|) string
+    * compares per document. This kernel probes a real HashMap (UTF8String
+    * equality is byte-wise, same as map-literal key equality) and adds in
+    * the identical left-to-right IEEE order, so sums are bit-identical.
+    * NULL contract exactly as the fold: a null token or a token absent from
+    * the map nulls the whole result (acc + NULL = NULL and stays NULL);
+    * empty array → 0.0 (the seed). Returns a boxed Double or null.
+    */
+  def sumMapVals(
+      arr: ArrayData,
+      m: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double]): Any = {
+    val n = arr.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = m.get(arr.getUTF8String(i))
+      if (v == null) return null
+      acc += v.doubleValue()
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   private val WsRun = java.util.regex.Pattern.compile("\\s+")
 
   private val PunctClass = java.util.regex.Pattern.compile("[\\p{L}\\p{N}\\s]")
@@ -591,6 +657,33 @@ case class NormText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `space_split(s)` — tokens of a single-space-separated string as one
+  * codegen'd byte pass (see [[TextExprs.spaceSplit]] for the bit-parity
+  * contract with the `split(s, " ")` builtin it replaces). NULL in → NULL
+  * out, like the builtin. Output type matches `StringSplit`
+  * (`array<string>` with containsNull = false).
+  */
+case class SpaceSplit(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "space_split"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextExprs.spaceSplit(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.spaceSplit($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpaceSplit =
+    copy(child = newChild)
+}
+
 /** `punct_count(s)` — non-letter/number/whitespace code points in one
   * codegen'd pass (see [[TextExprs.punctCount]] for the bit-parity contract
   * with the `length(regexp_replace(s, "[\\p{L}\\p{N}\\s]", ""))`
@@ -756,6 +849,61 @@ case class CountInSet(child: Expression, set: Seq[String]) extends UnaryExpressi
   }
 
   override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
+/** `sum_map_vals(w)` — the native fold behind `text_unigram_lm`'s
+  * literal-map scoring (see [[TextExprs.sumMapVals]] for the bit-parity
+  * contract with the `aggregate(w, 0.0D, (acc, tk) -> acc +
+  * element_at(m, tk))` composition it replaces). NULL in → NULL out, and
+  * an absent/null token nulls the result, exactly like the fold.
+  */
+case class SumMapVals(child: Expression, vocab: Seq[(String, Double)])
+  extends UnaryExpression {
+
+  @transient private lazy val map: java.util.HashMap[
+    org.apache.spark.unsafe.types.UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Double](vocab.size * 2)
+    vocab.foreach { case (k, v) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        java.lang.Double.valueOf(v))
+    }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "sum_map_vals"
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else TextExprs.sumMapVals(v.asInstanceOf[ArrayData], map)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    // RAW HashMap type string — the CountInSet Janino-generics discipline
+    val mapRef = ctx.addReferenceObj("sumMapValsMap", map, "java.util.HashMap")
+    val boxed = ctx.freshName("sumMapVals")
+    ev.copy(code = code"""
+      ${c.code}
+      Object $boxed = ${c.isNull} ? null :
+        graft.plans.TextExprs.sumMapVals(${c.value}, $mapRef);
+      boolean ${ev.isNull} = $boxed == null;
+      double ${ev.value} = ${ev.isNull} ? 0.0 : ((java.lang.Double) $boxed).doubleValue();
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SumMapVals =
     copy(child = newChild)
 }
 

@@ -61,6 +61,84 @@ object VecExprs {
     math.sqrt(s)
   }
 
+  /** Canonical unit-normalize of the ANN family (round 18: MOVED here from
+    * AnnPq.normalize, which now delegates — one implementation, so the
+    * native assign+encode kernel and every closure caller share bits).
+    * Zero vector returns the INPUT array unchanged, as before.
+    */
+  def normalizeUnit(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    if (s == 0.0) return v
+    val inv = 1.0 / math.sqrt(s)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+    out
+  }
+
+  /** Index of the nearest center by squared L2 (canonical copy — AnnIvf
+    * delegates here, round 18). */
+  def nearestIdx(centers: Array[Array[Double]], q: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val cv = centers(c)
+      var s = 0.0; var i = 0
+      while (i < q.length) { val dx = q(i) - cv(i); s += dx * dx; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Nearest-subspace-centroid PQ codes of an already-prepared point
+    * (canonical copy — AnnPq.encodePoint delegates here, round 18). */
+  def pqEncode(books: Array[Array[Array[Double]]], u: Array[Double]): Array[Int] = {
+    val subDim = u.length / books.length
+    val codes = new Array[Int](books.length)
+    var mi = 0
+    while (mi < books.length) {
+      val cb = books(mi)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cv = cb(c)
+        var s = 0.0; var i = 0
+        while (i < subDim) {
+          val dx = u(mi * subDim + i) - cv(i); s += dx * dx; i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    codes
+  }
+
+  /** One fused normalize → coarse-assign → PQ-encode pass (the
+    * [[graft.plans.PqAssignEncode]] kernel body): flat when `subs` is
+    * empty (list_id = c1), hierarchical otherwise (list_id = c1·k2 + s2).
+    * Arithmetic is bit-identical to the closure-UDF composition it
+    * replaces — same normalize, same nearest-center loops, same encode.
+    */
+  def assignEncode(
+      v: ArrayData,
+      centers: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]],
+      k2: Int,
+      books: Array[Array[Array[Double]]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val u = normalizeUnit(v.toDoubleArray)
+    val c1 = nearestIdx(centers, u)
+    val lid =
+      if (subs.length == 0) c1.toLong
+      else c1.toLong * k2 + nearestIdx(subs(c1), u)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lid,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(pqEncode(books, u))))
+  }
+
   /** Lenient kernels with EXACTLY the lambda-fold null semantics (used by
     * [[VecRewrite]], which must not change what a query returns): a ragged
     * pair or a null element yields SQL NULL — `zip_with` null-pads the
@@ -78,6 +156,30 @@ object VecExprs {
       i += 1
     }
     java.lang.Double.valueOf(s)
+  }
+
+  /** Exact long squared distance with the lambda-fold's lenient null
+    * semantics (round 18) — the native twin of the clustering family's
+    * `aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L,
+    * (acc, v) -> acc + v)` (Corpus.sqDist): ragged pair or null element →
+    * SQL NULL (zip_with null-pads, a null square null-poisons the fold),
+    * else the identical left-to-right exact long sum. Operands are
+    * fixed-point micros (|x| ≤ ~3·10⁶ per component, 64 dims), so the sum
+    * stays far below 2⁶³ — overflow is unreachable in the calling domain,
+    * exactly as for the fold under ANSI.
+    */
+  def sqDistLenient(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
   }
 
   def l2Lenient(a: ArrayData): java.lang.Double = {
@@ -328,6 +430,124 @@ case class DotProductLenient(left: Expression, right: Expression) extends Binary
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductLenient =
     copy(left = newLeft, right = newRight)
+}
+
+/** `sq_dist_long(a, b)` — exact long squared distance between fixed-point
+  * vectors as one codegen'd kernel call, lambda null semantics (see
+  * [[VecExprs.sqDistLenient]]). The clustering family's inner loop
+  * (embedding_kmeans / dedup_semantic / sample_diversity / sample_coreset)
+  * evaluated the aggregate-zip_with fold INTERPRETED per (vector, centroid)
+  * pair — ArrayAggregate is CodegenFallback — before round 18.
+  */
+case class SqDistLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def checkLongArray(e: Expression): TypeCheckResult = e.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.catalogString}")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkLongArray(left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l else checkLongArray(right)
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_dist_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecExprs.sqDistLenient(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Long ${ev.value}_r = graft.plans.VecExprs.sqDistLenient($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.longValue(); }""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `pq_assign_encode(vec)` — the ANN family's fused normalize →
+  * coarse-assign → PQ-encode map pass as ONE codegen'd kernel call
+  * (round 18). Replaces the struct-returning closure UDF whose
+  * `ae._1`/`ae._2` extraction Catalyst DUPLICATED: the join key's inferred
+  * `isnotnull(UDF(vec)._1)` filter pushed the whole closure below the
+  * exchange, so every corpus row paid normalize+assign+encode TWICE
+  * (measured 2.3× on the declared sim_ann_ivfpq at sf10). The kernel
+  * declares honest nullability — the requireVec contract upstream RAISES
+  * on a null vector, so the struct is never null and no isnotnull filter
+  * is inferred at all — and whole-stage codegen's subexpression
+  * elimination evaluates the one remaining occurrence once per row.
+  * Centers/subs/books travel as reference objects (the LshBuckets
+  * playbook), never as codegen literals.
+  *
+  * `subs` empty ⇒ flat coarse assignment (list_id = c1); otherwise
+  * hierarchical (list_id = c1·k2 + s2). Scores bit-identical to the UDF
+  * composition (AnnPqParitySpec pins it).
+  */
+case class PqAssignEncode(
+    child: Expression,
+    centers: Seq[Seq[Double]],
+    subs: Seq[Seq[Seq[Double]]],
+    k2: Int,
+    books: Seq[Seq[Seq[Double]]]) extends UnaryExpression {
+
+  @transient private lazy val centersA: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+  @transient private lazy val subsA: Array[Array[Array[Double]]] =
+    subs.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val booksA: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprs.checkDoubleArray(prettyName, child)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("list_id", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("codes",
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "pq_assign_encode"
+  // never null: the ANN input contract upstream (requireVec) raises on a
+  // null vector before this expression ever sees it — and declaring it
+  // lets the optimizer skip the isnotnull inference that caused the
+  // double evaluation
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    require(v != null,
+      "pq_assign_encode: null vector (ANN input contract: filter null embeddings upstream)")
+    VecExprs.assignEncode(v.asInstanceOf[ArrayData], centersA, subsA, k2, booksA)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val c = child.genCode(ctx)
+    val centersRef = ctx.addReferenceObj("paeCenters", centersA, "double[][]")
+    val subsRef = ctx.addReferenceObj("paeSubs", subsA, "double[][][]")
+    val booksRef = ctx.addReferenceObj("paeBooks", booksA, "double[][][]")
+    val out = ctx.freshName("assignEncode")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        if (${c.isNull}) {
+          throw new IllegalArgumentException(
+            "pq_assign_encode: null vector (ANN input contract: filter null embeddings upstream)");
+        }
+        InternalRow $out = graft.plans.VecExprs.assignEncode(
+          ${c.value}, $centersRef, $subsRef, $k2, $booksRef);
+      """,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(out, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAssignEncode =
+    copy(child = newChild)
 }
 
 /** Rewrite target of [[VecRewrite]] for L2 norms — lambda null semantics. */

@@ -92,7 +92,7 @@ object Corpus {
 
   private def toks(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), graft.Tables.spaceSplit(col("text")).as("w"))
 
   /** Embeddings in the exact fixed-point domain: components scaled to
     * integer micros and SHIFTED non-negative (+10⁶) — distances are
@@ -108,6 +108,19 @@ object Corpus {
     * (Spark column + oracle SQL) so the encoding can never diverge
     * between the four sites that need it. */
   private def sqDist(a: String, b: String): Column =
+    // native kernel (round 18): the aggregate/zip_with fold ran INTERPRETED
+    // per (vector, centroid) pair — ArrayAggregate is CodegenFallback —
+    // which was the clustering family's inner loop. plans.SqDistLong keeps
+    // the fold's exact long arithmetic and lenient null semantics
+    // (SqDistParitySpec + the oracle sweep pin it); the fold form stays
+    // measurable as AbBench `kmeans_assign_fold`
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.plans.SqDistLong(
+        org.apache.spark.sql.GraftSqlShim.expression(col(a)),
+        org.apache.spark.sql.GraftSqlShim.expression(col(b))))
+
+  /** The fold composition [[sqDist]] replaced — AbBench/parity reference. */
+  private[graft] def sqDistFold(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
 
   /** DuckDB form of [[sqDist]] over 1-based list columns. */
@@ -717,7 +730,7 @@ object Corpus {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        sum(size(graft.Tables.spaceSplit(col("text")))).cast("long").as("n_tokens"))
 
   /** UTF-8 byte mass per doc — octet_length, NOT character length, so the
     * "size-balanced" contract holds on multibyte corpora (DuckDB twin is

@@ -96,7 +96,7 @@ object Curation {
       val docs = t(s, d, "documents")
         .filter(col("doc_id") < 500)
         .select(col("doc_id"),
-          size(array_distinct(split(normText(col("text")), " ")))
+          size(array_distinct(graft.Tables.spaceSplit(normText(col("text")))))
             .cast("long").as("n_tok"))
       labels.join(docs, "doc_id")
         .groupBy(col("component"))
@@ -115,7 +115,7 @@ object Curation {
     // decided on the ROUNDED score (both engines compare the identical
     // 4-dp value, so the threshold can't straddle a libm ulp).
     "text_quality_logreg" -> ((s, d) => {
-      val toks = split(normText(col("text")), " ")
+      val toks = graft.Tables.spaceSplit(normText(col("text")))
       val nTok = size(toks).cast("double")
       val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
       val punct = graft.Tables.punctCount(col("text")).cast("double") / // native kernel (round 17)
@@ -151,7 +151,7 @@ object Curation {
     // representable and certainty docs are always kept (the round-18
     // lpad-truncation lesson).
     "sample_quality_weighted" -> ((s, d) => {
-      val toks = split(normText(col("text")), " ")
+      val toks = graft.Tables.spaceSplit(normText(col("text")))
       val nTok = size(toks).cast("double")
       val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
       val punct = graft.Tables.punctCount(col("text")).cast("double") /

@@ -48,7 +48,7 @@ object Extras {
     // n-gram/stopword language ID: per-language marker hits, argmax with
     // alphabetical tiebreak. One scan, no shuffle before the final sort.
     "text_langid" -> ((s, d) => {
-      val toks = split(normText(col("text")), " ")
+      val toks = graft.Tables.spaceSplit(normText(col("text")))
       val scored = t(s, d, "documents").select(
         col("doc_id") +:
           langMarkers.map { case (l, set) => markerHits(toks, set).as(s"s_$l") }: _*)
@@ -94,7 +94,7 @@ object Extras {
     // Quality scoring: length/punctuation/stopword signals → composite in
     // [0,1]. All per-row double math — parity via the floor-round.
     "text_quality" -> ((s, d) => {
-      val toks = split(normText(col("text")), " ")
+      val toks = graft.Tables.spaceSplit(normText(col("text")))
       val nTok = size(toks).cast("double")
       val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
       // \p classes: non-ASCII letters are NOT punctuation. The DuckDB oracle
@@ -142,7 +142,7 @@ object Extras {
     // Document fingerprint: min-hash over 3-token shingles (winnowing-style
     // representative hash) — an 8-byte-per-doc identity for fast pre-dedup.
     "text_fingerprint" -> ((s, d) => {
-      val sh = MinHashLsh.shingles(split(normText(col("text")), " "), 3)
+      val sh = MinHashLsh.shingles(graft.Tables.spaceSplit(normText(col("text"))), 3)
       t(s, d, "documents")
         .select(
           col("doc_id"),
@@ -156,7 +156,7 @@ object Extras {
     "dedup_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .filter(col("doc_id") < 500)
-        .select(col("doc_id").as("id"), split(normText(col("text")), " ").as("toks"))
+        .select(col("doc_id").as("id"), graft.Tables.spaceSplit(normText(col("text"))).as("toks"))
       val sigs = SimHash.signatures(docs, "id", "toks")
       SimHash.nearPairs(sigs, maxHamming = 3)
         .orderBy("a_id", "b_id")

@@ -26,7 +26,7 @@ object Quality {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def toks(c: Column): Column = split(normText(c), " ")
+  private def toks(c: Column): Column = graft.Tables.spaceSplit(normText(c))
 
   /** Shared TF-IDF score pipeline: (doc_id, token, tfidf) over `docs0`
     * (doc_id, text), corpus statistics (df, N) computed over exactly the
@@ -236,7 +236,7 @@ object Quality {
     // frame, regression is one partial-aggregating regr_slope pass).
     // Bigrams ride the native NGrams kernel like text_bigrams.
     "text_zipf_fit" -> ((s, d) => {
-      val toks = split(normText(col("text")), " ")
+      val toks = graft.Tables.spaceSplit(normText(col("text")))
       val bigrams = org.apache.spark.sql.GraftSqlShim.column(
         graft.plans.NGrams(
           org.apache.spark.sql.GraftSqlShim.expression(toks), 2, distinct = false))

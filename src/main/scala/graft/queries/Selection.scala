@@ -81,7 +81,7 @@ object Selection {
     // Per-row map only; the coin input is salted ('imp|' prefix) so it is
     // independent of every other md5 coin in the engine.
     "sample_importance" -> ((s, d) => {
-      val nTok = size(split(normText(col("text")), " ")).cast("long")
+      val nTok = size(graft.Tables.spaceSplit(normText(col("text")))).cast("long")
       // SLIM-CHECKPOINT pre-filter (round 18): the sort's boundary sampler
       // would re-run the tokenize+md5 chain, and predicate pushdown would
       // substitute it into the coin filter for a SECOND evaluation — the
@@ -125,7 +125,7 @@ object Selection {
     // shuffle-order float sum.
     "rank_bm25" -> ((s, d) => {
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+        .select(col("doc_id"), graft.Tables.spaceSplit(normText(col("text"))).as("w"))
         .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
       val stats = docs.agg(
         count(lit(1)).as("n_docs"),

@@ -48,7 +48,7 @@ object TextPipeline {
         .filter(col("doc_id") < 500)
         .select(
           col("doc_id"), col("lang"),
-          array_distinct(split(normText(col("text")), " ")).as("toks"))
+          array_distinct(graft.Tables.spaceSplit(normText(col("text")))).as("toks"))
       // fan the pair-generating side out: a one-file scan is one partition,
       // which would run every intersect on a single core
       val a = docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -74,7 +74,7 @@ object TextPipeline {
     // deterministic (fixed hash seeds).
     "dedup_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), split(normText(col("text")), " ").as("tokens"))
+        .select(col("doc_id"), graft.Tables.spaceSplit(normText(col("text"))).as("tokens"))
       graft.operators.MinHashLsh
         .nearDupPairs(docs, "doc_id", "tokens", threshold = 0.8)
         .select(col("a_id"), col("b_id"), rd(col("jaccard"), 4).as("jaccard"))
@@ -128,7 +128,7 @@ object TextPipeline {
     // aggregation map-side; TakeOrderedAndProject for the top 20).
     "text_top_terms" -> ((s, d) => {
       t(s, d, "documents")
-        .select(explode(split(normText(col("text")), " ")).as("token"))
+        .select(explode(graft.Tables.spaceSplit(normText(col("text")))).as("token"))
         .groupBy("token")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
@@ -141,7 +141,7 @@ object TextPipeline {
     // lambdas and broke the stage's whole-stage-codegen span (true-sf1
     // profile: the explode stage was ~85% of the query).
     "text_bigrams" -> ((s, d) => {
-      val toks = split(normText(col("text")), " ")
+      val toks = graft.Tables.spaceSplit(normText(col("text")))
       val bigrams = org.apache.spark.sql.GraftSqlShim.column(
         graft.plans.NGrams(
           org.apache.spark.sql.GraftSqlShim.expression(toks), 2, distinct = false))

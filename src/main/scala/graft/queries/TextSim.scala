@@ -54,7 +54,7 @@ object TextSim {
     val wDf = Window.partitionBy("g")
     val sh = docs
       .select(col("doc_id"),
-        explode(MinHashLsh.shingles(split(normText(col("text")), " "), n)).as("g"))
+        explode(MinHashLsh.shingles(graft.Tables.spaceSplit(normText(col("text"))), n)).as("g"))
       .withColumn("df", count(lit(1)).over(wDf))
       .filter(col("df") <= dfCap)
       .drop("df")
@@ -96,7 +96,7 @@ object TextSim {
         org.apache.spark.sql.GraftSqlShim.column(
           graft.plans.SetHashSum(
             org.apache.spark.sql.GraftSqlShim.expression(tk), seed))
-      val toks = split(normText(col("text")), " ")
+      val toks = graft.Tables.spaceSplit(normText(col("text")))
       t(s, d, "documents")
         .select(col("doc_id"), toks.as("tk"))
         .select(col("doc_id"), fpc(col("tk"), 42L).as("fp1"), fpc(col("tk"), 7L).as("fp2"))
@@ -128,7 +128,7 @@ object TextSim {
     "rank_fusion" -> ((s, d) => {
       val base = t(s, d, "documents")
         .select(col("doc_id"),
-          size(split(normText(col("text")), " ")).cast("long").as("n_tok"),
+          size(graft.Tables.spaceSplit(normText(col("text")))).cast("long").as("n_tok"),
           col("n_chars"))
       def contribs(key: String) = {
         val w = Window.orderBy(col(key).desc, col("doc_id"))

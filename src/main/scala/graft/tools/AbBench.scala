@@ -52,6 +52,42 @@ object AbBench {
     }),
     // text_tfidf stage probes (round 13): where do the seconds go?
     // tokenize+explode alone, the (doc,token) aggregate alone, +df counts
+    // round-18 SpaceSplit kernel A/B: the tokenize half of every text key.
+    // Identical chain (scan → normText → tokenize → explode → count),
+    // differing ONLY in the split implementation — builtin StringSplit
+    // (UTF-16 round trip, per-token String alloc) vs the byte-slice kernel.
+    "toksplit_builtin" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      t(s, d, "documents")
+        .select(explode(split(normText(col("text")), " ")).as("token"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "toksplit_kernel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, spaceSplit, t}
+      t(s, d, "documents")
+        .select(explode(spaceSplit(normText(col("text")))).as("token"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // same A/B through a hash aggregate consumer (the text_bigrams shape):
+    // measures the kernel's zero-copy slices surviving into shuffle write
+    "toksplit_agg_builtin" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      t(s, d, "documents")
+        .select(explode(split(normText(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("s"), count(lit(1)).as("v"))
+    }),
+    "toksplit_agg_kernel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, spaceSplit, t}
+      t(s, d, "documents")
+        .select(explode(spaceSplit(normText(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("s"), count(lit(1)).as("v"))
+    }),
     "text_tfidf_explode_only" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import graft.Tables.{normText, t}
@@ -399,6 +435,33 @@ object AbBench {
     // the literal-map per-row fold
     "text_unigram_lm_join" -> ((s, d) =>
       graft.queries.Pipeline3.unigramLm(s, d, forceJoin = true)),
+    // round-18 SumMapVals reference: the ORIGINAL literal-map fold
+    // (interpreted ArrayAggregate + linear element_at probes) the native
+    // kernel replaced in the declared key — row-identity pinned by
+    // Round18Spec, speed measured here
+    "text_unigram_lm_litmap_fold" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      val toksC = split(normText(col("text")), " ")
+      val toksDf = t(s, d, "documents")
+        .select(col("doc_id"), explode(toksC).as("token"))
+      val counts = toksDf.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val head = counts.limit(graft.queries.Pipeline3.VocabLitMax + 1).collect()
+      require(head.length <= graft.queries.Pipeline3.VocabLitMax,
+        "litmap fold twin needs the literal-map regime")
+      val total = head.map(_.getLong(1)).sum
+      val logp = head.map(r =>
+        r.getString(0) -> math.log(r.getLong(1).toDouble / total)).toMap
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toksC.as("w"))
+        .withColumn("m", typedlit(logp))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_toks"),
+          round(expr("aggregate(w, 0.0D, (acc, tk) -> acc + element_at(m, tk))")
+            / size(col("w")), 4).as("lm_score"))
+        .orderBy("doc_id")
+    }),
     // round-16 novelty NEGATIVE twin: fingerprint-keyed hash-agg +
     // join-back — 2.72x slower than the declared window form at sf10
     // (double kernel pass + two 27M-row shuffles vs one exchange+sort)

@@ -172,6 +172,15 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  test("text_unigram_lm native SumMapVals fold is ROW-IDENTICAL to the literal-map composition") {
+    for (d <- Seq(TestTables.dir(spark), "/root/testdata/sf0.01")
+         if new java.io.File(d).isDirectory) {
+      val a = SparkEntry.queries("text_unigram_lm")(spark, d).collect().map(_.toString)
+      val b = tools.AbBench.variants("text_unigram_lm_litmap_fold")(spark, d).collect().map(_.toString)
+      assert(a.nonEmpty && a.toSeq === b.toSeq, s"unigram_lm kernel diverges at $d")
+    }
+  }
+
   test("topKAdaptive's two-level dispatch runs always-on: forced clamp, recall@5 >= 0.8 vs exact") {
     assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
     val sf = "/root/testdata/sf0.01"
