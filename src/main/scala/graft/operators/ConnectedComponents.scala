@@ -45,7 +45,8 @@ object ConnectedComponents {
       vertices: DataFrame,
       edges: DataFrame,
       maxIter: Int = 20,
-      iterateAll: Boolean = false): DataFrame = {
+      iterateAll: Boolean = false,
+      eagerCkpt: Boolean = false): DataFrame = {
     // symmetrize once; checkpoint so every round reuses the materialized
     // edge list instead of re-deriving it (it never changes).
     // Edges referencing ids absent from `vertices` are dropped up front:
@@ -65,7 +66,7 @@ object ConnectedComponents {
       // materializes inside the first convergence-sum job below instead of
       // paying its own eager scheduling round-trip; every later round reads
       // the stored blocks all the same
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = eagerCkpt)
 
     // iterate over edge-TOUCHED vertices only: an isolated vertex can never
     // change its label, so it has no business inside the per-round join +
@@ -78,7 +79,7 @@ object ConnectedComponents {
       if (iterateAll) vertices.select(col("id"))
       else sym.select(col("src").as("id")).distinct())
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = eagerCkpt)
     // labels only ever DECREASE (least of self and neighbors), so Σcomp is
     // a fixpoint witness: unchanged sum ⇔ no label moved. One scalar
     // aggregate per round replaces a join + filter + count.
@@ -102,7 +103,7 @@ object ConnectedComponents {
         // next round) in the SAME job, halving the per-round scheduling
         // round-trips the eager form paid (round 18; graph_pagerank's 5
         // eager → lazy rewrite is the precedent)
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = eagerCkpt)
       val newSum = updated.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
       labels = updated
       converged = newSum == prevSum

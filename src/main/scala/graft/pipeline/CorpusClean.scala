@@ -72,7 +72,9 @@ object CorpusClean {
       .withColumn("n_tok", size(graft.Tables.spaceSplit(col("norm"))))
       .withColumn(
         "punct_ratio",
-        length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+        // native punct kernel (round 18 — text_quality got it in r17, this
+        // pipeline kept the per-char regex; PunctParitySpec pins the pair)
+        graft.Tables.punctCount(col("text")).cast("double") /
           greatest(length(col("text")), lit(1)).cast("double"))
 
     val quality = normalized

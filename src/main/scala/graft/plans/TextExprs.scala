@@ -233,6 +233,70 @@ object TextExprs {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Elements of a string array that belong to a small literal set, order
+    * and multiplicity preserved — the codegen'd twin of
+    * `filter(arr, x -> x.isin(set))` (round 18, the rank_bm25 tokenize
+    * pass): the higher-order filter is an interpreted CodegenFallback.
+    * Null elements never survive (isin(null) is NULL → not true →
+    * dropped), exactly like the lambda.
+    */
+  def keepInSet(
+      arr: ArrayData,
+      set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](8)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (set.contains(s)) out.add(s)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Non-overlapping n-word segments of a token array, space-joined — the
+    * codegen'd twin of text_seg_dedup's
+    * `transform(sequence(1, (size(w)+n-1) div n),
+    *            i -> array_join(slice(w, (i-1)·n+1, n), ' '))`
+    * composition (round 18), which ran INTERPRETED per document (transform
+    * and array_join are CodegenFallback) and TWICE (the frequency and
+    * membership consumers deliberately re-derive it — the r13 negative).
+    * Parity: the last segment is shorter (slice clamps), null tokens are
+    * SKIPPED by the join without doubling the separator (array_join
+    * semantics), a NULL input array yields NULL (`size(null)` nulls the
+    * sequence), and the unreachable size-0 input yields the composition's
+    * descending-sequence artifact `["", ""]` (spaceSplit never returns an
+    * empty array). SegmentsParitySpec pins kernel ≡ composition.
+    */
+  def wordSegments(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len == 0)
+      return new GenericArrayData(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8,
+        org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8))
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val nSeg = (len + n - 1) / n
+    val out = new Array[Any](nSeg)
+    var g = 0
+    while (g < nSeg) {
+      val start = g * n
+      val end = math.min(start + n, len)
+      val toks = new Array[org.apache.spark.unsafe.types.UTF8String](end - start)
+      var i = start
+      while (i < end) {
+        toks(i - start) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        i += 1
+      }
+      // concatWs skips nulls without doubling the separator — array_join's
+      // exact contract when no nullReplacement is given
+      out(g) = org.apache.spark.unsafe.types.UTF8String.concatWs(space, toks: _*)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val WsRun = java.util.regex.Pattern.compile("\\s+")
 
   private val PunctClass = java.util.regex.Pattern.compile("[\\p{L}\\p{N}\\s]")
@@ -904,6 +968,68 @@ case class SumMapVals(child: Expression, vocab: Seq[(String, Double)])
   }
 
   override protected def withNewChildInternal(newChild: Expression): SumMapVals =
+    copy(child = newChild)
+}
+
+/** `word_segments(w, n)` — non-overlapping space-joined n-word segments as
+  * one codegen'd kernel call (see [[TextExprs.wordSegments]] for the parity
+  * contract with the transform/slice/array_join composition it replaces).
+  * NULL in → NULL out, like the composition.
+  */
+case class WordSegments(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_segments"
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprs.wordSegments(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.wordSegments($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordSegments =
+    copy(child = newChild)
+}
+
+/** `keep_in_set(arr)` — set-membership array filter as one codegen'd
+  * kernel call (see [[TextExprs.keepInSet]] for the parity contract with
+  * the `filter(arr, x -> x.isin(set))` lambda it replaces). NULL in →
+  * NULL out, like the lambda form.
+  */
+case class KeepInSet(child: Expression, set: Seq[String]) extends UnaryExpression {
+
+  @transient private lazy val utf8Set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](set.size * 2)
+    set.foreach(x => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(x)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "keep_in_set"
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprs.keepInSet(a.asInstanceOf[ArrayData], utf8Set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("keepInSetSet", utf8Set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.keepInSet($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KeepInSet =
     copy(child = newChild)
 }
 

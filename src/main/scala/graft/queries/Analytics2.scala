@@ -296,7 +296,7 @@ object Analytics2 {
     // the exact global sort. Oracle-less; exact twin is text_top_terms.
     "agg_approx_topk" -> ((s, d) => {
       t(s, d, "documents")
-        .select(explode(split(graft.Tables.normText(col("text")), " ")).as("token"))
+        .select(explode(graft.Tables.spaceSplit(graft.Tables.normText(col("text")))).as("token"))
         // maxItemsTracked 1000 (default 10000): the per-partition summaries
         // that move through the merge are 10× smaller, and 100× the k is
         // far beyond the accuracy the top-10 needs on a zipfy vocabulary

@@ -430,11 +430,15 @@ object Corpus {
       // ≈ (1e12)²/2 / 2¹²⁸ ≈ 1.5e-15, i.e. never at the 100 TB design
       // point (vs ~2.7e4 expected pairs for a single 64-bit hash, which
       // is why the key is a pair). CorpusSpec re-pins the outputs.
+      // native segment kernel (round 18): the transform/slice/array_join
+      // composition ran interpreted per doc AND twice (deliberate double
+      // consumption below); plans.WordSegments is its bit-parity twin
+      // (SegmentsParitySpec), one pass per consumer
       val segs = toks(s, d).select(
         col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, (size(w) + ${SegWords - 1}) div $SegWords)," +
-            s" i -> array_join(slice(w, (i - 1) * $SegWords + 1, $SegWords), ' '))"))
+        posexplode(org.apache.spark.sql.GraftSqlShim.column(
+          graft.plans.WordSegments(
+            org.apache.spark.sql.GraftSqlShim.expression(col("w")), SegWords)))
           .as(Seq("seg_no", "seg")))
         .withColumn("h1", xxhash64(col("seg")))
         .withColumn("h2", xxhash64(col("seg"), lit(1)))

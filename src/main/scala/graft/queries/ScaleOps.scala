@@ -211,11 +211,13 @@ object ScaleOps {
   /** Shared body of `dedup_components` — `iterateAll = true` is the
     * all-vertices iteration kept as the tools.AbBench reference form.
     */
-  private[graft] def dedupComponents(s: SparkSession, d: String, iterateAll: Boolean): DataFrame = {
+  private[graft] def dedupComponents(
+      s: SparkSession, d: String, iterateAll: Boolean,
+      eagerCkpt: Boolean = false): DataFrame = {
     val base = t(s, d, "documents")
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), col("lang"),
-        array_distinct(split(graft.Tables.normText(col("text")), " ")).as("toks"))
+        array_distinct(graft.Tables.spaceSplit(graft.Tables.normText(col("text")))).as("toks"))
     // fan the pair-generating side out: a one-file scan is one partition,
     // which would run every intersect on a single core
     val a = base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -228,7 +230,8 @@ object ScaleOps {
       .filter(col("jac") >= 0.7)
       .select(col("src"), col("dst"))
     graft.operators.ConnectedComponents
-      .labels(base.select(col("doc_id").as("id")), edges, iterateAll = iterateAll)
+      .labels(base.select(col("doc_id").as("id")), edges, iterateAll = iterateAll,
+        eagerCkpt = eagerCkpt)
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
   }

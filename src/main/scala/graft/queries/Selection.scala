@@ -124,15 +124,28 @@ object Selection {
     // term order (conditional aggregates + left-assoc +) — never a
     // shuffle-order float sum.
     "rank_bm25" -> ((s, d) => {
+      // SINGLE-TOKENIZE form (round 18, VERDICT r17 item 8 closed by
+      // measurement): the stats and tf branches each re-ran the
+      // normText+tokenize pass; a slim (doc_id, dl, query-matching tokens)
+      // localCheckpoint runs it once — interleaved sf10 A/B 8.91 → 7.63 s
+      // (1.17×). The checkpoint holds ≤ |matching tokens| strings per doc
+      // (3 query terms), so the materialized frame is ~24 B/doc. The
+      // membership filter is the native KeepInSet kernel (the interpreted
+      // higher-order filter was a CodegenFallback); the recompute form
+      // stays measurable as AbBench `rank_bm25_recompute`, row-identity
+      // pinned by Round18Spec.
       val docs = t(s, d, "documents")
         .select(col("doc_id"), graft.Tables.spaceSplit(normText(col("text"))).as("w"))
-        .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          org.apache.spark.sql.GraftSqlShim.column(graft.plans.KeepInSet(
+            org.apache.spark.sql.GraftSqlShim.expression(col("w")),
+            Bm25Terms)).as("mtoks"))
+        .localCheckpoint()
       val stats = docs.agg(
         count(lit(1)).as("n_docs"),
         sum(col("dl")).as("tot_dl"))
       val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
-        .filter(col("token").isin(Bm25Terms: _*))
+        .select(col("doc_id"), col("dl"), explode(col("mtoks")).as("token"))
         .groupBy(col("doc_id"), col("dl"), col("token"))
         .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))

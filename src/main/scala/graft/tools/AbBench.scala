@@ -88,6 +88,34 @@ object AbBench {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .agg(sum(col("n")).as("s"), count(lit(1)).as("v"))
     }),
+    // round-18 tfidf A/B: aggregate-FIRST (map-side combine shrinks the
+    // exchange to distinct (doc,token) pairs) with a localCheckpoint
+    // barrier so the tf frame's two consumers (len window + df aggregate +
+    // join) can't re-run the scan — the r13 objection to groupBy-first was
+    // the duplicated scan, which the checkpoint removes
+    "text_tfidf_tfckpt" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.Tables.{normText, rd, spaceSplit, t}
+      val docs0 = t(s, d, "documents")
+      val tf = docs0
+        .select(col("doc_id"), explode(spaceSplit(normText(col("text")))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy("doc_id")
+      val nDocs = docs0.agg(count(lit(1)).as("n_docs"))
+      tf.withColumn("len", sum(col("cnt")).over(byDoc))
+        .join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn(
+          "tfidf",
+          rd((col("cnt").cast("double") / col("len")) *
+            log(col("n_docs").cast("double") / col("df")), 6))
+        .select(col("doc_id"), col("token"), col("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+        .limit(20)
+    }),
     "text_tfidf_explode_only" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import graft.Tables.{normText, t}
@@ -255,6 +283,11 @@ object AbBench {
     }),
     // dedup_components before the edge-induced-subgraph restriction:
     // every round iterates ALL vertices, not just docs with a near-dup
+    // round-18 lazy-vs-eager fixpoint checkpoint A/B: the shipped form
+    // materializes each round inside its convergence-sum job (1 action per
+    // round); this twin is the pre-r18 eager form (2 actions per round)
+    "dedup_components_eagerckpt" -> ((s, d) =>
+      graft.queries.ScaleOps.dedupComponents(s, d, iterateAll = false, eagerCkpt = true)),
     "dedup_components_allv" -> ((s, d) =>
       graft.queries.ScaleOps.dedupComponents(s, d, iterateAll = true)),
     // graph_triangles with DEGREE-ordered orientation (Schank–Wagner):
@@ -380,6 +413,43 @@ object AbBench {
     // both branches consume; the checkpoint is ~24 B + matching tokens per
     // doc, not the full token arrays. Output identical by construction
     // (same algebra off the same per-doc quantities).
+    // the RECOMPUTE form rank_bm25 shipped with before round 18 (stats and
+    // tf branches each tokenize the corpus) — the measured-slower side of
+    // the VERDICT r17 item-8 A/B (8.91 vs 7.63 s at sf10), row-identity
+    // pinned by Round18Spec
+    "rank_bm25_recompute" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, rd, t}
+      val terms = graft.queries.Selection.Bm25Terms
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), graft.Tables.spaceSplit(normText(col("text"))).as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfq), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+        .withColumn("s",
+          col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+              (col("tot_dl").cast("double") / col("n_docs").cast("double")))))
+      val termCols = terms.map(tm =>
+        coalesce(max(when(col("token") === tm, col("s"))), lit(0.0)))
+      scored
+        .groupBy(col("doc_id"))
+        .agg(termCols.reduce(_ + _).as("score0"), count(lit(1)).as("n_terms"))
+        .select(col("doc_id"), col("n_terms"), rd(col("score0"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
     "rank_bm25_slimckpt" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import graft.Tables.{normText, rd, t}

@@ -160,15 +160,17 @@ class Round18Spec extends SparkSpec {
     assert(operators.AnnIndex.serve(spark, dir, emb, q, 5).count() === 0L)
   }
 
-  test("rank_bm25_slimckpt twin is ROW-IDENTICAL to the declared recompute form") {
-    // the round-18 single-tokenize A/B twin (AbBench) must be the same
-    // query, not merely the same row count — pinned here on the unit
-    // fixture AND sf0.01
+  test("rank_bm25 twins (recompute, builtin-split slimckpt) are ROW-IDENTICAL to the declared form") {
+    // round 18 shipped the single-tokenize slim-checkpoint form (measured
+    // 1.17× at sf10); both A/B twins must be the same query, not merely the
+    // same row count — pinned on the unit fixture AND sf0.01
     for (d <- Seq(TestTables.dir(spark), "/root/testdata/sf0.01")
          if new java.io.File(d).isDirectory) {
       val a = SparkEntry.queries("rank_bm25")(spark, d).collect().map(_.toString)
-      val b = tools.AbBench.variants("rank_bm25_slimckpt")(spark, d).collect().map(_.toString)
-      assert(a.toSeq === b.toSeq, s"bm25 twin diverges at $d")
+      val b = tools.AbBench.variants("rank_bm25_recompute")(spark, d).collect().map(_.toString)
+      val c = tools.AbBench.variants("rank_bm25_slimckpt")(spark, d).collect().map(_.toString)
+      assert(a.toSeq === b.toSeq, s"bm25 recompute twin diverges at $d")
+      assert(a.toSeq === c.toSeq, s"bm25 slimckpt twin diverges at $d")
     }
   }
 
