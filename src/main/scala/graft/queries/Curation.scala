@@ -117,7 +117,7 @@ object Curation {
     "text_quality_logreg" -> ((s, d) => {
       val toks = graft.Tables.spaceSplit(normText(col("text")))
       val nTok = size(toks).cast("double")
-      val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
+      val chars = Extras.charsNoSpace(normText(col("text")), toks)
       val punct = graft.Tables.punctCount(col("text")).cast("double") / // native kernel (round 17)
         greatest(length(col("text")), lit(1)).cast("double")
       val stop = Extras.markerHits(toks, EnStop).cast("double") /
@@ -153,7 +153,7 @@ object Curation {
     "sample_quality_weighted" -> ((s, d) => {
       val toks = graft.Tables.spaceSplit(normText(col("text")))
       val nTok = size(toks).cast("double")
-      val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
+      val chars = Extras.charsNoSpace(normText(col("text")), toks)
       val punct = graft.Tables.punctCount(col("text")).cast("double") /
         greatest(length(col("text")), lit(1)).cast("double")
       val stop = Extras.markerHits(toks, EnStop).cast("double") /

@@ -44,6 +44,19 @@ object Extras {
     org.apache.spark.sql.GraftSqlShim.column(graft.plans.CountInSet(
       org.apache.spark.sql.GraftSqlShim.expression(toks), set))
 
+  /** Non-space character count of a normText-normalized string, as DOUBLE —
+    * the arithmetic twin of `length(regexp_replace(norm, " ", ""))` (round
+    * 18): normText guarantees single interior spaces and no edge spaces, so
+    * #spaces = #tokens − 1 exactly and the per-row regex pass (plus its
+    * full string copy) collapses to `length(norm) − (size(toks) − 1)`.
+    * Identical integer values (CharsNoSpaceParitySpec pins it, incl. empty /
+    * whitespace-only / unicode / NULL — both forms are NULL on NULL text);
+    * the DuckDB oracle keeps its own `length(replace(norm, ' ', ''))`
+    * spelling, which computes the same number.
+    */
+  private[graft] def charsNoSpace(norm: Column, toks: Column): Column =
+    (length(norm) - (size(toks) - lit(1))).cast("double")
+
   val queries: Map[String, Q] = Map(
     // n-gram/stopword language ID: per-language marker hits, argmax with
     // alphabetical tiebreak. One scan, no shuffle before the final sort.
@@ -96,7 +109,7 @@ object Extras {
     "text_quality" -> ((s, d) => {
       val toks = graft.Tables.spaceSplit(normText(col("text")))
       val nTok = size(toks).cast("double")
-      val chars = length(regexp_replace(normText(col("text")), " ", "")).cast("double")
+      val chars = charsNoSpace(normText(col("text")), toks)
       // \p classes: non-ASCII letters are NOT punctuation. The DuckDB oracle
       // uses the SAME Unicode classes since round 17 (it carried an
       // ASCII-only '[a-z0-9\s]' before — latent divergence on accented/CJK

@@ -22,6 +22,30 @@ import graft.SparkEntry
 object AbBench {
 
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // round-18 join-strategy A/B (guide §3.1): join_bloom_native with the
+    // sort-merge preference dropped, so the planner may pick a shuffled
+    // hash join for the runtime-filtered semi join (build = the pruned
+    // orders side) instead of sorting both shuffled sides. Size-guarded by
+    // the planner itself — at 100 TB an oversized build side falls back to
+    // SMJ — so it is scale-adaptive, not a local-core-count tune.
+    "join_bloom_native_shj" -> ((s0, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{moneySumCents, t}
+      val s = s0.newSession()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      val sel = t(s, d, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"))
+      t(s, d, "lineitem")
+        .join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          moneySumCents(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
     // agg_approx_topk decomposition (round 13, VERDICT r12 item 8 — the one
     // mildly superlinear sf1→sf3 survivor at 3.45×): which stage scales
     // badly, the explode fan-out or the sketch merge?
