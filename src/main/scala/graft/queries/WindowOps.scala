@@ -206,14 +206,17 @@ object WindowOps {
     // bit-for-bit on them, which is NOT true of raw doubles); the mz
     // formula then runs on bit-identical operands on both engines.
     "anomaly_mad" -> ((s, d) => {
+      // HISTOGRAM median/MAD (round 18): the buffered `median()` aggregate
+      // holds every group row in ONE final task (|groups| parallelism, an
+      // OOM cliff at 100 TB) and the med→MAD cascade re-scanned events.
+      // c is integer cents, so the multiset collapses to a value-count
+      // histogram: one scan, one histogram shuffle, exact-same IEEE
+      // interpolation (operators.HistogramMedian; buffered twin kept as
+      // AbBench anomaly_mad_bufmedian, row-identity pinned by Round18Spec).
       val e = events(s, d)
         .select(col("event_id"), col("event_type"), col("value"),
           floor(col("value") * 100 + 0.5).as("c"))
-      val med = e.groupBy("event_type")
-        .agg(median(col("c")).as("med"))
-      val stats = e.join(broadcast(med), "event_type")
-        .groupBy(col("event_type"), col("med"))
-        .agg(median(abs(col("c") - col("med"))).as("mad"))
+      val stats = graft.operators.HistogramMedian.mad(e, "event_type", "c")
       e.join(broadcast(stats), "event_type")
         .withColumn("mz",
           when(col("mad") > 0, lit(0.6745) * (col("c") - col("med")) / col("mad")))

@@ -22,6 +22,29 @@ import graft.SparkEntry
 object AbBench {
 
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the buffered-median anomaly_mad form round 18 replaced (per-group
+    // percentile buffers on |groups| final tasks, med→MAD re-scan): the
+    // measured-slower, non-scalable side of the HistogramMedian rewrite;
+    // row-identity pinned by Round18Spec
+    "anomaly_mad_bufmedian" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{events, rd}
+      val e = events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          floor(col("value") * 100 + 0.5).as("c"))
+      val med = e.groupBy("event_type")
+        .agg(median(col("c")).as("med"))
+      val stats = e.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(median(abs(col("c") - col("med"))).as("mad"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("mz",
+          when(col("mad") > 0, lit(0.6745) * (col("c") - col("med")) / col("mad")))
+        .filter(abs(col("mz")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          rd(col("mz"), 4).as("mz"))
+        .orderBy("event_id")
+    }),
     // round-18 join-strategy A/B (guide §3.1): join_bloom_native with the
     // sort-merge preference dropped, so the planner may pick a shuffled
     // hash join for the runtime-filtered semi join (build = the pruned

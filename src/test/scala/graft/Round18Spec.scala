@@ -160,6 +160,37 @@ class Round18Spec extends SparkSpec {
     assert(operators.AnnIndex.serve(spark, dir, emb, q, 5).count() === 0L)
   }
 
+  test("anomaly_mad histogram form is ROW-IDENTICAL to the buffered-median twin") {
+    // the round-18 HistogramMedian rewrite must be the same query: exact
+    // median/MAD off the value-count histogram, interpolation bit-identical
+    // to percentile(x, 0.5) — pinned on the unit fixture AND sf0.01
+    for (d <- Seq(TestTables.dir(spark), "/root/testdata/sf0.01")
+         if new java.io.File(d).isDirectory) {
+      val a = SparkEntry.queries("anomaly_mad")(spark, d).collect().map(_.toString)
+      val b = tools.AbBench.variants("anomaly_mad_bufmedian")(spark, d).collect().map(_.toString)
+      assert(a.toSeq === b.toSeq, s"anomaly_mad twin diverges at $d")
+    }
+  }
+
+  test("HistogramMedian.medianOfCounts matches percentile(x, 0.5) on adversarial group shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // odd/even counts, single-element groups, duplicated values, negatives
+    val rows = Seq(
+      ("a", 1L), ("a", 2L), ("a", 2L), ("a", 9L),             // even, dup middle
+      ("b", 5L),                                               // single
+      ("c", -3L), ("c", 0L), ("c", 7L),                        // odd
+      ("d", 4L), ("d", 4L), ("d", 4L), ("d", 4L),              // all equal
+      ("e", 1L), ("e", 2L))                                    // even, midpoint .5
+    val df = rows.toDF("g", "v")
+    val h = df.groupBy("g", "v").agg(count(lit(1)).as("n"))
+    val got = operators.HistogramMedian.medianOfCounts(h, Seq("g"), "v", "n", "m")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+  }
+
   test("rank_bm25 twins (recompute, builtin-split slimckpt) are ROW-IDENTICAL to the declared form") {
     // round 18 shipped the single-tokenize slim-checkpoint form (measured
     // 1.17× at sf10); both A/B twins must be the same query, not merely the
