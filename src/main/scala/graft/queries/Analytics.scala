@@ -46,7 +46,7 @@ object Analytics {
     */
   private[graft] def weightedMedian(
       s: SparkSession, d: String, force: Option[Boolean],
-      scan2: Boolean = false): DataFrame = {
+      scan2: Boolean = false, mmBlocks: Boolean = false): DataFrame = {
     val base = t(s, d, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("v"),
         col("l_quantity").as("q"))
@@ -62,8 +62,28 @@ object Analytics {
         .otherwise(0)
       df.crossJoin(broadcast(mm)).withColumn("__bk", bkt).drop("__mn", "__mx")
     }
+    // Round 19: the blocked refinement only needs block ids MONOTONE in v
+    // with equal values sharing a block — nothing requires the equal-width
+    // min/max buckets. A log-scale id computed straight from each row
+    // (1/32-octave buckets: ~2.2% value band per block, bounded ≤ ~67k ids
+    // over the entire double range, ~220 on price-shaped data) drops the
+    // min/max pre-pass, i.e. one of the three full scans, and the per-row
+    // broadcast-join against the (mn, mx) row. Guards: NULLs get their own
+    // lowest block (they sort first under orderBy(v)); non-positives share
+    // one block below every positive's; the greatest/least clamp keeps
+    // ±inf/NaN inside long range (NaN > inf in Spark's ordering, so NaN
+    // lands in the top block it sorts into). The min/max form stays as the
+    // AbBench twin `agg_weighted_median_mmblock` (row-identical).
+    def logBlock(df: DataFrame): DataFrame = {
+      val bkt = when(col("v").isNull, lit(-2147483648L))
+        .when(col("v") <= 0.0, lit(-1073741824L))
+        .otherwise(
+          least(greatest(floor(log(2.0, col("v")) * 32), lit(-34400L).cast("double")),
+            lit(32800L).cast("double")).cast("long"))
+      df.withColumn("__bk", bkt)
+    }
     if (useBlocked && !scan2) {
-      val keyed = mmBlock(base)
+      val keyed = if (mmBlocks) mmBlock(base) else logBlock(base)
       // one hash aggregate locates everything: per-(group, block) weight
       // and min value — 32·|groups| rows, every later stage but the
       // median-block window runs on this frame

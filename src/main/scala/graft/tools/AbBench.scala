@@ -405,6 +405,11 @@ object AbBench {
     // scan — what the round-15 median-block refinement replaced
     "agg_weighted_median_scan2" -> ((s, d) =>
       graft.queries.Analytics.weightedMedian(s, d, force = Some(true), scan2 = true)),
+    // the round-19 log-block A/B reference: the blocked branch with the
+    // min/max pre-pass buckets (three scans) the per-row log-scale block id
+    // (two scans) replaced — row-identical by construction
+    "agg_weighted_median_mmblock" -> ((s, d) =>
+      graft.queries.Analytics.weightedMedian(s, d, force = Some(true), mmBlocks = true)),
     // dedup_embedding_ann WITH a localCheckpoint on the bucketed index (the
     // round-9 review suggestion): measured SLOWER at both scales — 1.37× at
     // sf0.1, 1.50× at the proxy — because materializing the

@@ -33,8 +33,10 @@ object DumpPlans {
     val mode = ExplainMode.fromString("formatted")
     var nOk = 0
     var nErr = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // AbBench twins resolve too (round 19): plan-diff evidence for an A/B
+    // pair needs the reference form's plan, not just the declared key's
+    (graft.SparkEntry.queries ++ AbBench.variants).toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.fold(graft.SparkEntry.queries.keySet)(identity).contains(n) }
       .foreach { case (name, fn) =>
         try {
           val df  = fn(spark, sfDir)
