@@ -69,7 +69,8 @@ object CorpusClean {
       s"nearDupJaccard must be in (0, 1], got ${cfg.nearDupJaccard}")
     val normalized = docs
       .withColumn("norm", normText(col("text")))
-      .withColumn("n_tok", size(graft.Tables.spaceSplit(col("norm"))))
+      // token COUNT only — the zero-allocation kernel, not a split (r19)
+      .withColumn("n_tok", graft.Tables.spaceTokenCount(col("norm")))
       .withColumn(
         "punct_ratio",
         // native punct kernel (round 18 — text_quality got it in r17, this

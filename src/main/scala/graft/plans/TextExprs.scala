@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Native text-sketch expressions (SURVEY.md §4 tier (b)), sibling of
   * [[VecExprs]].
@@ -202,6 +202,21 @@ object TextExprs {
     }
     out(k) = org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, start, n - start)
     new GenericArrayData(out)
+  }
+
+  /** `size(split(s, " "))` without materializing the token array: a
+    * single-space split yields exactly (#0x20 bytes) + 1 elements for ANY
+    * input — "" → [""] → 1, consecutive/leading/trailing spaces keep their
+    * empty tokens — and 0x20 never occurs inside a UTF-8 multibyte
+    * sequence, so counting bytes equals counting separators. One byte pass,
+    * zero allocation (round 19; SpaceTokenCountSpec pins the identity).
+    */
+  def spaceTokenCount(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val n = s.numBytes()
+    var cnt = 1
+    var i = 0
+    while (i < n) { if (s.getByte(i) == 0x20) cnt += 1; i += 1 }
+    cnt
   }
 
   /** Left-to-right fold `acc += m[token]` over a token array — the native
@@ -745,6 +760,31 @@ case class SpaceSplit(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.spaceSplit($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SpaceSplit =
+    copy(child = newChild)
+}
+
+/** `space_token_count(s)` — `size(split(s, " "))` as one zero-allocation
+  * byte pass (see [[TextExprs.spaceTokenCount]] for the identity). INT like
+  * `size()`; NULL in → NULL out, like `size(split(NULL, " "))`.
+  */
+case class SpaceTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "space_token_count"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextExprs.spaceTokenCount(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.spaceTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpaceTokenCount =
     copy(child = newChild)
 }
 

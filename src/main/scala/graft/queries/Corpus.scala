@@ -734,7 +734,7 @@ object Corpus {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(graft.Tables.spaceSplit(col("text")))).cast("long").as("n_tokens"))
+        sum(graft.Tables.spaceTokenCount(col("text"))).cast("long").as("n_tokens"))
 
   /** UTF-8 byte mass per doc — octet_length, NOT character length, so the
     * "size-balanced" contract holds on multibyte corpora (DuckDB twin is

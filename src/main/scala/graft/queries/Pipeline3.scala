@@ -203,7 +203,7 @@ object Pipeline3 {
           posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
             i => array_join(slice(col("tk"), i * stride + 1, lit(size32)), " "))))
         .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
-          size(split(col("col"), " ")).cast("long").as("n_chunk_toks"),
+          graft.Tables.spaceTokenCount(col("col")).cast("long").as("n_chunk_toks"),
           col("col").as("chunk_text"))
         .orderBy("doc_id", "chunk_id")
     }),
@@ -225,31 +225,33 @@ object Pipeline3 {
     // 0, fresh content near 1. Shuffles only slim (doc_id, shingle-string)
     // pairs; the first-seen table is vocabulary-sized. Scales like dedup.
     "text_novelty" -> ((s, d) => {
-      // per-doc distinct 3-grams from the native kernel (plans.NGrams):
-      // dedup happens INSIDE the row, so the old (g3, doc_id) groupBy
-      // shuffle is gone.
-      // inline explode (round 13, the text_tfidf finding): the aliased
-      // form let InferFiltersFromGenerate re-run the normText+shingle
-      // chain inside its inferred filter — 21.8 → 9.4 s at sf10.
-      // Round 16 NEGATIVE: a fingerprint-keyed hash-agg + join-back (the
-      // text_seg_dedup discipline, 128-bit xxhash64 keys) measured 2.72×
-      // SLOWER interleaved at sf10 (21.7 vs 8.0 s) — it runs the
-      // explode+shingle kernel twice and pays TWO 27M-row shuffles (agg +
-      // probe) against ~20M distinct fingerprints, where the window pays
-      // ONE exchange+sort. The r13 join-back negative stands even with
-      // string keys replaced by fingerprints; twin kept as AbBench
-      // text_novelty_aggjoin.
-      val g = t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(graft.operators.MinHashLsh.shingles(toks(col("text")), 3)).as("g3"))
-      g.withColumn(
-          "first_doc",
-          min(col("doc_id")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("g3")))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_shingles"),
-          round(avg((col("first_doc") === col("doc_id")).cast("double")), 4).as("novelty"))
+      // Round 19: min-AGGREGATE form — the shingle ownership (min doc_id
+      // per g3) comes from a hash aggregate with map-side partial min, the
+      // per-doc novel count from a tiny count-by-owner aggregate, and
+      // n_shingles per doc from size(NGrams(...)) in a second kernel scan.
+      // vs the prior window form (Exchange(g3) + full SORT of every
+      // (doc, shingle) row + a near-27M-row per-doc partial exchange) this
+      // trades the sort + fat second exchange for one extra scan+kernel
+      // pass and a doc-count-sized join: interleaved sf10 A/B 8.19 → 6.83 s
+      // (1.20×), rows identical. Unlike the r16 aggjoin NEGATIVE (2.72×
+      // slower) there is NO 27M-row join-back probe — the join is
+      // |docs|-sized. novelty = n_novel/n_shingles is the same IEEE
+      // division avg() performed (sum of 0/1 doubles is exact).
+      // Window twin kept as AbBench text_novelty_window.
+      def sh(c: Column) =
+        graft.operators.MinHashLsh.shingles(toks(c), 3)
+      val docs = t(s, d, "documents")
+      val firsts = docs
+        .select(col("doc_id"), explode(sh(col("text"))).as("g3"))
+        .groupBy("g3").agg(min(col("doc_id")).as("owner"))
+      val novel = firsts.groupBy("owner").agg(count(lit(1)).as("n_novel"))
+      docs
+        .select(col("doc_id"), size(sh(col("text"))).cast("long").as("n_shingles"))
+        .filter(col("n_shingles") > 0)
+        .join(novel, col("doc_id") === col("owner"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          round(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles"), 4)
+            .as("novelty"))
         .orderBy("doc_id")
     }),
 
@@ -257,7 +259,7 @@ object Pipeline3 {
     "corpus_report" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("lang"), col("source"), col("n_chars"),
-          size(toks(col("text"))).cast("long").as("n_toks"))
+          graft.Tables.spaceTokenCount(normText(col("text"))).cast("long").as("n_toks"))
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("total_tokens"),

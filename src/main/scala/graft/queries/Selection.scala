@@ -81,7 +81,7 @@ object Selection {
     // Per-row map only; the coin input is salted ('imp|' prefix) so it is
     // independent of every other md5 coin in the engine.
     "sample_importance" -> ((s, d) => {
-      val nTok = size(graft.Tables.spaceSplit(normText(col("text")))).cast("long")
+      val nTok = graft.Tables.spaceTokenCount(normText(col("text"))).cast("long")
       // SLIM-CHECKPOINT pre-filter (round 18): the sort's boundary sampler
       // would re-run the tokenize+md5 chain, and predicate pushdown would
       // substitute it into the coin filter for a SECOND evaluation — the

@@ -128,7 +128,7 @@ object TextSim {
     "rank_fusion" -> ((s, d) => {
       val base = t(s, d, "documents")
         .select(col("doc_id"),
-          size(graft.Tables.spaceSplit(normText(col("text")))).cast("long").as("n_tok"),
+          graft.Tables.spaceTokenCount(normText(col("text"))).cast("long").as("n_tok"),
           col("n_chars"))
       def contribs(key: String) = {
         val w = Window.orderBy(col(key).desc, col("doc_id"))

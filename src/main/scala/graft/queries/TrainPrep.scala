@@ -52,7 +52,7 @@ object TrainPrep {
   private def packTokens(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
-        size(graft.Tables.spaceSplit(normText(col("text")))).cast("long").as("n_tok"))
+        graft.Tables.spaceTokenCount(normText(col("text"))).cast("long").as("n_tok"))
 
   private def packReport(withCum: DataFrame): DataFrame =
     withCum

@@ -97,6 +97,56 @@ object AbBench {
         .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
         .limit(20)
     }),
+    // the WINDOW text_novelty form round 19 replaced (Exchange(g3) + full
+    // sort of every (doc, shingle) row + near-27M per-doc partial
+    // exchange) — the measured-slower side of the min-aggregate rewrite
+    // (sf10 interleaved 8.19 vs 6.83 s), row-identical
+    "text_novelty_window" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, spaceSplit, t}
+      val g = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.operators.MinHashLsh.shingles(
+            spaceSplit(normText(col("text"))), 3)).as("g3"))
+      g.withColumn(
+          "first_doc",
+          min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("g3")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          round(avg((col("first_doc") === col("doc_id")).cast("double")), 4).as("novelty"))
+        .orderBy("doc_id")
+    }),
+    // round-19 candidate: aggregate-FIRST with NO checkpoint — map-side
+    // partial aggregation compresses the first exchange to distinct
+    // (doc, token) pairs (the r18 §10 negative paid a checkpoint
+    // materialization for this; here both the len-window branch and the
+    // dfreq branch consume the SAME (doc_id, token) exchange, so
+    // ReusedExchange keeps the scan single). Costs one extra exchange of
+    // the pair frame (window needs doc_id clustering the (d,t) hash does
+    // not provide).
+    "text_tfidf_aggfirst_nockpt" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.Tables.{normText, rd, spaceSplit, t}
+      val docs0 = t(s, d, "documents")
+      val terms = docs0.select(
+        col("doc_id"), explode(spaceSplit(normText(col("text")))).as("token"))
+      val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs0.agg(count(lit(1)).as("n_docs"))
+      tf.withColumn("len", sum(col("cnt")).over(Window.partitionBy("doc_id")))
+        .join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn(
+          "tfidf",
+          rd((col("cnt").cast("double") / col("len")) *
+            log(col("n_docs").cast("double") / col("df")), 6))
+        .select(col("doc_id"), col("token"), col("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+        .limit(20)
+    }),
     // text_tfidf stage probes (round 13): where do the seconds go?
     // tokenize+explode alone, the (doc,token) aggregate alone, +df counts
     // round-18 SpaceSplit kernel A/B: the tokenize half of every text key.
