@@ -58,6 +58,40 @@ object TextExprs {
     */
   def allNullSig(k: Int): ArrayData = new GenericArrayData(new Array[Any](k))
 
+  /** All `bands` LSH band hashes of a minhash signature in ONE pass —
+    * bit-parity with the per-band composition
+    * `xxhash64(concat_ws(",", transform(slice(sig, j·r+1, r), cast string)))`
+    * (round 19; the composition ran as interpreted lambdas allocating a
+    * string per element per band). Same digits (Long.toString), same
+    * separator skipping for null elements (concat_ws drops nulls without
+    * doubling the separator), same seed-42 xxhash64 over the joined UTF-8
+    * bytes; a NULL signature array yields xxhash64("") per band exactly as
+    * `concat_ws` over a null array argument does.
+    */
+  def bandHashes(sig: ArrayData, bands: Int, r: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < bands) {
+      sb.setLength(0)
+      var first = true
+      var i = 0
+      while (i < r) {
+        val idx = j * r + i
+        if (sig != null && !sig.isNullAt(idx)) {
+          if (!first) sb.append(',')
+          sb.append(sig.getLong(idx))
+          first = false
+        }
+        i += 1
+      }
+      out(j) = XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), StringType, 42L)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val EmptyArray: ArrayData = new GenericArrayData(Array.empty[Any])
 
   /** Space-joined n-grams of a token array in ONE pass, optionally distinct
@@ -760,6 +794,49 @@ case class SpaceSplit(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.spaceSplit($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SpaceSplit =
+    copy(child = newChild)
+}
+
+/** `band_hashes(sig, bands, r)` — all LSH band hashes of a minhash
+  * signature as one codegen'd kernel call (see [[TextExprs.bandHashes]] for
+  * the bit-parity contract with the slice/cast/concat_ws/xxhash64
+  * composition). Output array is never NULL (the composition's outer
+  * transform runs over a literal sequence).
+  */
+case class BandHashes(child: Expression, bands: Int, r: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    TextExprs.bandHashes(v.asInstanceOf[ArrayData], bands, r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("bandHashes")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData $out =
+          graft.plans.TextExprs.bandHashes(${c.isNull} ? null : ${c.value}, $bands, $r);
+      """,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(out, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
     copy(child = newChild)
 }
 

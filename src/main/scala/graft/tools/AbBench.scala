@@ -97,6 +97,19 @@ object AbBench {
         .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
         .limit(20)
     }),
+    // the interpreted slice/cast/concat_ws/xxhash64 band-hash chain the
+    // round-19 BandHashes kernel replaced — bit-identical banding
+    // (BandHashParitySpec), measured side of the kernel A/B
+    "dedup_minhash_exprband" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, rd, spaceSplit, t}
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), spaceSplit(normText(col("text"))).as("tokens"))
+      graft.operators.MinHashLsh
+        .nearDupPairs(docs, "doc_id", "tokens", threshold = 0.8, bandKernel = false)
+        .select(col("a_id"), col("b_id"), rd(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
     // the WINDOW text_novelty form round 19 replaced (Exchange(g3) + full
     // sort of every (doc, shingle) row + near-27M per-doc partial
     // exchange) — the measured-slower side of the min-aggregate rewrite
