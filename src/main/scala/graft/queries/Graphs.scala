@@ -151,8 +151,18 @@ object Graphs {
     // 6-digit discrimination, zero float noise, no tolerance at all.
     "graph_pagerank" -> ((s, d) => {
       val e = copurchaseEdgesShared(s, d)
+      // Round 19: the edge list is pre-partitioned AND pre-sorted on the
+      // per-round join key (src) BEFORE the checkpoint — localCheckpoint
+      // preserves outputPartitioning/outputOrdering in the LogicalRDD, so
+      // every one of the 5 rounds' sort-merge joins reads sym exchange-free
+      // and sort-free instead of re-shuffling + re-sorting the edges per
+      // round (one upfront shuffle buys 5 per-round ones; the deg aggregate
+      // reuses the same clustering for free). A/B twin without the
+      // pre-partition: AbBench graph_pagerank_unpart.
       val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .repartition(col("src"))
+        .sortWithinPartitions("src")
         .localCheckpoint() // eager: the edge list feeds every round AND the count
       val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
         .localCheckpoint()
@@ -195,8 +205,14 @@ object Graphs {
     // swapped for a mode. Integer-only, zero float noise.
     "graph_community_lpa" -> ((s, d) => {
       val e = copurchaseEdgesShared(s, d)
+      // Round 19, the PageRank discipline: pre-partition + pre-sort on the
+      // per-round join key — LPA's rounds join on sym's DST side — so both
+      // propagation rounds read the checkpointed edges exchange-free and
+      // sort-free. Twin: AbBench graph_community_lpa_unpart.
       val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .repartition(col("dst"))
+        .sortWithinPartitions("dst")
         .localCheckpoint() // eager: the edge list feeds every round
       // Round 1 collapsed algebraically: initial labels are the node ids,
       // so every neighbor label is DISTINCT (each count 1) and the

@@ -97,6 +97,63 @@ object AbBench {
         .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
         .limit(20)
     }),
+    // the UNPARTITIONED-edge-checkpoint pagerank form round 19 replaced:
+    // every one of the 5 rounds re-shuffles + re-sorts the edge list for
+    // its join (the declared key now pre-partitions/pre-sorts sym by src
+    // before the checkpoint) — results identical (exact integer arithmetic)
+    "graph_pagerank_unpart" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = graft.queries.Graphs.copurchaseEdgesShared(s, d)
+      val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .localCheckpoint()
+      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint()
+      val n = math.max(deg.count(), 1L)
+      val S = 1000000000000L
+      val damp = (15L * S / 100L) / n
+      var pr = deg.select(col("node"), col("dg"), lit(S / n).as("prf"))
+      var i = 0
+      while (i < 5) {
+        val contrib = sym
+          .join(pr, col("node") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("prf div dg")).as("cs"))
+        pr = deg
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(
+            col("node"), col("dg"),
+            expr(s"${damp}L + (85L * coalesce(cs, 0L)) div 100L").as("prf"))
+          .localCheckpoint(eager = false)
+        i += 1
+      }
+      pr.select(col("node").as("part_id"),
+          expr(s"(prf * ${n}L) div 1000000L").as("pr_scaled_e6"))
+        .orderBy("part_id")
+    }),
+    // same A/B for LPA (rounds join on dst)
+    "graph_community_lpa_unpart" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = graft.queries.Graphs.copurchaseEdgesShared(s, d)
+      val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .localCheckpoint()
+      var lab = sym.groupBy(col("src").as("node")).agg(min(col("dst")).as("lab"))
+        .localCheckpoint(eager = false)
+      var i = 1
+      while (i < 3) {
+        lab = sym
+          .join(lab, col("node") === col("dst"))
+          .groupBy(col("src"), col("lab"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("m"))
+          .select(col("src").as("node"), (-col("m.neg")).as("lab"))
+          .localCheckpoint(eager = false)
+        i += 1
+      }
+      lab.select(col("node"), col("lab").as("community")).orderBy("node")
+    }),
     // the interpreted slice/cast/concat_ws/xxhash64 band-hash chain the
     // round-19 BandHashes kernel replaced — bit-identical banding
     // (BandHashParitySpec), measured side of the kernel A/B
