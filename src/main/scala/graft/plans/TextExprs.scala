@@ -305,6 +305,38 @@ object TextExprs {
     new GenericArrayData(out.toArray)
   }
 
+  /** Fused token-count + set-membership pass over a space-normalized
+    * string (round 19, rank_bm25's tokenize stage): ONE walk over the bytes
+    * yields `dl` = size(split(s, " ")) (= #0x20 + 1, any input) and
+    * `mtoks` = keepInSet(split(s, " "), set) — zero-copy slices are
+    * allocated only for probe objects and survive only on match, so the
+    * full token array never materializes. Bit-parity with the composed
+    * chain (MatchTokensParitySpec): empty tokens are probed like the
+    * builtin split emits them, order and duplicates preserved.
+    */
+  def matchTokens(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String])
+    : org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[Any](4)
+    var dl = 1
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        val tok = org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, start, i - start)
+        if (set.contains(tok)) out.add(tok)
+        if (i < n) dl += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dl, new GenericArrayData(out.toArray)))
+  }
+
   /** Non-overlapping n-word segments of a token array, space-joined — the
     * codegen'd twin of text_seg_dedup's
     * `transform(sequence(1, (size(w)+n-1) div n),
@@ -1147,6 +1179,42 @@ case class KeepInSet(child: Expression, set: Seq[String]) extends UnaryExpressio
   }
 
   override protected def withNewChildInternal(newChild: Expression): KeepInSet =
+    copy(child = newChild)
+}
+
+/** `match_tokens(s, set)` — struct(dl, mtoks) in one byte pass (see
+  * [[TextExprs.matchTokens]]). NULL in → NULL out, like the composed
+  * size(split)/keepInSet(split) pair it fuses.
+  */
+case class MatchTokens(child: Expression, set: Seq[String]) extends UnaryExpression {
+
+  @transient private lazy val utf8Set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](set.size * 2)
+    set.foreach(x => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(x)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", IntegerType, nullable = false),
+    StructField("mtoks", ArrayType(StringType, containsNull = false), nullable = false)))
+  override def prettyName: String = "match_tokens"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextExprs.matchTokens(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], utf8Set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("matchTokensSet", utf8Set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextExprs.matchTokens($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatchTokens =
     copy(child = newChild)
 }
 

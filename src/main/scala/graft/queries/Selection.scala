@@ -134,12 +134,18 @@ object Selection {
       // higher-order filter was a CodegenFallback); the recompute form
       // stays measurable as AbBench `rank_bm25_recompute`, row-identity
       // pinned by Round18Spec.
+      // Round 19: dl and the matching tokens come from ONE fused byte pass
+      // over the normalized text (plans.MatchTokens — the split/size/
+      // KeepInSet chain materialized the full token array per doc just to
+      // count it and keep ≤3 matches; MatchTokensParitySpec pins the pair,
+      // the split form stays as AbBench rank_bm25_splitks)
+      val mt = org.apache.spark.sql.GraftSqlShim.column(graft.plans.MatchTokens(
+        org.apache.spark.sql.GraftSqlShim.expression(normText(col("text"))),
+        Bm25Terms))
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), graft.Tables.spaceSplit(normText(col("text"))).as("w"))
-        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-          org.apache.spark.sql.GraftSqlShim.column(graft.plans.KeepInSet(
-            org.apache.spark.sql.GraftSqlShim.expression(col("w")),
-            Bm25Terms)).as("mtoks"))
+        .select(col("doc_id"), mt.as("mt"))
+        .select(col("doc_id"), col("mt").getField("dl").cast("long").as("dl"),
+          col("mt").getField("mtoks").as("mtoks"))
         .localCheckpoint()
       val stats = docs.agg(
         count(lit(1)).as("n_docs"),

@@ -97,6 +97,44 @@ object AbBench {
         .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
         .limit(20)
     }),
+    // the split+size+KeepInSet checkpoint stage the round-19 fused
+    // MatchTokens kernel replaced in rank_bm25 — full query, old stage
+    "rank_bm25_splitks" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.GraftSqlShim
+      import graft.Tables.{normText, rd, t}
+      val terms = graft.queries.Selection.Bm25Terms
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), graft.Tables.spaceSplit(normText(col("text"))).as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          GraftSqlShim.column(graft.plans.KeepInSet(
+            GraftSqlShim.expression(col("w")), terms)).as("mtoks"))
+        .localCheckpoint()
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("mtoks")).as("token"))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(df), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+        .withColumn("s",
+          col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+              (col("tot_dl").cast("double") / col("n_docs").cast("double")))))
+      val termCols = terms.map(tm =>
+        coalesce(max(when(col("token") === tm, col("s"))), lit(0.0)))
+      scored
+        .groupBy(col("doc_id"))
+        .agg(termCols.reduce(_ + _).as("score0"), count(lit(1)).as("n_terms"))
+        .select(col("doc_id"), col("n_terms"), rd(col("score0"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
     // the UNPARTITIONED-edge-checkpoint pagerank form round 19 replaced:
     // every one of the 5 rounds re-shuffles + re-sorts the edge list for
     // its join (the declared key now pre-partitions/pre-sorts sym by src
