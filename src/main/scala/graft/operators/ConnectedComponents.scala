@@ -41,12 +41,25 @@ object ConnectedComponents {
     *                   reference form for tools.AbBench.
     * @return (id, component) where component = min id reachable
     */
+  /** @param doubleStep propagate TWICE per convergence action — measured
+    *                    NEGATIVE (round 19): near-dup graphs are dense
+    *                    clique-ish clusters with diameter ~1–2, so
+    *                    single-step already converges in 2–3 actions and
+    *                    the second hop (its joins + intermediate
+    *                    checkpoint) is pure waste — interleaved A/B 3.24 vs
+    *                    2.75 s at sf10, 2.80 vs 2.43 at sf0.1, double-step
+    *                    slower at BOTH. Kept as the AbBench twin
+    *                    `dedup_components_doublestep` — the lever exists
+    *                    for a future high-diameter caller (chains, not
+    *                    cliques), where ceil(D/2)+1 actions beats D+1.
+    */
   def labels(
       vertices: DataFrame,
       edges: DataFrame,
       maxIter: Int = 20,
       iterateAll: Boolean = false,
-      eagerCkpt: Boolean = false): DataFrame = {
+      eagerCkpt: Boolean = false,
+      doubleStep: Boolean = false): DataFrame = {
     // symmetrize once; checkpoint so every round reuses the materialized
     // edge list instead of re-deriving it (it never changes).
     // Edges referencing ids absent from `vertices` are dropped up front:
@@ -86,24 +99,30 @@ object ConnectedComponents {
     // coalesce: sum over an empty frame is NULL — empty input must yield an
     // empty result, not a driver NPE
     var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxIter) {
+    // one min-label propagation hop; the caller checkpoints the result
+    def step(l: DataFrame): DataFrame = {
       val nbrMin = sym
-        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .join(l.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("nid"))
         .agg(min(col("comp")).as("nbr_comp"))
-      val updated = labels
-        .join(nbrMin, col("id") === col("nid"), "left")
+      l.join(nbrMin, col("id") === col("nid"), "left")
         .select(
           col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        // LAZY: the convergence sum right below is the round's one action —
-        // it materializes the checkpoint blocks (truncating lineage for the
-        // next round) in the SAME job, halving the per-round scheduling
-        // round-trips the eager form paid (round 18; graph_pagerank's 5
-        // eager → lazy rewrite is the precedent)
-        .localCheckpoint(eager = eagerCkpt)
+    }
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // LAZY checkpoints: the convergence sum right below is the round's
+      // one action — it materializes the round's checkpoint blocks (both
+      // hops when doubleStep; the intermediate one keeps the second hop's
+      // two consumers from recomputing it) in the SAME job, so each driver
+      // round-trip buys the full propagation work (round 18 precedent:
+      // graph_pagerank's eager → lazy rewrite)
+      val updated =
+        (if (doubleStep) step(step(labels).localCheckpoint(eager = eagerCkpt))
+         else step(labels))
+          .localCheckpoint(eager = eagerCkpt)
       val newSum = updated.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
       labels = updated
       converged = newSum == prevSum

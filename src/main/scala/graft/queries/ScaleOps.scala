@@ -213,7 +213,7 @@ object ScaleOps {
     */
   private[graft] def dedupComponents(
       s: SparkSession, d: String, iterateAll: Boolean,
-      eagerCkpt: Boolean = false): DataFrame = {
+      eagerCkpt: Boolean = false, doubleStep: Boolean = false): DataFrame = {
     val base = t(s, d, "documents")
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), col("lang"),
@@ -231,7 +231,7 @@ object ScaleOps {
       .select(col("src"), col("dst"))
     graft.operators.ConnectedComponents
       .labels(base.select(col("doc_id").as("id")), edges, iterateAll = iterateAll,
-        eagerCkpt = eagerCkpt)
+        eagerCkpt = eagerCkpt, doubleStep = doubleStep)
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
   }

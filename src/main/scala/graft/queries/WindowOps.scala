@@ -146,8 +146,16 @@ object WindowOps {
     "cohort_retention" -> ((s, d) => {
       val weekUs = 86400000000L // day in µs; weeks = day-bucket DIV 7
       val ev = events(s, d).select(col("user_id"), col("ts_us"))
-      val firstEv = ev.groupBy("user_id").agg(min(col("ts_us")).as("first_ts"))
-      val act = ev.join(firstEv, "user_id")
+      // Round 19: first_ts is a min-over-user WINDOW riding the single
+      // user_id exchange — the previous groupBy+join-back form paid a
+      // second pass of ev through the join; the distinct's
+      // (user, cw, week_n) grouping is already clustered by hash(user_id),
+      // so it adds no exchange either. Interleaved sf10 A/B 3.40 vs 4.78 s
+      // (1.41×), rows identical (per-user min is form-invariant). Twin:
+      // AbBench cohort_retention_aggjoin.
+      val wU = Window.partitionBy("user_id")
+      val act = ev
+        .withColumn("first_ts", min(col("ts_us")).over(wU))
         .select(
           col("user_id"),
           expr(s"(first_ts div $weekUs) div 7").as("cw"),

@@ -97,6 +97,32 @@ object AbBench {
         .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
         .limit(20)
     }),
+    // the agg+join-back cohort_retention form round 19 replaced with the
+    // min-over-user window (sf10 interleaved 3.40 vs 4.78 s) — retained
+    // measured twin, row-identical
+    "cohort_retention_aggjoin" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{events, rd}
+      val weekUs = 86400000000L
+      val ev = events(s, d).select(col("user_id"), col("ts_us"))
+      val firstEv = ev.groupBy("user_id").agg(min(col("ts_us")).as("first_ts"))
+      val act = ev.join(firstEv, "user_id")
+        .select(
+          col("user_id"),
+          expr(s"(first_ts div $weekUs) div 7").as("cw"),
+          (expr(s"(ts_us div $weekUs) div 7") -
+            expr(s"(first_ts div $weekUs) div 7")).as("week_n"))
+        .distinct()
+      val sizes = act.filter(col("week_n") === 0)
+        .groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+      act.join(broadcast(sizes), "cw")
+        .groupBy(col("cw").as("cohort_week"), col("week_n"))
+        .agg(
+          count(lit(1)).as("active_users"),
+          rd(count(lit(1)).cast("double") / first(col("cohort_size")), 4)
+            .as("retention"))
+        .orderBy("cohort_week", "week_n")
+    }),
     // the split+size+KeepInSet checkpoint stage the round-19 fused
     // MatchTokens kernel replaced in rank_bm25 — full query, old stage
     "rank_bm25_splitks" -> ((s, d) => {
@@ -495,6 +521,13 @@ object AbBench {
       graft.queries.ScaleOps.dedupComponents(s, d, iterateAll = false, eagerCkpt = true)),
     "dedup_components_allv" -> ((s, d) =>
       graft.queries.ScaleOps.dedupComponents(s, d, iterateAll = true)),
+    // round-19 double-propagation NEGATIVE: two hops per convergence
+    // action measured SLOWER at sf10 (3.24 vs 2.75) and sf0.1 (2.80 vs
+    // 2.43) — clique-ish near-dup graphs converge in 2-3 single-step
+    // actions, so the second hop is waste; lever retained for
+    // high-diameter graphs
+    "dedup_components_doublestep" -> ((s, d) =>
+      graft.queries.ScaleOps.dedupComponents(s, d, iterateAll = false, doubleStep = true)),
     // graph_triangles with DEGREE-ordered orientation (Schank–Wagner):
     // edges point from the (degree, id)-smaller endpoint, so wedge fan-out
     // is bounded by oriented out-degree ≤ O(√E) even with hub nodes; the
