@@ -504,6 +504,41 @@ object TextExprs {
     acc
   }
 
+  /** Fused token-MULTISET fingerprint (round 19, dedup_token_sort): both
+    * order-independent hash sums of `split(s, " ")` in one zero-copy byte
+    * pass — the composed spaceSplit → 2×[[setHashSum]] chain allocated the
+    * token array and walked it twice. Tokens are in-place slices (0x20
+    * never occurs inside a UTF-8 multibyte sequence); per token both seeds'
+    * hashes accumulate with the exact builtin entry point setHashSum uses.
+    * NULL input → (0, 0), exactly `setHashSum(NULL array) = 0` per seed;
+    * "" → one empty token, as split keeps it.
+    */
+  def tokenHashSums(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      seed1: Long, seed2: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    if (s == null)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
+    val len = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var acc1 = 0L
+    var acc2 = 0L
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.getByte(i) == 0x20) {
+        val slice = org.apache.spark.unsafe.types.UTF8String.fromAddress(
+          base, off + start, i - start)
+        acc1 += XxHash64Function.hash(slice, StringType, seed1)
+        acc2 += XxHash64Function.hash(slice, StringType, seed2)
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](acc1, acc2))
+  }
+
   /** Shannon entropy (natural log) of the token distribution of ONE array,
     * in a single pass: counts via a LinkedHashMap (byte-wise UTF8String
     * equality — Spark's binary string equality; null tokens form one group,
@@ -1179,6 +1214,51 @@ case class KeepInSet(child: Expression, set: Seq[String]) extends UnaryExpressio
   }
 
   override protected def withNewChildInternal(newChild: Expression): KeepInSet =
+    copy(child = newChild)
+}
+
+/** `token_hash_sums(s, seed1, seed2)` — struct(fp1, fp2) token-multiset
+  * fingerprint in one zero-copy pass (see [[TextExprs.tokenHashSums]]).
+  * Never NULL: a NULL input yields (0, 0) like `setHashSum(NULL)` per seed.
+  */
+case class TokenHashSums(child: Expression, seed1: Long, seed2: Long)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("fp1", LongType, nullable = false),
+    StructField("fp2", LongType, nullable = false)))
+  override def prettyName: String = "token_hash_sums"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    TextExprs.tokenHashSums(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], seed1, seed2)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("tokenHashSums")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow $out =
+          graft.plans.TextExprs.tokenHashSums(
+            ${c.isNull} ? null : ${c.value}, ${seed1}L, ${seed2}L);
+      """,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(out, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashSums =
     copy(child = newChild)
 }
 

@@ -92,14 +92,19 @@ object TextSim {
     // NOT NULL at every rung, checked before landing.)
     // Shuffle stays slim — two 8-byte longs + id per doc, text never moves.
     "dedup_token_sort" -> ((s, d) => {
-      def fpc(tk: org.apache.spark.sql.Column, seed: Long) =
-        org.apache.spark.sql.GraftSqlShim.column(
-          graft.plans.SetHashSum(
-            org.apache.spark.sql.GraftSqlShim.expression(tk), seed))
-      val toks = graft.Tables.spaceSplit(normText(col("text")))
+      // Round 19: both multiset hash sums in ONE fused zero-copy pass over
+      // the normalized text (plans.TokenHashSums) — the spaceSplit →
+      // 2×SetHashSum chain materialized the token array and walked it
+      // twice. TokenHashSumsParitySpec pins the pair; the split form stays
+      // as AbBench dedup_token_sort_splitsum.
+      val fused = org.apache.spark.sql.GraftSqlShim.column(
+        graft.plans.TokenHashSums(
+          org.apache.spark.sql.GraftSqlShim.expression(normText(col("text"))), 42L, 7L))
       t(s, d, "documents")
-        .select(col("doc_id"), toks.as("tk"))
-        .select(col("doc_id"), fpc(col("tk"), 42L).as("fp1"), fpc(col("tk"), 7L).as("fp2"))
+        .select(col("doc_id"), fused.as("fp"))
+        .select(col("doc_id"),
+          col("fp").getField("fp1").as("fp1"),
+          col("fp").getField("fp2").as("fp2"))
         .groupBy(col("fp1"), col("fp2"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dupes"))
         .select(col("keeper"), col("dupes"))

@@ -97,6 +97,24 @@ object AbBench {
         .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
         .limit(20)
     }),
+    // the split + 2x SetHashSum dedup_token_sort stage the round-19 fused
+    // TokenHashSums kernel replaced — row-identical (bit-equal sums)
+    "dedup_token_sort_splitsum" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.Tables.{normText, t}
+      def fpc(tk: org.apache.spark.sql.Column, seed: Long) =
+        org.apache.spark.sql.GraftSqlShim.column(
+          graft.plans.SetHashSum(
+            org.apache.spark.sql.GraftSqlShim.expression(tk), seed))
+      val toks = graft.Tables.spaceSplit(normText(col("text")))
+      t(s, d, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), fpc(col("tk"), 42L).as("fp1"), fpc(col("tk"), 7L).as("fp2"))
+        .groupBy(col("fp1"), col("fp2"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dupes"))
+        .select(col("keeper"), col("dupes"))
+        .orderBy("keeper")
+    }),
     // the agg+join-back cohort_retention form round 19 replaced with the
     // min-over-user window (sf10 interleaved 3.40 vs 4.78 s) — retained
     // measured twin, row-identical
