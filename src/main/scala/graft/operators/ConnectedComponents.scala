@@ -98,7 +98,14 @@ object ConnectedComponents {
     // aggregate per round replaces a join + filter + count.
     // coalesce: sum over an empty frame is NULL — empty input must yield an
     // empty result, not a driver NPE
-    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    // Round 19: NO pre-loop sum action. Round 1 never needs a convergence
+    // test (labels only decrease, so it either changes something or the
+    // loop's second round confirms), so the first comparison happens
+    // between round 1's and round 2's sums — one fewer driver action and
+    // the lazy edge/label checkpoints materialize inside round 1's
+    // convergence job instead of paying their own scheduling round-trip.
+    var prevSum = 0L
+    var havePrev = false
     // one min-label propagation hop; the caller checkpoints the result
     def step(l: DataFrame): DataFrame = {
       val nbrMin = sym
@@ -125,8 +132,9 @@ object ConnectedComponents {
           .localCheckpoint(eager = eagerCkpt)
       val newSum = updated.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
       labels = updated
-      converged = newSum == prevSum
+      converged = havePrev && newSum == prevSum
       prevSum = newSum
+      havePrev = true
       round += 1
     }
     // singletons (no edges) keep their own id as the component label
